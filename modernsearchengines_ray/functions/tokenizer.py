@@ -1,0 +1,75 @@
+"""Tokenize/normalize pipeline — the engine's (and oracle's) term pipeline.
+
+Reference semantics (/root/reference/indexing.py:130-159): split the raw
+text into 800,000-char chunks; per chunk run the normalization chain,
+then tokenize, drop stopwords and punctuation, lemmatize+Porter-stem,
+and emit ``(stem, char_offset)`` pairs where the offset is within the
+*normalized chunk* (so offsets restart every chunk).
+
+Deviation (documented): the reference tokenizes with spaCy
+``en_core_web_sm`` and lemmatizes before stemming; spaCy is not
+available in this environment, so tokens are unicode word-character
+runs (``\\w+`` minus underscores, which the normalizer already removed)
+and the lemma step is the identity — Porter stemming is applied
+directly.  Stopword and punctuation drops keep the same position in the
+pipeline; the sequential oracle shares this module, so engine-vs-oracle
+conformance is exact.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .porter import porter_stem
+from .stopwords import STOPWORDS
+from .textnorm import normalize_chunk, split_text
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+#: memoized stem cache — Zipf makes this extremely effective; bounded by
+#: vocabulary size which is tiny relative to token count.
+_STEM_CACHE: dict[str, str] = {}
+
+
+def stem_cached(token: str) -> str:
+    stem = _STEM_CACHE.get(token)
+    if stem is None:
+        stem = porter_stem(token)
+        _STEM_CACHE[token] = stem
+    return stem
+
+
+def tokenize(
+    text: str,
+    only_unique_tokens: bool = False,
+    chunk_chars: int = 800_000,
+) -> list[tuple[str, int]]:
+    """Return [(stem, char_offset_in_normalized_chunk), ...].
+
+    ``only_unique_tokens`` keeps the first occurrence of each stem
+    (reference indexing.py:152-156, used on the query side).
+    """
+    unique: set[str] = set()
+    tokens: list[tuple[str, int]] = []
+
+    for chunk in split_text(text, chunk_chars):
+        chunk = normalize_chunk(chunk)
+        for match in _TOKEN_RE.finditer(chunk):
+            token = match.group(0)
+            if token in STOPWORDS:
+                continue
+            stem = stem_cached(token)
+            if not stem:
+                continue
+            if only_unique_tokens:
+                if stem in unique:
+                    continue
+                unique.add(stem)
+            tokens.append((stem, match.start()))
+
+    return tokens
+
+
+def tokenize_terms(text: str) -> list[str]:
+    """Just the stems, document order (convenience for stats/topics)."""
+    return [t for t, _ in tokenize(text)]
