@@ -1,0 +1,238 @@
+"""Query serving: shard-scorer actor pool + exact ranking merge.
+
+Replaces the reference's per-lemma SQLite lookups
+(/root/reference/retrieval.py:27-70) with an actor pool of
+``ShardScorer``s: each actor loads its assigned hash(term) shards once
+in ``__init__`` (decoded lazily per term, cached), queries fan the term
+list out to the owning shards only (broadcast-small-side semi-join,
+SURVEY.md §2.4 J1), and the driver merges per-term posting vectors into
+the exact reference ranking (retrieval.py:218-275):
+
+  weighted BM25 accumulation (6/1, 0.5/0.2, 4/0.5, 0.5/0 weights by
+  original-vs-expansion and Tübingen-vs-not), +100 Tübingen boost,
+  combined = bm25_sum * log1p(credit), three min-max normalizations
+  (fetched postings / combined / proximity), proximity heap sweep,
+  0.8/0.2 alpha blend, top-100 by (-score, doc_id).
+
+Vectorization note: accumulation is per-lemma vector adds over a sorted
+candidate array, which preserves the oracle's per-doc FP addition order
+(lemma order), so scores are bit-identical, not just close.
+
+Scale note: the driver-side merge holds one float64 per candidate doc
+per query; for web-scale candidate sets the same merge runs as a
+``groupby(doc_id)`` reduce over per-shard partial tables — the actor
+protocol already returns columnar partials to make that swap local.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+import ray
+
+from ..config import DEFAULT_RANK_CONFIG, RankConfig
+from ..functions.proximity import calculate_proximity_score
+from ..functions.varint import decode_deltas_np, decode_grouped_deltas_np, decode_varints_np
+from ..oracle.ref_oracle import oracle_query_processing
+from ..state.manifest import read_manifests, shard_path
+from .build_index import read_meta
+
+
+@ray.remote
+class ShardScorer:
+    """Holds decoded posting lists for a set of index shards."""
+
+    def __init__(self, index_dir: str, shard_ids: list[int]):
+        import pyarrow.parquet as pq
+
+        self._rows: dict[str, dict] = {}
+        self._decoded: dict[str, dict] = {}
+        for shard_id in shard_ids:
+            table = pq.read_table(shard_path(index_dir, shard_id))
+            cols = {name: table[name].to_pylist() for name in
+                    ("term", "df", "idf", "doc_ids", "counts", "bm25",
+                     "positions", "max_bm25", "min_bm25")}
+            for i, term in enumerate(cols["term"]):
+                self._rows[term] = {k: cols[k][i] for k in cols if k != "term"}
+
+    def _decode(self, term: str) -> dict | None:
+        cached = self._decoded.get(term)
+        if cached is not None:
+            return cached
+        row = self._rows.get(term)
+        if row is None:
+            return None
+        df = row["df"]
+        doc_ids = decode_deltas_np(row["doc_ids"])
+        counts = decode_varints_np(row["counts"]).astype(np.int64)
+        bm25 = np.frombuffer(row["bm25"], dtype="<f8")
+        decoded = {
+            "df": df,
+            "doc_ids": doc_ids,
+            "counts": counts,
+            "bm25": bm25,
+            "positions_raw": row["positions"],
+        }
+        self._decoded[term] = decoded
+        return decoded
+
+    def get_postings(self, terms: list[str], position_terms: list[str]):
+        """Return {term: (doc_ids, bm25, counts, flat_positions|None)}."""
+        want_positions = set(position_terms)
+        out = {}
+        for term in terms:
+            decoded = self._decode(term)
+            if decoded is None:
+                continue
+            flat_positions = None
+            if term in want_positions:
+                flat_positions = decode_grouped_deltas_np(
+                    decoded["positions_raw"], decoded["counts"]
+                )
+            out[term] = (
+                decoded["doc_ids"],
+                decoded["bm25"],
+                decoded["counts"],
+                flat_positions,
+            )
+        return out
+
+    def term_stats(self, terms: list[str]):
+        """(df, idf, min_bm25, max_bm25) per present term — WAND metadata."""
+        out = {}
+        for term in terms:
+            row = self._rows.get(term)
+            if row is not None:
+                out[term] = (row["df"], row["idf"], row["min_bm25"], row["max_bm25"])
+        return out
+
+
+def rank_postings(
+    fetched: dict[str, tuple],
+    tokenized_query: list[tuple[str, int]],
+    original_query: list[str],
+    rank_cfg: RankConfig = DEFAULT_RANK_CONFIG,
+) -> list[tuple[int, float]]:
+    """The reference ranking path over fetched posting vectors (exact)."""
+    present = [t for t, _ in tokenized_query if t in fetched]
+    if not present:
+        return []
+
+    # global min-max over every fetched posting (retrieval.py:58-67)
+    all_scores = np.concatenate([fetched[t][1] for t in present])
+    lo, hi = float(all_scores.min()), float(all_scores.max())
+    normalize = hi > lo
+
+    candidates = np.unique(np.concatenate([fetched[t][0] for t in present]))
+    n = len(candidates)
+    scores = np.zeros(n)
+    credits = np.zeros(n)
+    tueb_mask = np.zeros(n, dtype=bool)
+    pos_lists: list[list] = [[] for _ in range(n)]
+
+    tueb = set(rank_cfg.tuebingen_terms)
+    original = set(original_query)
+
+    for term in present:
+        doc_ids, bm25, counts, flat_positions = fetched[term]
+        values = (bm25 - lo) / (hi - lo) if normalize else bm25
+        idx = np.searchsorted(candidates, doc_ids)
+        is_original = term in original
+        is_tueb = term in tueb
+        if is_tueb:
+            tueb_mask[idx] = True
+        if is_original:
+            w = rank_cfg.w_original_tueb if is_tueb else rank_cfg.w_original
+            c = rank_cfg.c_original_tueb if is_tueb else rank_cfg.c_original
+        else:
+            w = rank_cfg.w_expansion_tueb if is_tueb else rank_cfg.w_expansion
+            c = rank_cfg.c_expansion_tueb if is_tueb else rank_cfg.c_expansion
+        scores[idx] += w * values
+        credits[idx] += c
+        if is_original:
+            starts = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            for j, cand_idx in enumerate(idx):
+                pos_lists[cand_idx].append(
+                    flat_positions[starts[j] : starts[j] + counts[j]]
+                )
+
+    scores[tueb_mask] += rank_cfg.tueb_boost
+
+    combined = scores * np.log1p(credits)
+    c_lo, c_hi = combined.min(), combined.max()
+    norm_combined = (
+        (combined - c_lo) / (c_hi - c_lo) if c_hi > c_lo else np.zeros(n)
+    )
+
+    proximity = np.array([calculate_proximity_score(pl) for pl in pos_lists])
+    p_lo, p_hi = proximity.min(), proximity.max()
+    norm_proximity = (
+        (proximity - p_lo) / (p_hi - p_lo) if p_hi > p_lo else np.zeros(n)
+    )
+
+    final = rank_cfg.alpha * norm_combined + (1 - rank_cfg.alpha) * norm_proximity
+    order = np.lexsort((candidates, -final))[: rank_cfg.top_k]
+    return [(int(candidates[i]), float(final[i])) for i in order]
+
+
+class QueryEngine:
+    """Actor-pool BM25 serving over a built index directory."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_scorers: int = 4,
+        rank_cfg: RankConfig = DEFAULT_RANK_CONFIG,
+        synonyms_table: dict[str, list[str]] | None = None,
+    ):
+        self.index_dir = index_dir
+        self.meta = read_meta(index_dir)
+        self.rank_cfg = rank_cfg
+        self.synonyms_table = synonyms_table or {}
+        shard_ids = sorted(read_manifests(index_dir).keys())
+        num_scorers = max(1, min(num_scorers, len(shard_ids) or 1))
+        assignments: list[list[int]] = [[] for _ in range(num_scorers)]
+        self._shard_owner: dict[int, int] = {}
+        for i, shard_id in enumerate(shard_ids):
+            assignments[i % num_scorers].append(shard_id)
+            self._shard_owner[shard_id] = i % num_scorers
+        self.num_shards = self.meta["num_shards"]
+        self.scorers = [
+            ShardScorer.remote(index_dir, assigned) for assigned in assignments
+        ]
+
+    def _owner(self, term: str) -> int | None:
+        from ..functions.hashing import term_shard
+
+        return self._shard_owner.get(term_shard(term, self.num_shards))
+
+    def fetch(self, terms: list[str], position_terms: list[str]) -> dict:
+        by_scorer: dict[int, list[str]] = defaultdict(list)
+        for term in terms:
+            owner = self._owner(term)
+            if owner is not None:
+                by_scorer[owner].append(term)
+        futures = [
+            self.scorers[i].get_postings.remote(ts, position_terms)
+            for i, ts in by_scorer.items()
+        ]
+        fetched: dict[str, tuple] = {}
+        for result in ray.get(futures):
+            fetched.update(result)
+        return fetched
+
+    def search(self, query: str) -> list[tuple[int, float]]:
+        tokens, _extended, original = oracle_query_processing(
+            query, self.synonyms_table, self.rank_cfg
+        )
+        terms = [t for t, _ in tokens]
+        fetched = self.fetch(terms, position_terms=original)
+        return rank_postings(fetched, tokens, original, self.rank_cfg)
+
+    def shutdown(self) -> None:
+        for scorer in self.scorers:
+            ray.kill(scorer)
+        self.scorers = []

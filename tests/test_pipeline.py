@@ -1,0 +1,197 @@
+"""Distributed conformance tests: the Ray pipelines vs the sequential
+oracle on the deterministic pages fixture.
+
+These are the SURVEY.md §5 conformance gates:
+- extractor byte-identity per url,
+- index conformance: (term, doc_id, bm25, positions) sets exact,
+  including the df<=5 prune and the chars/tokens length-norm quirk,
+- rank identity: doc-id order + scores vs the oracle on the fixture
+  query set,
+- dedup determinism (exact simhash groups, keep-min-url),
+- kill-and-resume: rebuilding after losing shards touches only the
+  missing partitions and reproduces the identical index.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from fixtures import QUERIES
+
+
+@pytest.fixture(scope="module")
+def prepared(ray_session, pages_parquet, tmp_path_factory):
+    """Run corpus prep + index build once; share across tests."""
+    import ray.data as rd
+
+    from modernsearchengines_ray.oracle import build_oracle_index
+    from modernsearchengines_ray.pipelines.build_index import build_index
+    from modernsearchengines_ray.pipelines.corpus_prep import prepare_corpus
+
+    tmp = tmp_path_factory.mktemp("index")
+    pages = rd.read_parquet(pages_parquet)
+    corpus_df = prepare_corpus(pages).to_pandas()
+    index_dir = str(tmp / "idx")
+    result = build_index(
+        rd.from_pandas(corpus_df[["doc_id", "url", "text"]]),
+        index_dir,
+        corpus_id="test",
+    )
+    oracle_corpus = [
+        (int(r.doc_id), r.url, "", r.text) for r in corpus_df.itertuples()
+    ]
+    oracle_index = build_oracle_index(oracle_corpus)
+    return corpus_df, index_dir, result, oracle_index
+
+
+class TestExtract:
+    def test_byte_identity_per_url(self, ray_session, pages_parquet, pages_table):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.extract import extract_pages
+
+        ds = rd.read_parquet(pages_parquet, columns=["url", "html"])
+        got = extract_pages(ds).to_pandas().set_index("url")["text"]
+        want = pages_table.to_pandas().set_index("url")["text"]
+        # url-extension filter may drop .png rows from got
+        for url in got.index:
+            assert got[url] == want[url], f"extract mismatch for {url}"
+        assert len(got) > 0
+
+    def test_extension_filter(self, ray_session, pages_parquet):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.extract import extract_pages
+
+        got = extract_pages(rd.read_parquet(pages_parquet)).to_pandas()
+        assert not got["url"].str.endswith((".png", ".jpg", ".pdf")).any()
+
+
+class TestCorpusPrep:
+    def test_english_only(self, prepared):
+        corpus_df = prepared[0]
+        assert corpus_df["lang"].str.startswith("en").all()
+
+    def test_dedup_exact_simhash_keeps_min_url(self, prepared):
+        corpus_df = prepared[0]
+        assert corpus_df["simhash"].is_unique
+        # doc ids are the dense rank of sorted urls
+        sorted_urls = sorted(corpus_df["url"])
+        expect = {u: i for i, u in enumerate(sorted_urls)}
+        assert all(expect[r.url] == r.doc_id for r in corpus_df.itertuples())
+
+
+class TestIndexConformance:
+    def test_postings_exact(self, prepared):
+        from modernsearchengines_ray.state.shards import load_index_postings
+
+        _, index_dir, _, oracle_index = prepared
+        engine = load_index_postings(index_dir)
+        assert set(engine.keys()) == set(oracle_index.index.keys())
+        for term, docs in oracle_index.index.items():
+            got_docs = engine[term]
+            assert set(got_docs.keys()) == set(docs.keys()), term
+            for doc_id, (bm25, positions) in docs.items():
+                got_bm25, got_positions = got_docs[doc_id]
+                assert got_bm25 == pytest.approx(bm25, abs=1e-12), (term, doc_id)
+                assert got_positions == positions, (term, doc_id)
+
+    def test_meta_stats(self, prepared):
+        from modernsearchengines_ray.pipelines.build_index import read_meta
+
+        corpus_df, index_dir, _, oracle_index = prepared
+        meta = read_meta(index_dir)
+        assert meta["num_documents"] == oracle_index.num_documents == len(corpus_df)
+        assert meta["avg_doc_len"] == pytest.approx(oracle_index.avg_doc_len)
+
+    def test_df_prune_applied(self, prepared):
+        from modernsearchengines_ray.state.shards import load_index_postings
+
+        _, index_dir, _, _ = prepared
+        engine = load_index_postings(index_dir)
+        assert all(len(docs) > 5 for docs in engine.values())
+
+
+class TestRankIdentity:
+    def test_reference_query_set(self, prepared):
+        from modernsearchengines_ray.oracle import oracle_search
+        from modernsearchengines_ray.pipelines.query import QueryEngine
+
+        _, index_dir, _, oracle_index = prepared
+        engine = QueryEngine(index_dir, num_scorers=2)
+        try:
+            for qid, query in QUERIES:
+                got = engine.search(query)
+                want = oracle_search(oracle_index, query)
+                assert [d for d, _ in got] == [d for d, _ in want], f"q{qid} ids"
+                np.testing.assert_allclose(
+                    [s for _, s in got], [s for _, s in want],
+                    atol=1e-12, err_msg=f"q{qid} scores",
+                )
+        finally:
+            engine.shutdown()
+
+
+class TestResume:
+    def test_kill_and_resume_rebuilds_only_missing(
+        self, ray_session, prepared, tmp_path_factory
+    ):
+        import ray.data as rd
+
+        from modernsearchengines_ray.pipelines.build_index import build_index
+        from modernsearchengines_ray.state.shards import load_index_postings
+
+        corpus_df, index_dir, first, _ = prepared
+        clone_dir = str(tmp_path_factory.mktemp("resume") / "idx")
+        shutil.copytree(index_dir, clone_dir)
+        before = load_index_postings(clone_dir)
+
+        # simulate a mid-build failure: lose 3 shard partitions
+        for shard_id in (0, 5, 11):
+            os.remove(os.path.join(clone_dir, f"shard={shard_id}.parquet"))
+            os.remove(os.path.join(clone_dir, "_manifest", f"shard_{shard_id}.json"))
+
+        second = build_index(
+            rd.from_pandas(corpus_df[["doc_id", "url", "text"]]),
+            clone_dir,
+            corpus_id="test",
+        )
+        assert second.shards_skipped == first.shards_built - 3
+        assert second.shards_built == 3
+        after = load_index_postings(clone_dir)
+        assert set(after.keys()) == set(before.keys())
+        for term in before:
+            assert after[term] == before[term], term
+
+    def test_fingerprint_mismatch_rebuilds_all(self, prepared):
+        from modernsearchengines_ray.state.manifest import completed_shards
+
+        _, index_dir, first, _ = prepared
+        assert completed_shards(index_dir, first.fingerprint) != set()
+        assert completed_shards(index_dir, "other-input") == set()
+
+
+class TestMinhashDedup:
+    def test_near_dups_collapse(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import dedup_minhash
+
+        base = (
+            "the castle above the river hosts a chocolate festival every "
+            "december with stalls along the old town bridge and market"
+        )
+        near = base.replace("december", "january")
+        other = "completely different content about ray data pipelines and arrow batches"
+        df = pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "text": [base, near, other, base + " extra"]}
+        )
+        kept = dedup_minhash(rd.from_pandas(df), concurrency=2).to_pandas()
+        assert 3 in set(kept["doc_id"])          # unique doc survives
+        assert len(kept) < 4                      # near-dups collapsed
+        assert min(set(kept["doc_id"]) & {1, 2, 4}) == 1  # keep-min rule
