@@ -1,44 +1,69 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline on sf0.001 — full sharded inverted-index
+  build over the documents table plus one query served through the
+  shard-scorer actor pool; returns the per-term index statistics.
+- ``queries()``: one callable per implemented operator/pipeline from
+  SURVEY.md §2 (plus the training-data extensions); each takes sf_dir.
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL equivalents where SQL can
+  express the operator (see driver_queries.ORACLE_SQL for the list and
+  the rationale for rows-only entries).
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from modernsearchengines_ray.config import IndexConfig
+    from modernsearchengines_ray.pipelines.build_index import build_index
+    from modernsearchengines_ray.pipelines.query import QueryEngine
+    from modernsearchengines_ray.state.shards import list_shard_files
+
+    cfg = IndexConfig(prepend_url_words=False, num_shards=8)
+    ds = rd.read_parquet(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"])
+    tmp = tempfile.mkdtemp(prefix="msr_entry_")
+    try:
+        result = build_index(ds, tmp, cfg=cfg, corpus_id="entry-sf0.001")
+        engine = QueryEngine(tmp, num_scorers=2)
+        try:
+            hits = engine.search("stream data query")
+            assert isinstance(hits, list)
+        finally:
+            engine.shutdown()
+        tables = [
+            pq.read_table(p, columns=["term", "df", "idf"])
+            for p in list_shard_files(tmp)
+        ]
+        import pyarrow as pa
+
+        stats = pa.concat_tables(tables).sort_by("term")
+        assert result.terms == stats.num_rows
+        return stats.to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from modernsearchengines_ray.pipelines.driver_queries import QUERY_FUNCS
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERY_FUNCS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from modernsearchengines_ray.pipelines.driver_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: full inverted-index build over $GRAFT_SF_DIR/documents.parquet
+(the reference's §3.2 pipeline, Ray-Data-native) + warm-actor query p50
+over the built index, plus per-query wall times for a representative
+operator set.
+
+  python bench.py                 # one run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling       # same job at 8 and 32 CPUs in fresh
+                                  # processes; prints throughputs + efficiency
+
+Scaling protocol (BASELINE.md): identical input and pipeline at two
+parallelism levels in fresh ray sessions — the sandbox stand-in for the
+north rule's N vs 4N node clusters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# --scaling corpus: deterministic synthetic Common-Crawl-style pages
+# (BASELINE.json input_hint schema), heavy enough that per-page compute
+# dominates fixed pipeline overheads at both parallelism levels.
+SCALE_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "200000"))
+SCALE_HEAVY = int(os.environ.get("GRAFT_BENCH_HEAVY", "4"))
+SCALE_CACHE = f"/tmp/msr_bench_pages_n{SCALE_PAGES}_h{SCALE_HEAVY}_s42"
+
+BENCH_QUERIES = [
+    "term_stats", "postings_tf", "bm25_topk", "dedup_exact",
+    "minhash_dedup", "quality", "events_window", "pricing_summary",
+    "top_customers", "ann_topk",
+]
+
+SEARCH_QUERIES = [
+    "stream data query", "join merge sort", "customer order line",
+    "window batch hash", "spark table scan", "filter group agg",
+    "vector column row", "big small fast slow",
+]
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from modernsearchengines_ray.config import IndexConfig
+    from modernsearchengines_ray.pipelines.build_index import build_index
+    from modernsearchengines_ray.pipelines.driver_queries import QUERY_FUNCS
+    from modernsearchengines_ray.pipelines.query import QueryEngine
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+
+    cfg = IndexConfig(prepend_url_words=False, num_shards=32)
+    index_dir = tempfile.mkdtemp(prefix="msr_bench_idx_")
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    result = build_index(ds, index_dir, cfg=cfg, corpus_id="bench")
+    build_sec = time.perf_counter() - t0
+
+    # warm-actor query latency
+    engine = QueryEngine(index_dir, num_scorers=4)
+    try:
+        engine.search(SEARCH_QUERIES[0])  # warm the shard caches
+        latencies = []
+        for query in SEARCH_QUERIES * 3:
+            tq = time.perf_counter()
+            engine.search(query)
+            latencies.append((time.perf_counter() - tq) * 1000.0)
+        query_p50_ms = statistics.median(latencies)
+    finally:
+        engine.shutdown()
+
+    query_secs = {}
+    for name in BENCH_QUERIES:
+        tq = time.perf_counter()
+        out = QUERY_FUNCS[name](SF_DIR)
+        if hasattr(out, "to_pandas"):
+            out.to_pandas()  # consume lazy datasets
+        query_secs[name] = round(time.perf_counter() - tq, 4)
+
+    n_docs = result.stats.num_documents
+    out = {
+        "metric": "index_build_sec",
+        "value": round(build_sec, 4),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / build_sec, 2),
+        "postings": result.postings,
+        "index_bytes": result.bytes,
+        "query_p50_ms": round(query_p50_ms, 3),
+    }
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
+def run_pages_build() -> dict:
+    """The north-rule job: Common-Crawl-style pages -> extract -> english
+    filter -> exact-simhash dedup -> sharded index build (url-words
+    prefix on).  Input is the cached deterministic synthetic corpus —
+    identical bytes at every parallelism level."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from modernsearchengines_ray.config import IndexConfig
+    from modernsearchengines_ray.pipelines.build_index import build_index
+    from modernsearchengines_ray.pipelines.corpus_prep import prepare_corpus_staged
+    from modernsearchengines_ray.sources.synth import materialize_pages_parquet
+
+    materialize_pages_parquet(SCALE_CACHE, SCALE_PAGES, seed=42,
+                              heavy=SCALE_HEAVY)  # cached, untimed
+    workdir = tempfile.mkdtemp(prefix="msr_scale_")
+    index_dir = os.path.join(workdir, "index")
+    cfg = IndexConfig(num_shards=64)
+
+    rd.read_parquet(SCALE_CACHE, columns=["url"]).count()  # warm page cache
+    t0 = time.perf_counter()
+    pages = rd.read_parquet(SCALE_CACHE)
+    corpus_dir = prepare_corpus_staged(pages, workdir, doc_id_mode="hash")
+    corpus = rd.read_parquet(corpus_dir, columns=["doc_id", "url", "text"])
+    result = build_index(corpus, index_dir, cfg=cfg, corpus_id="scaling")
+    sec = time.perf_counter() - t0
+
+    n_docs = result.stats.num_documents
+    out = {
+        "metric": "pages_to_index_sec",
+        "value": round(sec, 4),
+        "unit": "sec",
+        "sf": SCALE_CACHE,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / sec, 2),
+        "postings": result.postings,
+        "index_bytes": result.bytes,
+    }
+    import shutil
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
+def run_subprocess(ncpu: int, mode: str | None = None) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+    cmd = [sys.executable, os.path.abspath(__file__)]
+    if mode:
+        cmd.append(mode)
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                          check=True)
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--pages-build" in sys.argv:
+        print(json.dumps(run_pages_build()))
+        return
+    if "--scaling" in sys.argv:
+        lo_cpus, hi_cpus = 8, 32
+        lo = run_subprocess(lo_cpus, "--pages-build")
+        hi = run_subprocess(hi_cpus, "--pages-build")
+        eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "job": "pages_to_index",
+            "docs": hi["docs"],
+            f"sec_{lo_cpus}": lo["value"],
+            f"sec_{hi_cpus}": hi["value"],
+            f"docs_per_sec_{lo_cpus}": lo["docs_per_sec"],
+            f"docs_per_sec_{hi_cpus}": hi["docs_per_sec"],
+        }))
+        return
+    print(json.dumps(run_once()))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,39 +14,63 @@ regardless of the per-feature hash function.
 
 from __future__ import annotations
 
-import hashlib
 import re
-from collections import Counter
+
+import numpy as np
 
 _ALNUM_RE = re.compile(r"[\w一-鿌]+", re.UNICODE)
+_BIT_RANGE = np.arange(64, dtype=np.uint64)
+_SHINGLE_WIDTH = 4
+#: multipliers of the degree-3 polynomial feature hash (odd constants,
+#: splitmix-style): h(c0..c3) = Σ ci * Mi  (mod 2^64) then finalized
+_POLY = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
 
 
-def _features(text: str, width: int = 4) -> Counter:
-    text = "".join(_ALNUM_RE.findall(text.lower()))
-    if len(text) <= width:
-        return Counter([text] if text else [])
-    return Counter(text[i : i + width] for i in range(len(text) - width + 1))
+def _finalize(h: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche so neighboring shingles decorrelate."""
+    h = h.copy()
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
 
 
 def simhash64(text: str) -> int:
-    counts = _features(text)
-    if not counts:
+    """64-bit simhash, fully vectorized.
+
+    Features are 4-char shingles of the lowercased alphanumeric text;
+    feature hashes come from a vectorized polynomial-plus-avalanche of
+    the codepoint array (no per-shingle Python or md5 — this kernel
+    runs once per corpus document).  Dedup semantics (exact-equality
+    groups, SURVEY.md §2.7 D2) are independent of the feature hash.
+    """
+    normalized = "".join(_ALNUM_RE.findall(text.lower()))
+    if not normalized:
         return 0
-    v = [0] * 64
-    for feature, weight in counts.items():
-        h = int.from_bytes(
-            hashlib.md5(feature.encode("utf-8")).digest()[:8], "little"
-        )
-        for bit in range(64):
-            if (h >> bit) & 1:
-                v[bit] += weight
-            else:
-                v[bit] -= weight
-    result = 0
-    for bit in range(64):
-        if v[bit] > 0:
-            result |= 1 << bit
-    return result
+    codes = np.frombuffer(
+        normalized.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    if len(codes) <= _SHINGLE_WIDTH:
+        window = np.zeros(_SHINGLE_WIDTH, dtype=np.uint64)
+        window[: len(codes)] = codes
+        hashes = _finalize((window * _POLY).sum(dtype=np.uint64)[None])
+        weights = np.array([1], dtype=np.int64)
+    else:
+        n = len(codes) - _SHINGLE_WIDTH + 1
+        acc = np.zeros(n, dtype=np.uint64)
+        for k in range(_SHINGLE_WIDTH):
+            acc += codes[k : k + n] * _POLY[k]
+        hashes, weights = np.unique(_finalize(acc), return_counts=True)
+        weights = weights.astype(np.int64)
+    bits = ((hashes[:, None] >> _BIT_RANGE[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = ((2 * bits - 1) * weights[:, None]).sum(axis=0)
+    result_bits = (votes > 0).astype(np.uint64)
+    return int((result_bits << _BIT_RANGE).sum())
 
 
 def hamming_distance(x: int, y: int) -> int:

@@ -118,11 +118,24 @@ def build_index(
 
         postings = postings.map_batches(drop_done, batch_format="pyarrow")
 
-    summary = postings.groupby("shard").map_groups(
-        make_shard_writer(index_dir, stats.num_documents, stats.avg_doc_len,
-                          cfg, fingerprint),
-        batch_format="pyarrow",
-    ).to_pandas()
+    # the one wide shuffle: push-based sort shuffle scales markedly better
+    # than the default pull-based variant at higher parallelism for this
+    # many-blocks / few-groups exchange (measured 19s -> 4.7s at 32 CPUs,
+    # sf0.1 x20 replication); hash_shuffle was far worse (93s).
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    previous_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    try:
+        summary = postings.groupby("shard").map_groups(
+            make_shard_writer(index_dir, stats.num_documents,
+                              stats.avg_doc_len, cfg, fingerprint),
+            batch_format="pyarrow",
+        ).to_pandas()
+    finally:
+        ctx.shuffle_strategy = previous_strategy
 
     write_meta(index_dir, stats, cfg, fingerprint)
 

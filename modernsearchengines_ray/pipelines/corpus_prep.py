@@ -70,3 +70,31 @@ def prepare_corpus(pages_ds, doc_id_mode: str = "dense_rank",
     ds = filter_english(ds)
     ds = dedup_exact_simhash(ds, keep_key="url")
     return assign_doc_ids(ds, mode=doc_id_mode)
+
+
+def prepare_corpus_staged(pages_ds, workdir: str,
+                          doc_id_mode: str = "hash"):
+    """Staged corpus prep with persisted intermediates (the reference's
+    own lineage: crawl -> web_crawler.db -> search.db,
+    /root/reference/WebCrawler_basis.py:311-362).
+
+    Stage A streams extract once and writes ``extracted/`` parquet
+    (html dropped); the dedup winner pass and the final filtered write
+    then both read the cheap extracted parquet instead of re-running
+    extraction — a lazy single chain would re-execute the extractor
+    per consumer.  Returns the corpus parquet directory.
+    """
+    import os
+
+    import ray.data as rd
+
+    extracted_dir = os.path.join(workdir, "extracted")
+    corpus_dir = os.path.join(workdir, "corpus")
+    extract_pages(pages_ds).write_parquet(extracted_dir)
+
+    ds = rd.read_parquet(extracted_dir)
+    ds = filter_english(ds)
+    ds = dedup_exact_simhash(ds, keep_key="url")
+    ds = assign_doc_ids(ds, mode=doc_id_mode)
+    ds.write_parquet(corpus_dir)
+    return corpus_dir

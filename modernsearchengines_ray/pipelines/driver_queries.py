@@ -1,0 +1,753 @@
+"""Driver-facing query suite over the testdata tables.
+
+Each entry here is an operator/pipeline from SURVEY.md §2 (or a
+training-data-pipeline extension) expressed Ray-Data-first, with —
+where SQL can express it — an exactly-matching DuckDB oracle string.
+Column names and rounding are defined ONCE per query and mirrored in
+the SQL so the driver's order-insensitive value-hash comparison holds.
+
+Conventions:
+- float aggregate columns are rounded (6 decimals for scores/ratios,
+  4 for money sums) on BOTH sides — FP summation order differs between
+  engines by design, rank/rounded-value equality is the contract;
+- tokenization for SQL-checked queries is the SQL-parity kernel
+  (``[^a-z0-9]+`` split of lower(text) — simple_tokens);
+  the full reference pipeline (Porter, stopwords, positions) appears in
+  the rows-only checked entries since SQL cannot express it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.quality import detect_language, whitespace_token_count
+from ..functions.simple_tokens import simple_tokens
+
+K1, B = 1.5, 0.75
+BM25_QUERY_TERMS = ("data", "join", "stream")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# term statistics / postings (SQL-parity tokenizer)
+# ---------------------------------------------------------------------------
+
+def _explode_term_stats(batch: pa.Table) -> pa.Table:
+    """Per-batch partials: term -> (tf in batch, docs containing term)."""
+    tf: Counter = Counter()
+    df: Counter = Counter()
+    for text in batch["text"].to_pylist():
+        tokens = simple_tokens(text)
+        tf.update(tokens)
+        df.update(set(tokens))
+    terms = sorted(tf)
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "tf": pa.array([tf[t] for t in terms], pa.int64()),
+        "df": pa.array([df[t] for t in terms], pa.int64()),
+    })
+
+
+def q_term_stats(sf_dir: str):
+    """Total term frequency + document frequency per term (A2 family)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    partials = ds.map_batches(_explode_term_stats, batch_format="pyarrow")
+    return partials.groupby("term").aggregate(
+        Sum("tf", alias_name="tf"), Sum("df", alias_name="df")
+    )
+
+
+SQL_TERM_STATS = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT term, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
+FROM tok WHERE term <> '' GROUP BY term
+"""
+
+
+def _explode_postings(batch: pa.Table) -> pa.Table:
+    terms, ids, tfs = [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+        for term, tf in sorted(Counter(simple_tokens(text)).items()):
+            terms.append(term)
+            ids.append(doc_id)
+            tfs.append(tf)
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "tf": pa.array(tfs, pa.int64()),
+    })
+
+
+def q_postings_tf(sf_dir: str):
+    """(term, doc_id, tf) posting rows — pure map-side, no shuffle (A1)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(_explode_postings, batch_format="pyarrow")
+
+
+SQL_POSTINGS_TF = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT term, doc_id, count(*)::BIGINT AS tf
+FROM tok WHERE term <> '' GROUP BY term, doc_id
+"""
+
+
+def q_df_idf(sf_dir: str):
+    """Per-term df and BM25 idf (A2+A3), idf rounded to 6 decimals."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    stats = q_term_stats(sf_dir)
+
+    def add_idf(batch: pa.Table) -> pa.Table:
+        df = batch["df"].to_numpy().astype(np.float64)
+        idf = np.round(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+        return pa.table({
+            "term": batch["term"],
+            "df": batch["df"],
+            "idf": pa.array(idf, pa.float64()),
+        })
+
+    return stats.map_batches(add_idf, batch_format="pyarrow")
+
+
+SQL_DF_IDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), d AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+  WHERE term <> '' GROUP BY term
+), n AS (SELECT count(*)::DOUBLE AS c FROM documents)
+SELECT term, df, round(ln((n.c - df + 0.5) / (df + 0.5) + 1), 6) AS idf
+FROM d, n
+"""
+
+
+def q_bm25_topk(sf_dir: str):
+    """Standard BM25 top-20 for the fixed query (K2 family, SQL-checkable).
+
+    doc_len = token count, avgdl = mean token count over docs with >=1
+    token — the *standard* formulation (the reference's chars/tokens
+    quirk lives in the rank-identity pytest path, not here, because SQL
+    should stay readable).
+    """
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    query = set(BM25_QUERY_TERMS)
+
+    def posting_rows(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs, dls = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            tokens = simple_tokens(text)
+            counts = Counter(tokens)
+            for term in sorted(query & counts.keys()):
+                ids.append(doc_id)
+                terms.append(term)
+                tfs.append(counts[term])
+                dls.append(len(tokens))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "doc_len": pa.array(dls, pa.int64()),
+        })
+
+    def doc_lens(batch: pa.Table) -> pa.Table:
+        lens = [len(simple_tokens(t)) for t in batch["text"].to_pylist()]
+        lens = [x for x in lens if x > 0]
+        return pa.table({
+            "n": pa.array([len(lens)], pa.int64()),
+            "token_sum": pa.array([int(sum(lens))], pa.int64()),
+        })
+
+    len_partials = ds.map_batches(doc_lens, batch_format="pyarrow").to_pandas()
+    avgdl = len_partials["token_sum"].sum() / len_partials["n"].sum()
+
+    postings = ds.map_batches(posting_rows, batch_format="pyarrow")
+    postings_df = postings.to_pandas()  # |query| x matched docs — small
+    df_map = postings_df.groupby("term")["doc_id"].nunique().to_dict()
+    idf_map = {
+        t: float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        for t, df in df_map.items()
+    }
+    idf_ref = ray.put(idf_map)
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        idfs = ray.get(idf_ref)
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        dl = batch["doc_len"].to_numpy().astype(np.float64)
+        idf = np.array([idfs[t] for t in batch["term"].to_pylist()])
+        part = idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "part": pa.array(part, pa.float64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    scores = (
+        postings.map_batches(score_rows, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("part", alias_name="score"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "score": pa.array(
+                np.round(batch["score"].to_numpy(), 6), pa.float64()
+            ),
+        })
+
+    out = scores.map_batches(finish, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+SQL_BM25_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl FROM dl),
+n AS (SELECT count(*)::DOUBLE AS c FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2
+  WHERE term IN ('data', 'join', 'stream') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id,
+       round(sum(ln((n.c - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * tf.tf * {K1 + 1.0}
+                 / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))), 6)
+         AS score
+FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats, n
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: min doc_id per md5(text) group (D4 generalized)."""
+    from ..stages.dedup import dedup_exact_hash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = dedup_exact_hash(ds, keep_key="doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def q_simhash_dedup(sf_dir: str):
+    """Exact-simhash dedup (reference D1-D3 semantics) — rows-only check."""
+    from ..stages.dedup import dedup_exact_simhash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_exact_simhash(ds, keep_key="doc_id").select_columns(["doc_id"])
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup collapse — rows-only check (not SQL-expressible)."""
+    from ..stages.dedup import dedup_minhash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_minhash(ds, concurrency=2).select_columns(["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n_chars, n_words, mean_len = [], [], []
+        for t in texts:
+            words = simple_tokens(t)
+            n_chars.append(len(t))
+            n_words.append(len(words))
+            letters = sum(len(w) for w in words)
+            mean_len.append(
+                round(letters / len(words), 6) if words else 0.0
+            )
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars_calc": pa.array(n_chars, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len": pa.array(mean_len, pa.float64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars_calc,
+  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      x -> x <> ''))::BIGINT AS n_words,
+  CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       x -> x <> '')) = 0 THEN 0.0
+  ELSE round(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE
+       / len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')), 6)
+  END AS mean_word_len
+FROM documents
+"""
+
+
+def q_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens_ws": pa.array(
+                [whitespace_token_count(t) for t in batch["text"].to_pylist()],
+                pa.int64(),
+            ),
+        })
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens_ws
+FROM documents
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fp": pa.array(
+                [hashlib.md5(t.lower().encode()).hexdigest()
+                 for t in batch["text"].to_pylist()],
+                pa.string(),
+            ),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(lower(text)) AS fp FROM documents"
+
+
+def q_lang_hist(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+SQL_LANG_HIST = "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang"
+
+
+def q_language_id(sf_dir: str):
+    """Heuristic language ID per doc — rows-only (heuristic, not SQL)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lid(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(
+                [detect_language(t) for t in batch["text"].to_pylist()],
+                pa.string(),
+            ),
+        })
+
+    return ds.map_batches(lid, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# relational operators (joins / aggregates / windows / top-k)
+# ---------------------------------------------------------------------------
+
+def q_top_customers(sf_dir: str):
+    """orders ⋈ customer (broadcast small side), sum, top-10 (J2 pattern)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    customers = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
+        .to_pandas()
+    name_ref = ray.put(dict(zip(customers["c_custkey"], customers["c_name"])))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("o_custkey", as_index=False)[
+            "o_totalprice"].sum()
+        return pa.table({
+            "c_custkey": pa.array(df["o_custkey"], pa.int64()),
+            "part": pa.array(df["o_totalprice"], pa.float64()),
+        })
+
+    agg = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("part", alias_name="total"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        keys = batch["c_custkey"].to_pylist()
+        return pa.table({
+            "c_custkey": pa.array(keys, pa.int64()),
+            "c_name": pa.array([names[k] for k in keys], pa.string()),
+            "total_spent": pa.array(
+                np.round(batch["total"].to_numpy(), 4), pa.float64()
+            ),
+        })
+
+    out = agg.map_batches(finish, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["total_spent", "c_custkey"],
+                          ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+       round(sum(o.o_totalprice), 4) AS total_spent
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+ORDER BY total_spent DESC, c_custkey
+LIMIT 10
+"""
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-flavor grouped aggregate with map-side partials (A12 family)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = np.datetime64("1998-09-02")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] <= pd.Timestamp(cutoff)]
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty=("l_quantity", "sum"),
+            base=("l_extendedprice", "sum"),
+            disc=("disc_price", "sum"),
+            n=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("qty", alias_name="sum_qty"),
+                   Sum("base", alias_name="sum_base_price"),
+                   Sum("disc", alias_name="sum_disc_price"),
+                   Sum("n", alias_name="count_order"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pa.array(np.round(batch["sum_qty"].to_numpy(), 4)),
+            "sum_base_price": pa.array(
+                np.round(batch["sum_base_price"].to_numpy(), 4)),
+            "sum_disc_price": pa.array(
+                np.round(batch["sum_disc_price"].to_numpy(), 4)),
+            "count_order": pa.array(
+                batch["count_order"].to_numpy().astype(np.int64)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window per event type (streaming-shaped workload)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    hour_us = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        micros = df["ts"].astype("datetime64[us]").astype("int64")
+        df["window_us"] = (micros // hour_us) * hour_us
+        g = df.groupby(["event_type", "window_us"], as_index=False).agg(
+            n=("value", "size"), total=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "window_us"]) \
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_us"].cast(pa.timestamp("us")),
+            "n": pa.array(batch["n"].to_numpy().astype(np.int64)),
+            "total": pa.array(np.round(batch["total"].to_numpy(), 6)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n, round(sum(value), 6) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_distinct_users(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    n = len(ds.unique("user_id"))
+    return pd.DataFrame({"n_users": pd.array([n], dtype="int64")})
+
+
+SQL_DISTINCT_USERS = "SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events"
+
+
+def q_region_nations(sf_dir: str):
+    """nation ⋈ region broadcast join + count per region."""
+    import ray
+    from ray.data.aggregate import Count
+
+    regions = _read(sf_dir, "region").to_pandas()
+    region_ref = ray.put(dict(zip(regions["r_regionkey"], regions["r_name"])))
+    nations = _read(sf_dir, "nation", columns=["n_regionkey"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(region_ref)
+        return pa.table({
+            "r_name": pa.array(
+                [lookup[k] for k in batch["n_regionkey"].to_pylist()],
+                pa.string(),
+            ),
+        })
+
+    return nations.map_batches(attach, batch_format="pyarrow") \
+        .groupby("r_name").aggregate(Count(alias_name="n_nations"))
+
+
+SQL_REGION_NATIONS = """
+SELECT r_name, count(*)::BIGINT AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector.
+
+    The scale path is the same batch kernel against a broadcast query
+    MATRIX (many queries at once) with per-block partial top-k and a
+    driver heap merge; at 10^12 rows an IVF/LSH bucket prefilter bounds
+    the scan (stages/ann.py).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    table = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "=", 0)])
+    query = np.asarray(table["embedding"][0].as_py(), dtype=np.float64)
+    q_ref = ray.put(query)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def cosine(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy()
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(ids), -1)
+        sims = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+        keep = ids != 0
+        return pa.table({
+            "vec_id": pa.array(ids[keep], pa.int64()),
+            "cos_sim": pa.array(np.round(sims[keep], 6), pa.float64()),
+        })
+
+    out = ds.map_batches(cosine, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["cos_sim", "vec_id"],
+                          ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+SQL_ANN_TOPK = """
+SELECT vec_id,
+       round(list_cosine_similarity(
+           embedding::DOUBLE[],
+           (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6)
+         AS cos_sim
+FROM embeddings WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# reference-pipeline entries (not SQL-expressible -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_ref_postings(sf_dir: str):
+    """Full reference tokenize pipeline postings (Porter + stopwords +
+    positions; M9-M15/A1) over the documents table — rows-only check."""
+    from ..config import IndexConfig
+    from ..stages.tokenize import tokenize_postings
+
+    cfg = IndexConfig(prepend_url_words=False)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    runs = tokenize_postings(ds, cfg, concurrency=2)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_ids"]
+        tfs = batch["tfs"]
+        dls = batch["doc_lens"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids, tfs, dls = (c.combine_chunks() for c in (ids, tfs, dls))
+        sizes = np.diff(ids.offsets.to_numpy(zero_copy_only=False))
+        terms = np.repeat(
+            np.asarray(batch["term"].to_pylist(), dtype=object), sizes
+        )
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "doc_id": ids.values,
+            "tf": tfs.values,
+            "doc_len": dls.values,
+        })
+
+    return runs.map_batches(explode, batch_format="pyarrow")
+
+
+def q_ref_search(sf_dir: str):
+    """End-to-end: build the sharded index over documents, serve one query
+    through the shard-scorer actor pool (T6/A6-A11) — rows-only check."""
+    import shutil
+    import tempfile
+
+    from ..config import IndexConfig
+    from ..pipelines.build_index import build_index
+    from ..pipelines.query import QueryEngine
+
+    cfg = IndexConfig(prepend_url_words=False, num_shards=8)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tmp = tempfile.mkdtemp(prefix="msr_refsearch_")
+    try:
+        build_index(ds, tmp, cfg=cfg, corpus_id=sf_dir)
+        engine = QueryEngine(tmp, num_scorers=2)
+        try:
+            hits = engine.search("stream data query join")
+        finally:
+            engine.shutdown()
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array([d for d, _ in hits], dtype="int64"),
+                "score": [round(s, 6) for _, s in hits],
+            }
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERY_FUNCS = {
+    "term_stats": q_term_stats,
+    "postings_tf": q_postings_tf,
+    "df_idf": q_df_idf,
+    "bm25_topk": q_bm25_topk,
+    "dedup_exact": q_dedup_exact,
+    "simhash_dedup": q_simhash_dedup,
+    "minhash_dedup": q_minhash_dedup,
+    "quality": q_quality,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "lang_hist": q_lang_hist,
+    "language_id": q_language_id,
+    "top_customers": q_top_customers,
+    "pricing_summary": q_pricing_summary,
+    "events_window": q_events_window,
+    "distinct_users": q_distinct_users,
+    "region_nations": q_region_nations,
+    "ann_topk": q_ann_topk,
+    "ref_postings": q_ref_postings,
+    "ref_search": q_ref_search,
+}
+
+ORACLE_SQL = {
+    "term_stats": SQL_TERM_STATS,
+    "postings_tf": SQL_POSTINGS_TF,
+    "df_idf": SQL_DF_IDF,
+    "bm25_topk": SQL_BM25_TOPK,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "quality": SQL_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "fingerprint": SQL_FINGERPRINT,
+    "lang_hist": SQL_LANG_HIST,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "events_window": SQL_EVENTS_WINDOW,
+    "distinct_users": SQL_DISTINCT_USERS,
+    "region_nations": SQL_REGION_NATIONS,
+    "ann_topk": SQL_ANN_TOPK,
+    # simhash_dedup / minhash_dedup / language_id / ref_postings /
+    # ref_search: deliberately no SQL — not ANSI-SQL-expressible
+    # (hash sketches, heuristics, Porter stemming, actor serving);
+    # the driver records rows-only checks for these.
+}

@@ -38,11 +38,45 @@ def _keep_min(group: pd.DataFrame, key: str) -> pd.DataFrame:
 
 
 def dedup_exact_simhash(ds, keep_key: str = "url"):
-    """groupby(simhash) -> keep min(keep_key): replaces the O(n²) loop."""
-    ds = ds.map_batches(add_simhash, batch_format="pyarrow")
-    return ds.groupby("simhash").map_groups(
-        lambda g: g.sort_values(keep_key).head(1), batch_format="pandas"
-    )
+    """Exact-hash dedup with deterministic keep-min(keep_key) rule.
+
+    Scale-shaped: the wide exchange only moves (simhash, keep_key)
+    pairs — map-side per-batch min first, then a tiny groupby-min —
+    and the winner set is broadcast back as a semi-join filter, so the
+    full-width rows are never shuffled.  (A per-group ``map_groups``
+    would invoke Python once per group — pathological when most
+    groups have size 1.)
+
+    Scale note: the broadcast keep-set is one key per unique document;
+    at 10^12 docs the same plan swaps the broadcast for a
+    hash(simhash)-partitioned semi-join — the shuffled columns stay
+    (simhash, keep_key) only.
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    def hash_projection(batch: pa.Table, text_col: str = "text") -> pa.Table:
+        hashes = [simhash64(t) for t in batch[text_col].to_pylist()]
+        df = pa.table({
+            "simhash": pa.array(hashes, pa.uint64()),
+            keep_key: batch[keep_key],
+        }).to_pandas()
+        g = df.groupby("simhash", as_index=False)[keep_key].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    winners = ds.map_batches(hash_projection, batch_format="pyarrow") \
+        .groupby("simhash").aggregate(Min(keep_key, alias_name="keep"))
+    keep_set = set(winners.to_pandas()["keep"])
+    keep_ref = ray.put(keep_set)
+
+    def filter_winners(batch: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        mask = pa.array(
+            [v in keep for v in batch[keep_key].to_pylist()], pa.bool_()
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(filter_winners, batch_format="pyarrow")
 
 
 # -- exact dedup on content hash ------------------------------------------
@@ -53,10 +87,33 @@ def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def dedup_exact_hash(ds, keep_key: str, text_col: str = "text"):
-    ds = ds.map_batches(lambda b: add_text_hash(b, text_col), batch_format="pyarrow")
-    return ds.groupby("text_hash").map_groups(
-        lambda g: g.sort_values(keep_key).head(1), batch_format="pandas"
-    )
+    """md5(text)-keyed exact dedup, same shuffle-light plan as
+    :func:`dedup_exact_simhash` (map-side min -> tiny groupby ->
+    broadcast semi-join filter)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    hashed = ds.map_batches(lambda b: add_text_hash(b, text_col),
+                            batch_format="pyarrow")
+
+    def batch_min(batch: pa.Table) -> pa.Table:
+        df = batch.select(["text_hash", keep_key]).to_pandas()
+        g = df.groupby("text_hash", as_index=False)[keep_key].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    winners = hashed.map_batches(batch_min, batch_format="pyarrow") \
+        .groupby("text_hash").aggregate(Min(keep_key, alias_name="keep"))
+    keep_set = set(winners.to_pandas()["keep"])
+    keep_ref = ray.put(keep_set)
+
+    def filter_winners(batch: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        mask = pa.array(
+            [v in keep for v in batch[keep_key].to_pylist()], pa.bool_()
+        )
+        return batch.filter(mask)
+
+    return hashed.map_batches(filter_winners, batch_format="pyarrow")
 
 
 # -- MinHash + LSH near-dup ------------------------------------------------

@@ -27,15 +27,28 @@ class CorpusStats:
 
 
 def _partials(batch: pa.Table, cfg: IndexConfig) -> pa.Table:
+    has_url = cfg.prepend_url_words and "url" in batch.column_names
+    if not has_url:
+        # vectorized fast path: codepoint counts via Arrow kernels only
+        lengths = pa.compute.utf8_length(batch["text"])
+        mask = pa.compute.less_equal(lengths, cfg.max_doc_chars)
+        kept = pa.compute.filter(lengths, mask)
+        return pa.table({
+            "count": pa.array([batch.num_rows], pa.int64()),
+            "char_sum": pa.array(
+                [pa.compute.sum(kept).as_py() or 0], pa.int64()
+            ),
+            "indexed": pa.array([len(kept)], pa.int64()),
+        })
     texts = batch["text"].to_pylist()
-    urls = batch["url"].to_pylist() if "url" in batch.column_names else [""] * len(texts)
+    urls = batch["url"].to_pylist()
     count = len(texts)
     char_sum = 0
     indexed = 0
     for url, text in zip(urls, texts):
         if len(text) > cfg.max_doc_chars:
             continue
-        if cfg.prepend_url_words and url:
+        if url:
             char_sum += len(url_to_comma_separated_words(url)) + 1 + len(text)
         else:
             char_sum += len(text)

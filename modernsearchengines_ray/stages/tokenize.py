@@ -1,22 +1,34 @@
-"""Tokenize -> map-side posting construction (reference M14/A1, T1).
+"""Tokenize -> map-side posting-run construction (reference M14/A1, T1).
 
 A stateful actor-pool stage: ``TokenizePostings`` is a callable class —
 stem cache, compiled regexes and config live once per actor
-(``__init__``); per batch it tokenizes each document and emits one row
-per (term, doc) with the full position list, i.e. the A1 aggregation is
-done entirely MAP-SIDE (documents never span batches), so the only wide
-shuffle in index construction is the later groupby on the shard key.
+(``__init__``); per batch it tokenizes each document and emits **one
+row per (term) per batch** — a packed *posting run* — so the (term,
+doc) aggregation (reference A1) happens entirely map-side and the one
+wide shuffle moves runs, not individual postings (the combiner
+pattern: shuffle row count drops by ~batch_size/vocab-ratio, which
+under Zipf is orders of magnitude).
 
-Output schema per row:
-  term: string, doc_id: int64, doc_len: int32 (token count of the doc —
-  the BM25 length-norm numerator, indexing.py:207-208), tf: int32,
-  positions: list<int32> (char offsets, restart per 800k chunk),
-  shard: int32 (stable hash(term) % num_shards).
+Run schema:
+  term:      string
+  shard:     int32         stable hash(term) % num_shards — shuffle key
+  doc_ids:   list<int64>   docs of this batch containing the term
+  tfs:       list<int32>   positions-per-doc (= tf)
+  doc_lens:  list<int32>   token count per doc (BM25 length-norm
+                           numerator, reference indexing.py:207-208)
+  positions: binary        concat of per-doc delta+varint position
+                           blobs, batch doc order
+  pos_offsets: list<int32> byte offset of each doc's blob in positions
+
+Per-doc position blobs are pre-compressed here because the runs are
+about to cross the shuffle; the shard writer merge-sorts runs per term
+by doc_id and permutes the blob segments without decoding them (the
+on-disk grouped-delta format is exactly a concatenation of per-doc
+delta streams).
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..config import IndexConfig
@@ -24,14 +36,47 @@ from ..functions.hashing import term_shard
 from ..functions.textnorm import url_to_comma_separated_words
 from ..functions.tokenizer import tokenize
 
-POSTING_SCHEMA = pa.schema([
+RUN_SCHEMA = pa.schema([
     ("term", pa.string()),
-    ("doc_id", pa.int64()),
-    ("doc_len", pa.int32()),
-    ("tf", pa.int32()),
-    ("positions", pa.list_(pa.int32())),
     ("shard", pa.int32()),
+    ("doc_ids", pa.list_(pa.int64())),
+    ("tfs", pa.list_(pa.int32())),
+    ("doc_lens", pa.list_(pa.int32())),
+    ("positions", pa.binary()),
+    ("pos_offsets", pa.list_(pa.int32())),
 ])
+
+
+def _encode_positions(positions: list[int], out: bytearray) -> None:
+    """Append the delta+varint stream of a (short, ascending) list.
+
+    Pure-Python on purpose: per-posting lists are tiny (tf is 1-3 for
+    most terms) and numpy per-call setup costs ~10x this loop; the numpy
+    codecs serve the long per-term streams at decode time.
+    """
+    prev = 0
+    for value in positions:
+        delta = value - prev
+        prev = value
+        while True:
+            byte = delta & 0x7F
+            delta >>= 7
+            if delta:
+                out.append(byte | 0x80)
+            else:
+                out.append(byte)
+                break
+
+
+class _Run:
+    __slots__ = ("doc_ids", "tfs", "doc_lens", "blob", "offsets")
+
+    def __init__(self) -> None:
+        self.doc_ids: list[int] = []
+        self.tfs: list[int] = []
+        self.doc_lens: list[int] = []
+        self.blob = bytearray()
+        self.offsets: list[int] = []
 
 
 class TokenizePostings:
@@ -56,13 +101,7 @@ class TokenizePostings:
             else [""] * len(texts)
         )
 
-        terms_out: list[str] = []
-        docs_out: list[int] = []
-        doclen_out: list[int] = []
-        tf_out: list[int] = []
-        pos_out: list[list[int]] = []
-        shard_out: list[int] = []
-
+        runs: dict[str, _Run] = {}
         for doc_id, url, text in zip(doc_ids, urls, texts):
             if len(text) > cfg.max_doc_chars:
                 continue  # skipped docs still count in stats (stats stage)
@@ -74,36 +113,53 @@ class TokenizePostings:
             for term, position in tokens:
                 per_term.setdefault(term, []).append(position)
             for term, positions in per_term.items():
-                terms_out.append(term)
-                docs_out.append(doc_id)
-                doclen_out.append(doc_len)
-                tf_out.append(len(positions))
-                pos_out.append(positions)
-                shard_out.append(self._shard(term))
+                run = runs.get(term)
+                if run is None:
+                    run = runs[term] = _Run()
+                run.doc_ids.append(doc_id)
+                run.tfs.append(len(positions))
+                run.doc_lens.append(doc_len)
+                run.offsets.append(len(run.blob))
+                _encode_positions(positions, run.blob)
 
+        terms = sorted(runs)
         return pa.table(
             {
-                "term": pa.array(terms_out, pa.string()),
-                "doc_id": pa.array(docs_out, pa.int64()),
-                "doc_len": pa.array(doclen_out, pa.int32()),
-                "tf": pa.array(tf_out, pa.int32()),
-                "positions": pa.array(pos_out, pa.list_(pa.int32())),
-                "shard": pa.array(shard_out, pa.int32()),
+                "term": pa.array(terms, pa.string()),
+                "shard": pa.array(
+                    [self._shard(t) for t in terms], pa.int32()
+                ),
+                "doc_ids": pa.array(
+                    [runs[t].doc_ids for t in terms], pa.list_(pa.int64())
+                ),
+                "tfs": pa.array(
+                    [runs[t].tfs for t in terms], pa.list_(pa.int32())
+                ),
+                "doc_lens": pa.array(
+                    [runs[t].doc_lens for t in terms], pa.list_(pa.int32())
+                ),
+                "positions": pa.array(
+                    [bytes(runs[t].blob) for t in terms], pa.binary()
+                ),
+                "pos_offsets": pa.array(
+                    [runs[t].offsets for t in terms], pa.list_(pa.int32())
+                ),
             },
-            schema=POSTING_SCHEMA,
+            schema=RUN_SCHEMA,
         )
 
 
-def tokenize_postings(ds, cfg: IndexConfig, concurrency=None, batch_size: int = 256,
-                      num_cpus: float = 1.0):
-    """corpus(doc_id, text[, url]) -> posting rows (the heavy CPU stage)."""
+def tokenize_postings(ds, cfg: IndexConfig, concurrency=None,
+                      batch_size: int = 256, num_cpus: float = 1.0):
+    """corpus(doc_id, text[, url]) -> posting runs (the heavy CPU stage)."""
     if concurrency is None:
         import ray
 
-        # actor pool sized to the session CPUs, leaving headroom for the
-        # read and shuffle stages
+        # autoscaling actor pool: small jobs pay for a few actor spawns,
+        # big jobs scale to the session CPUs minus headroom for the read
+        # and shuffle stages
         total = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(1, total - 2)
+        concurrency = (max(1, total // 4), max(1, total - 2))
     return ds.map_batches(
         TokenizePostings,
         batch_format="pyarrow",

@@ -81,6 +81,7 @@ def atomic_write_parquet(table, path: str) -> int:
     """Write parquet via tmp + rename; returns bytes written."""
     import pyarrow.parquet as pq
 
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, path)

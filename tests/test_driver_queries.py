@@ -1,0 +1,87 @@
+"""Local mirror of the driver's correctness gate: every queries() entry
+with an oracle_sql() runs side-by-side with DuckDB at sf0.01 and must
+match on row count, schema (column names) and values."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as entry_mod
+
+    return entry_mod
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    return result.to_pandas()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_entry_smoke(contract):
+    df = contract.entry()
+    assert len(df) >= 0
+    assert list(df.columns) == ["term", "df", "idf"]
+    assert (df["df"] > 5).all()
+
+
+def test_every_query_has_callable(contract):
+    qs = contract.queries()
+    assert len(qs) >= 15
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_oracle_keys_subset_of_queries(contract):
+    qs, oracle = contract.queries(), contract.oracle_sql()
+    assert set(oracle).issubset(set(qs))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "term_stats", "postings_tf", "df_idf", "bm25_topk", "dedup_exact",
+        "quality", "token_count", "fingerprint", "lang_hist",
+        "top_customers", "pricing_summary", "events_window",
+        "distinct_users", "region_nations", "ann_topk",
+    ],
+)
+def test_query_matches_duckdb(contract, ddb, name):
+    res = _to_pandas(contract.queries()[name](SF_DIR))
+    want = ddb.execute(contract.oracle_sql()[name]).fetchdf()
+    a, b = _norm(res), _norm(want)
+    assert list(a.columns) == list(b.columns), f"{name}: schema"
+    assert len(a) == len(b), f"{name}: rows"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "name", ["simhash_dedup", "minhash_dedup", "language_id",
+             "ref_postings", "ref_search"],
+)
+def test_rows_only_queries_run(contract, name):
+    res = _to_pandas(contract.queries()[name](SF_DIR))
+    assert len(res) > 0

@@ -77,8 +77,11 @@ class TestCorpusPrep:
         assert corpus_df["lang"].str.startswith("en").all()
 
     def test_dedup_exact_simhash_keeps_min_url(self, prepared):
+        from modernsearchengines_ray.functions.simhash import simhash64
+
         corpus_df = prepared[0]
-        assert corpus_df["simhash"].is_unique
+        hashes = corpus_df["text"].map(simhash64)
+        assert hashes.is_unique
         # doc ids are the dense rank of sorted urls
         sorted_urls = sorted(corpus_df["url"])
         expect = {u: i for i, u in enumerate(sorted_urls)}
