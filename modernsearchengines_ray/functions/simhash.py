@@ -59,17 +59,20 @@ def simhash64(text: str) -> int:
         window = np.zeros(_SHINGLE_WIDTH, dtype=np.uint64)
         window[: len(codes)] = codes
         hashes = _finalize((window * _POLY).sum(dtype=np.uint64)[None])
-        weights = np.array([1], dtype=np.int64)
     else:
         n = len(codes) - _SHINGLE_WIDTH + 1
         acc = np.zeros(n, dtype=np.uint64)
         for k in range(_SHINGLE_WIDTH):
             acc += codes[k : k + n] * _POLY[k]
-        hashes, weights = np.unique(_finalize(acc), return_counts=True)
-        weights = weights.astype(np.int64)
-    bits = ((hashes[:, None] >> _BIT_RANGE[None, :]) & np.uint64(1)).astype(np.int64)
-    votes = ((2 * bits - 1) * weights[:, None]).sum(axis=0)
-    result_bits = (votes > 0).astype(np.uint64)
+        hashes = _finalize(acc)
+    # per-bit vote Σ(2b-1): voting every occurrence equals weighting
+    # uniques by count, so no np.unique; unpackbits column-sums keep
+    # the working set at 1 byte/bit instead of an n x 64 int64 matrix
+    bits = np.unpackbits(
+        hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    ones = bits.sum(axis=0, dtype=np.int64)
+    result_bits = (2 * ones > len(hashes)).astype(np.uint64)
     return int((result_bits << _BIT_RANGE).sum())
 
 

@@ -1,14 +1,17 @@
 """Index build pipeline: corpus Dataset -> sharded on-disk inverted index.
 
-Stages (all streaming until the shard write):
+Two map-only Ray Data stages joined by a storage shuffle (stages/spill.py):
 
   corpus(doc_id, text[, url])
-    -> corpus stats (map-side partials, no shuffle)          [stats.py]
-    -> TokenizePostings actor pool (map-side A1 aggregation) [tokenize.py]
-    -> resume filter (drop postings of completed shards)     [manifest.py]
-    -> groupby("shard").map_groups(shard writer)             [postings.py]
+    -> spill: tokenize + stat partials + shard-partitioned run files
+       (one streaming map_batches pass, no object-store all-to-all)
+    -> merge: from_items(todo shards).map_batches — each task reads its
+       shard's row groups from the run files, builds the shard
+       (postings.build_shard_table) and writes it + its manifest entry
     -> meta.json + manifest summary
 
+Resume is two-level: a completed spill is reused via its manifest; a
+completed shard (state/manifest.py fingerprint match) is never rebuilt.
 The returned BuildResult carries per-shard metrics from the manifest.
 """
 
@@ -17,15 +20,24 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
+import time
 from dataclasses import dataclass
 
 import pyarrow as pa
 
 from ..config import DEFAULT_INDEX_CONFIG, IndexConfig
-from ..stages.postings import make_shard_writer
-from ..stages.stats import CorpusStats, compute_corpus_stats
-from ..stages.tokenize import tokenize_postings
-from ..state.manifest import completed_shards, read_manifests
+from ..stages.postings import build_shard_table
+from ..stages.spill import spill_runs, spilled_files, read_shard_runs
+from ..stages.stats import CorpusStats
+from ..state.manifest import (
+    ShardManifest,
+    atomic_write_parquet,
+    completed_shards,
+    read_manifests,
+    shard_path,
+    write_shard_manifest,
+)
 
 META_FILE = "meta.json"
 
@@ -86,70 +98,151 @@ def read_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+def _spill_key(cfg: IndexConfig, corpus_id: str) -> str:
+    """Identity of (corpus, tokenizer-affecting config) for spill reuse."""
+    payload = json.dumps(
+        {
+            "corpus_id": corpus_id,
+            "shards": cfg.num_shards,
+            "chunk": cfg.chunk_chars,
+            "cap": cfg.max_doc_chars,
+            "url_words": cfg.prepend_url_words,
+        },
+        sort_keys=True,
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def _merge_task(
+    batch: pa.Table,
+    runs_dir: str,
+    files: list[str],
+    index_dir: str,
+    num_documents: int,
+    avg_doc_len: float,
+    cfg: IndexConfig,
+    input_fingerprint: str,
+) -> pa.Table:
+    """Build + write every shard id in the batch (normally one)."""
+    out = {"shard": [], "terms": [], "postings": [], "bytes": [],
+           "wall_ms": []}
+    for shard_id in batch["shard"].to_pylist():
+        t0 = time.perf_counter()
+        group = read_shard_runs(runs_dir, files, shard_id)
+        table, n_postings = build_shard_table(
+            group, num_documents, avg_doc_len, cfg
+        )
+        nbytes = atomic_write_parquet(table, shard_path(index_dir, shard_id))
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        write_shard_manifest(
+            index_dir,
+            ShardManifest(
+                partition_id=shard_id,
+                input_fingerprint=input_fingerprint,
+                row_count=table.num_rows,
+                postings_count=n_postings,
+                bytes=nbytes,
+                wall_ms=wall_ms,
+            ),
+        )
+        out["shard"].append(shard_id)
+        out["terms"].append(table.num_rows)
+        out["postings"].append(n_postings)
+        out["bytes"].append(nbytes)
+        out["wall_ms"].append(wall_ms)
+    return pa.table({
+        "shard": pa.array(out["shard"], pa.int32()),
+        "terms": pa.array(out["terms"], pa.int64()),
+        "postings": pa.array(out["postings"], pa.int64()),
+        "bytes": pa.array(out["bytes"], pa.int64()),
+        "wall_ms": pa.array(out["wall_ms"], pa.float64()),
+    })
+
+
 def build_index(
     corpus_ds,
     index_dir: str,
     cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
     corpus_id: str = "",
     tokenizer_concurrency=None,
-    tokenizer_batch_size: int = 256,
+    tokenizer_batch_size: int | None = None,
+    keep_runs: bool = False,
 ) -> BuildResult:
     """Build (or resume) the sharded index from a corpus Dataset."""
+    import ray.data as rd
+
     os.makedirs(index_dir, exist_ok=True)
+    runs_dir = os.path.join(index_dir, "_runs")
 
-    stats = compute_corpus_stats(corpus_ds, cfg)
-    fingerprint = _fingerprint(stats, cfg, corpus_id)
-    done = completed_shards(index_dir, fingerprint)
+    # fast path: this exact (corpus, cfg) is already fully built
+    meta_path = os.path.join(index_dir, META_FILE)
+    if os.path.exists(meta_path):
+        meta = read_meta(index_dir)
+        prior = CorpusStats(
+            num_documents=meta["num_documents"],
+            avg_doc_len=meta["avg_doc_len"],
+            num_indexed=meta["num_indexed"],
+        )
+        fp = _fingerprint(prior, cfg, corpus_id)
+        if fp == meta.get("fingerprint"):
+            done = completed_shards(index_dir, fp)
+            if len(done) == cfg.num_shards:
+                manifests = read_manifests(index_dir)
+                return BuildResult(
+                    index_dir=index_dir,
+                    stats=prior,
+                    fingerprint=fp,
+                    shards_built=0,
+                    shards_skipped=len(done),
+                    terms=sum(m.row_count for m in manifests.values()),
+                    postings=sum(m.postings_count
+                                 for m in manifests.values()),
+                    bytes=sum(m.bytes for m in manifests.values()),
+                )
 
-    postings = tokenize_postings(
-        corpus_ds, cfg,
-        concurrency=tokenizer_concurrency,
+    # stage 1: spill (tokenize + stats in one pass; reused on resume)
+    stats = spill_runs(
+        corpus_ds, runs_dir, cfg,
+        spill_key=_spill_key(cfg, corpus_id),
         batch_size=tokenizer_batch_size,
     )
+    fingerprint = _fingerprint(stats, cfg, corpus_id)
+    done = completed_shards(index_dir, fingerprint)
+    todo = [k for k in range(cfg.num_shards) if k not in done]
 
-    if done:
-        done_list = sorted(done)
-
-        def drop_done(batch: pa.Table) -> pa.Table:
-            mask = pa.compute.is_in(
-                batch["shard"], value_set=pa.array(done_list, pa.int32())
-            )
-            return batch.filter(pa.compute.invert(mask))
-
-        postings = postings.map_batches(drop_done, batch_format="pyarrow")
-
-    # the one wide shuffle: push-based sort shuffle scales markedly better
-    # than the default pull-based variant at higher parallelism for this
-    # many-blocks / few-groups exchange (measured 19s -> 4.7s at 32 CPUs,
-    # sf0.1 x20 replication); hash_shuffle was far worse (93s).
-    from ray.data import DataContext
-    from ray.data.context import ShuffleStrategy
-
-    ctx = DataContext.get_current()
-    previous_strategy = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-    try:
-        summary = postings.groupby("shard").map_groups(
-            make_shard_writer(index_dir, stats.num_documents,
-                              stats.avg_doc_len, cfg, fingerprint),
+    # stage 2: merge — one independent task per missing shard
+    if todo:
+        files = spilled_files(runs_dir)
+        summary = rd.from_items(
+            [{"shard": k} for k in todo],
+            override_num_blocks=len(todo),
+        ).map_batches(
+            _merge_task,
             batch_format="pyarrow",
+            fn_kwargs={
+                "runs_dir": runs_dir,
+                "files": files,
+                "index_dir": index_dir,
+                "num_documents": stats.num_documents,
+                "avg_doc_len": stats.avg_doc_len,
+                "cfg": cfg,
+                "input_fingerprint": fingerprint,
+            },
         ).to_pandas()
-    finally:
-        ctx.shuffle_strategy = previous_strategy
+        assert len(summary) == len(todo)
 
     write_meta(index_dir, stats, cfg, fingerprint)
+    if not keep_runs:
+        shutil.rmtree(runs_dir, ignore_errors=True)
 
     manifests = read_manifests(index_dir)
-    terms = sum(m.row_count for m in manifests.values())
-    n_postings = sum(m.postings_count for m in manifests.values())
-    nbytes = sum(m.bytes for m in manifests.values())
     return BuildResult(
         index_dir=index_dir,
         stats=stats,
         fingerprint=fingerprint,
-        shards_built=len(summary),
+        shards_built=len(todo),
         shards_skipped=len(done),
-        terms=terms,
-        postings=n_postings,
-        bytes=nbytes,
+        terms=sum(m.row_count for m in manifests.values()),
+        postings=sum(m.postings_count for m in manifests.values()),
+        bytes=sum(m.bytes for m in manifests.values()),
     )

@@ -72,29 +72,81 @@ def prepare_corpus(pages_ds, doc_id_mode: str = "dense_rank",
     return assign_doc_ids(ds, mode=doc_id_mode)
 
 
-def prepare_corpus_staged(pages_ds, workdir: str,
-                          doc_id_mode: str = "hash"):
-    """Staged corpus prep with persisted intermediates (the reference's
-    own lineage: crawl -> web_crawler.db -> search.db,
-    /root/reference/WebCrawler_basis.py:311-362).
+def prepare_corpus_streaming(pages_ds, workdir: str,
+                             doc_id_mode: str = "hash",
+                             num_blocks: int | None = None):
+    """Two-pass corpus prep; returns the LAZY corpus Dataset.
 
-    Stage A streams extract once and writes ``extracted/`` parquet
-    (html dropped); the dedup winner pass and the final filtered write
-    then both read the cheap extracted parquet instead of re-running
-    extraction — a lazy single chain would re-execute the extractor
-    per consumer.  Returns the corpus parquet directory.
+    Pass 1 streams extract + simhash once and writes ``extracted/``
+    parquet (html dropped, fingerprint folded in — a lazy single chain
+    would re-execute the extractor per downstream consumer).  The dedup
+    winner election then reads only the (simhash, url, lang) columns —
+    column-pruned, ~50x less IO than re-reading text.  The returned
+    Dataset (read extracted -> english filter -> winner semi-join ->
+    doc ids) is a streaming chain the index build consumes directly;
+    nothing re-tokenizes or rewrites the full text a second time.
+
+    This is the reference's establish_workingDB lineage
+    (/root/reference/WebCrawler_basis.py:311-362: crawl ->
+    web_crawler.db -> language filter -> simhash dedup -> search.db)
+    re-expressed so the cleaned corpus is a view, not a copy.
     """
     import os
 
+    import ray
+
     import ray.data as rd
 
-    extracted_dir = os.path.join(workdir, "extracted")
-    corpus_dir = os.path.join(workdir, "corpus")
-    extract_pages(pages_ds).write_parquet(extracted_dir)
+    from ..stages.extract import extract_with_simhash, filter_url_extensions
 
-    ds = rd.read_parquet(extracted_dir)
-    ds = filter_english(ds)
-    ds = dedup_exact_simhash(ds, keep_key="url")
-    ds = assign_doc_ids(ds, mode=doc_id_mode)
-    ds.write_parquet(corpus_dir)
+    extracted_dir = os.path.join(workdir, "extracted")
+    ds = pages_ds.map_batches(filter_url_extensions, batch_format="pyarrow")
+    ds = ds.map_batches(extract_with_simhash, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds.write_parquet(extracted_dir)
+
+    # winner election over pruned columns: map-side min per batch,
+    # driver reduce (scale path: hash(simhash)-partitioned groupby).
+    # Arrow group_by throughout — pandas group-min over object-dtype
+    # strings measured 10s on 333k rows where Arrow takes 0.1s.
+    def batch_min(batch: pa.Table) -> pa.Table:
+        return batch.select(["simhash", "url"]).group_by("simhash") \
+            .aggregate([("url", "min")])
+
+    narrow = rd.read_parquet(extracted_dir,
+                             columns=["simhash", "url", "lang"])
+    partial_refs = filter_english(narrow).map_batches(
+        batch_min, batch_format="pyarrow").to_arrow_refs()
+    partials = pa.concat_tables(ray.get(partial_refs))
+    winners = partials.group_by("simhash").aggregate([("url_min", "min")])
+    keep_set = set(winners["url_min_min"].to_pylist())
+    keep_ref = ray.put(keep_set)
+
+    def filter_winners(batch: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        mask = pa.array(
+            [u in keep for u in batch["url"].to_pylist()], pa.bool_()
+        )
+        return batch.filter(mask)
+
+    read_kwargs = {}
+    if num_blocks is not None:
+        read_kwargs["override_num_blocks"] = num_blocks
+    corpus = rd.read_parquet(extracted_dir, **read_kwargs)
+    corpus = filter_english(corpus)
+    corpus = corpus.map_batches(filter_winners, batch_format="pyarrow")
+    return assign_doc_ids(corpus, mode=doc_id_mode)
+
+
+def prepare_corpus_staged(pages_ds, workdir: str,
+                          doc_id_mode: str = "hash"):
+    """:func:`prepare_corpus_streaming` + persisted ``corpus/`` parquet
+    (the reference's search.db materialization).  Returns the corpus
+    directory."""
+    import os
+
+    corpus_dir = os.path.join(workdir, "corpus")
+    corpus = prepare_corpus_streaming(pages_ds, workdir,
+                                      doc_id_mode=doc_id_mode)
+    corpus.write_parquet(corpus_dir)
     return corpus_dir

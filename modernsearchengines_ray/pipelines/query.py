@@ -34,7 +34,7 @@ import ray
 
 from ..config import DEFAULT_RANK_CONFIG, RankConfig
 from ..functions.proximity import calculate_proximity_score
-from ..functions.varint import decode_deltas_np, decode_grouped_deltas_np, decode_varints_np
+from ..functions.varint import decode_grouped_deltas_np, decode_varints_np
 from ..oracle.ref_oracle import oracle_query_processing
 from ..state.manifest import read_manifests, shard_path
 from .build_index import read_meta
@@ -52,8 +52,8 @@ class ShardScorer:
         for shard_id in shard_ids:
             table = pq.read_table(shard_path(index_dir, shard_id))
             cols = {name: table[name].to_pylist() for name in
-                    ("term", "df", "idf", "doc_ids", "counts", "bm25",
-                     "positions", "max_bm25", "min_bm25")}
+                    ("term", "df", "idf", "seg_lens", "doc_ids", "counts",
+                     "bm25", "positions", "max_bm25", "min_bm25")}
             for i, term in enumerate(cols["term"]):
                 self._rows[term] = {k: cols[k][i] for k in cols if k != "term"}
 
@@ -65,7 +65,9 @@ class ShardScorer:
         if row is None:
             return None
         df = row["df"]
-        doc_ids = decode_deltas_np(row["doc_ids"])
+        doc_ids = decode_grouped_deltas_np(
+            row["doc_ids"], np.asarray(row["seg_lens"], dtype=np.int64)
+        )
         counts = decode_varints_np(row["counts"]).astype(np.int64)
         bm25 = np.frombuffer(row["bm25"], dtype="<f8")
         decoded = {

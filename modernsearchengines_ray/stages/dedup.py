@@ -47,26 +47,29 @@ def dedup_exact_simhash(ds, keep_key: str = "url"):
     would invoke Python once per group — pathological when most
     groups have size 1.)
 
-    Scale note: the broadcast keep-set is one key per unique document;
-    at 10^12 docs the same plan swaps the broadcast for a
-    hash(simhash)-partitioned semi-join — the shuffled columns stay
-    (simhash, keep_key) only.
+    Scale note: the driver reduce + broadcast keep-set hold one row per
+    unique document — right up to the point the winner map outgrows
+    driver memory; at 10^12 docs the same plan swaps both for a
+    hash(simhash)-partitioned ``groupby`` semi-join — the shuffled
+    columns stay (simhash, keep_key) only.  (A Dataset ``groupby`` here
+    costs a flat ~6s all-to-all for a reduction the driver finishes in
+    milliseconds on the map-side partials.)
     """
     import ray
-    from ray.data.aggregate import Min
 
     def hash_projection(batch: pa.Table, text_col: str = "text") -> pa.Table:
         hashes = [simhash64(t) for t in batch[text_col].to_pylist()]
-        df = pa.table({
+        return pa.table({
             "simhash": pa.array(hashes, pa.uint64()),
             keep_key: batch[keep_key],
-        }).to_pandas()
-        g = df.groupby("simhash", as_index=False)[keep_key].min()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        }).group_by("simhash").aggregate([(keep_key, "min")])
 
-    winners = ds.map_batches(hash_projection, batch_format="pyarrow") \
-        .groupby("simhash").aggregate(Min(keep_key, alias_name="keep"))
-    keep_set = set(winners.to_pandas()["keep"])
+    refs = ds.map_batches(hash_projection, batch_format="pyarrow") \
+        .to_arrow_refs()
+    partials = pa.concat_tables(ray.get(refs))
+    winners = partials.group_by("simhash") \
+        .aggregate([(f"{keep_key}_min", "min")])
+    keep_set = set(winners[f"{keep_key}_min_min"].to_pylist())
     keep_ref = ray.put(keep_set)
 
     def filter_winners(batch: pa.Table) -> pa.Table:
@@ -87,23 +90,24 @@ def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def dedup_exact_hash(ds, keep_key: str, text_col: str = "text"):
-    """md5(text)-keyed exact dedup, same shuffle-light plan as
-    :func:`dedup_exact_simhash` (map-side min -> tiny groupby ->
+    """md5(text)-keyed exact dedup, same shuffle-free plan as
+    :func:`dedup_exact_simhash` (map-side min -> driver reduce ->
     broadcast semi-join filter)."""
     import ray
-    from ray.data.aggregate import Min
 
     hashed = ds.map_batches(lambda b: add_text_hash(b, text_col),
                             batch_format="pyarrow")
 
     def batch_min(batch: pa.Table) -> pa.Table:
-        df = batch.select(["text_hash", keep_key]).to_pandas()
-        g = df.groupby("text_hash", as_index=False)[keep_key].min()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return batch.select(["text_hash", keep_key]) \
+            .group_by("text_hash").aggregate([(keep_key, "min")])
 
-    winners = hashed.map_batches(batch_min, batch_format="pyarrow") \
-        .groupby("text_hash").aggregate(Min(keep_key, alias_name="keep"))
-    keep_set = set(winners.to_pandas()["keep"])
+    refs = hashed.map_batches(batch_min, batch_format="pyarrow") \
+        .to_arrow_refs()
+    partials = pa.concat_tables(ray.get(refs))
+    winners = partials.group_by("text_hash") \
+        .aggregate([(f"{keep_key}_min", "min")])
+    keep_set = set(winners[f"{keep_key}_min_min"].to_pylist())
     keep_ref = ray.put(keep_set)
 
     def filter_winners(batch: pa.Table) -> pa.Table:

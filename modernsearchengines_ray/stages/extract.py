@@ -45,6 +45,21 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     return pa.table(out)
 
 
+def extract_with_simhash(batch: pa.Table) -> pa.Table:
+    """Extract + 64-bit simhash of the extracted text, one pass.
+
+    Folding the dedup fingerprint into the extraction pass means the
+    dedup winner election later reads only the (simhash, url, lang)
+    columns of the extracted parquet — column-pruned and ~50x smaller
+    than re-reading text (SURVEY.md §2.7 D1 + the prune-at-the-read
+    rule)."""
+    from ..functions.simhash import simhash64
+
+    out = extract_batch(batch)
+    hashes = [simhash64(t) for t in out["text"].to_pylist()]
+    return out.append_column("simhash", pa.array(hashes, pa.uint64()))
+
+
 def filter_url_extensions(batch: pa.Table) -> pa.Table:
     """Drop image/pdf urls (reference M6) — vectorized-enough suffix check."""
     urls = batch["url"].to_pylist()

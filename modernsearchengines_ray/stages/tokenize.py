@@ -12,19 +12,20 @@ under Zipf is orders of magnitude).
 Run schema:
   term:      string
   shard:     int32         stable hash(term) % num_shards — shuffle key
-  doc_ids:   list<int64>   docs of this batch containing the term
+  doc_ids:   list<int64>   docs of this batch containing the term,
+                           ASCENDING (the batch is sorted by doc_id)
   tfs:       list<int32>   positions-per-doc (= tf)
   doc_lens:  list<int32>   token count per doc (BM25 length-norm
                            numerator, reference indexing.py:207-208)
   positions: binary        concat of per-doc delta+varint position
-                           blobs, batch doc order
-  pos_offsets: list<int32> byte offset of each doc's blob in positions
+                           blobs, run doc order
 
 Per-doc position blobs are pre-compressed here because the runs are
-about to cross the shuffle; the shard writer merge-sorts runs per term
-by doc_id and permutes the blob segments without decoding them (the
-on-disk grouped-delta format is exactly a concatenation of per-doc
-delta streams).
+about to cross the shuffle; each run row becomes one sorted SEGMENT of
+its term's posting list in the shard (postings.py stores segments
+concatenated, never re-sorted — a global doc-order merge would be a
+bandwidth-bound byte gather for hot terms, and per-segment blocks give
+the same WAND upper bounds).
 """
 
 from __future__ import annotations
@@ -43,7 +44,6 @@ RUN_SCHEMA = pa.schema([
     ("tfs", pa.list_(pa.int32())),
     ("doc_lens", pa.list_(pa.int32())),
     ("positions", pa.binary()),
-    ("pos_offsets", pa.list_(pa.int32())),
 ])
 
 
@@ -69,103 +69,130 @@ def _encode_positions(positions: list[int], out: bytearray) -> None:
 
 
 class _Run:
-    __slots__ = ("doc_ids", "tfs", "doc_lens", "blob", "offsets")
+    __slots__ = ("doc_ids", "tfs", "doc_lens", "blob")
 
     def __init__(self) -> None:
         self.doc_ids: list[int] = []
         self.tfs: list[int] = []
         self.doc_lens: list[int] = []
         self.blob = bytearray()
-        self.offsets: list[int] = []
+
+
+#: per-worker-process shard cache shared across task invocations
+_SHARD_CACHE: dict[tuple[int, str], int] = {}
+
+
+def _shard_of(term: str, num_shards: int) -> int:
+    key = (num_shards, term)
+    s = _SHARD_CACHE.get(key)
+    if s is None:
+        s = term_shard(term, num_shards)
+        _SHARD_CACHE[key] = s
+    return s
+
+
+def build_runs(batch: pa.Table, cfg: IndexConfig) -> tuple[pa.Table, tuple[int, int, int]]:
+    """One pass over a corpus batch: posting runs + corpus-stat partials.
+
+    Returns ``(runs_table, (count, char_sum, indexed))`` — the stat
+    partial replicates reference indexing.py:183,193-200: every row
+    counts in ``count``; only docs at/under the char cap contribute
+    ``len(url_words + " " + text)`` chars and count as indexed.
+    """
+    # ascending doc order => every run is a sorted posting-list segment
+    batch = batch.sort_by([("doc_id", "ascending")])
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    urls = (
+        batch["url"].to_pylist()
+        if "url" in batch.column_names
+        else [""] * len(texts)
+    )
+
+    char_sum = 0
+    indexed = 0
+    runs: dict[str, _Run] = {}
+    for doc_id, url, text in zip(doc_ids, urls, texts):
+        if len(text) > cfg.max_doc_chars:
+            continue  # skipped docs still count in num_documents
+        if cfg.prepend_url_words and url:
+            text = url_to_comma_separated_words(url) + " " + text
+        char_sum += len(text)
+        indexed += 1
+        tokens = tokenize(text, chunk_chars=cfg.chunk_chars)
+        doc_len = len(tokens)
+        per_term: dict[str, list[int]] = {}
+        for term, position in tokens:
+            per_term.setdefault(term, []).append(position)
+        for term, positions in per_term.items():
+            run = runs.get(term)
+            if run is None:
+                run = runs[term] = _Run()
+            run.doc_ids.append(doc_id)
+            run.tfs.append(len(positions))
+            run.doc_lens.append(doc_len)
+            _encode_positions(positions, run.blob)
+
+    terms = sorted(runs)
+    table = pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "shard": pa.array(
+                [_shard_of(t, cfg.num_shards) for t in terms], pa.int32()
+            ),
+            "doc_ids": pa.array(
+                [runs[t].doc_ids for t in terms], pa.list_(pa.int64())
+            ),
+            "tfs": pa.array(
+                [runs[t].tfs for t in terms], pa.list_(pa.int32())
+            ),
+            "doc_lens": pa.array(
+                [runs[t].doc_lens for t in terms], pa.list_(pa.int32())
+            ),
+            "positions": pa.array(
+                [bytes(runs[t].blob) for t in terms], pa.binary()
+            ),
+        },
+        schema=RUN_SCHEMA,
+    )
+    return table, (len(doc_ids), char_sum, indexed)
 
 
 class TokenizePostings:
+    """Callable batch fn (kept for the runs-Dataset surface; the index
+    build itself uses the spill stage, stages/spill.py)."""
+
     def __init__(self, cfg: IndexConfig):
         self.cfg = cfg
-        self._shard_cache: dict[str, int] = {}
-
-    def _shard(self, term: str) -> int:
-        s = self._shard_cache.get(term)
-        if s is None:
-            s = term_shard(term, self.cfg.num_shards)
-            self._shard_cache[term] = s
-        return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        doc_ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        urls = (
-            batch["url"].to_pylist()
-            if "url" in batch.column_names
-            else [""] * len(texts)
-        )
+        table, _ = build_runs(batch, self.cfg)
+        return table
 
-        runs: dict[str, _Run] = {}
-        for doc_id, url, text in zip(doc_ids, urls, texts):
-            if len(text) > cfg.max_doc_chars:
-                continue  # skipped docs still count in stats (stats stage)
-            if cfg.prepend_url_words and url:
-                text = url_to_comma_separated_words(url) + " " + text
-            tokens = tokenize(text, chunk_chars=cfg.chunk_chars)
-            doc_len = len(tokens)
-            per_term: dict[str, list[int]] = {}
-            for term, position in tokens:
-                per_term.setdefault(term, []).append(position)
-            for term, positions in per_term.items():
-                run = runs.get(term)
-                if run is None:
-                    run = runs[term] = _Run()
-                run.doc_ids.append(doc_id)
-                run.tfs.append(len(positions))
-                run.doc_lens.append(doc_len)
-                run.offsets.append(len(run.blob))
-                _encode_positions(positions, run.blob)
 
-        terms = sorted(runs)
-        return pa.table(
-            {
-                "term": pa.array(terms, pa.string()),
-                "shard": pa.array(
-                    [self._shard(t) for t in terms], pa.int32()
-                ),
-                "doc_ids": pa.array(
-                    [runs[t].doc_ids for t in terms], pa.list_(pa.int64())
-                ),
-                "tfs": pa.array(
-                    [runs[t].tfs for t in terms], pa.list_(pa.int32())
-                ),
-                "doc_lens": pa.array(
-                    [runs[t].doc_lens for t in terms], pa.list_(pa.int32())
-                ),
-                "positions": pa.array(
-                    [bytes(runs[t].blob) for t in terms], pa.binary()
-                ),
-                "pos_offsets": pa.array(
-                    [runs[t].offsets for t in terms], pa.list_(pa.int32())
-                ),
-            },
-            schema=RUN_SCHEMA,
-        )
+def _tokenize_task(batch: pa.Table, cfg: IndexConfig) -> pa.Table:
+    table, _ = build_runs(batch, cfg)
+    return table
 
 
 def tokenize_postings(ds, cfg: IndexConfig, concurrency=None,
                       batch_size: int = 256, num_cpus: float = 1.0):
-    """corpus(doc_id, text[, url]) -> posting runs (the heavy CPU stage)."""
-    if concurrency is None:
-        import ray
+    """corpus(doc_id, text[, url]) -> posting runs (the heavy CPU stage).
 
-        # autoscaling actor pool: small jobs pay for a few actor spawns,
-        # big jobs scale to the session CPUs minus headroom for the read
-        # and shuffle stages
-        total = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (max(1, total // 4), max(1, total - 2))
+    Runs as a stateless task pool: tokenizer state is per-process module
+    caches, so Ray's prestarted warm workers serve it with zero actor
+    ramp-up (measured ~50% pool idle with an autoscaling actor pool on
+    this stage — the state here is trivia, not a model load).
+    """
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     return ds.map_batches(
-        TokenizePostings,
+        _tokenize_task,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        fn_constructor_kwargs={"cfg": cfg},
+        fn_kwargs={"cfg": cfg},
         num_cpus=num_cpus,
-        concurrency=concurrency,
+        **kwargs,
     )

@@ -14,7 +14,6 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from ..functions.varint import (
-    decode_deltas_np,
     decode_grouped_deltas_np,
     decode_varints_np,
 )
@@ -34,7 +33,10 @@ def load_index_postings(index_dir: str) -> dict[str, dict[int, tuple]]:
         table = pq.read_table(path)
         for i in range(table.num_rows):
             term = table["term"][i].as_py()
-            doc_ids = decode_deltas_np(table["doc_ids"][i].as_py())
+            seg_lens = np.asarray(table["seg_lens"][i].as_py(), dtype=np.int64)
+            doc_ids = decode_grouped_deltas_np(
+                table["doc_ids"][i].as_py(), seg_lens
+            )
             counts = decode_varints_np(table["counts"][i].as_py()).astype(np.int64)
             scores = np.frombuffer(table["bm25"][i].as_py(), dtype="<f8")
             flat_pos = decode_grouped_deltas_np(table["positions"][i].as_py(), counts)
