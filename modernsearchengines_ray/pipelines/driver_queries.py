@@ -639,6 +639,185 @@ LIMIT 10
 """
 
 
+def q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup collapse (dominance rule: keep rows with
+    no lower-id row at cosine >= 0.95) — SQL-checkable NOT EXISTS."""
+    from ..stages.dedup import dedup_embedding_cosine
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup_embedding_cosine(ds, threshold=0.95) \
+        .select_columns(["vec_id"])
+
+
+SQL_EMBEDDING_DEDUP = """
+SELECT a.vec_id AS vec_id FROM embeddings a
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings b
+  WHERE b.vec_id < a.vec_id
+    AND list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.95
+)
+"""
+
+
+def q_simhash_near_dedup(sf_dir: str):
+    """Simhash hamming-radius<=3 near-dup collapse (band-rotation LSH)
+    — rows-only check (hash values live in our kernel, not SQL)."""
+    from ..stages.dedup import dedup_simhash_near
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_simhash_near(ds).select_columns(["doc_id"])
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """LSH candidate pairs verified by true 3-gram Jaccard >= 0.8 —
+    rows-only check (pytest brute-force-verifies on the fixture)."""
+    from ..stages.dedup import jaccard_candidate_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_candidate_pairs(ds, threshold=0.8)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN: seeded k-means quantizer, bucketed parquet,
+    nprobe probing — rows-only check (pytest pins recall vs exact)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import IVFIndex
+
+    table = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "=", 0)])
+    query = np.asarray(table["embedding"][0].as_py(), dtype=np.float64)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    tmp = tempfile.mkdtemp(prefix="msr_ivf_")
+    try:
+        index = IVFIndex.build(ds, tmp, num_clusters=8)
+        hits = [(i, s) for i, s in index.search(query, k=11, nprobe=4)
+                if i != 0][:10]
+        return pd.DataFrame({
+            "vec_id": pd.array([i for i, _ in hits], dtype="int64"),
+            "cos_sim": [round(s, 6) for _, s in hits],
+        })
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# multimodal (binary payload columns; decode stubbed — container has no
+# image/audio libs; plumbing is real, see stages/multimodal.py)
+# ---------------------------------------------------------------------------
+
+def _media_ds(sf_dir: str):
+    """Deterministic media table: documents' text bytes as payloads."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "item_id": batch["doc_id"],
+            "payload": pa.array(
+                [t.encode() for t in batch["text"].to_pylist()], pa.binary()
+            ),
+            "mime": pa.array(["image/fake"] * batch.num_rows, pa.string()),
+        })
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def q_image_features(sf_dir: str):
+    from ..stages.multimodal import image_features
+
+    return image_features(_media_ds(sf_dir), concurrency=2)
+
+
+def q_audio_features(sf_dir: str):
+    from ..stages.multimodal import audio_features
+
+    return audio_features(_media_ds(sf_dir), concurrency=2)
+
+
+def q_frame_samples(sf_dir: str):
+    from ..stages.multimodal import frame_samples
+
+    out = frame_samples(_media_ds(sf_dir))
+    return out.select_columns(["item_id", "frame_idx"])
+
+
+SQL_FRAME_SAMPLES = """
+SELECT doc_id AS item_id,
+       unnest(range(least(8, cast(ceil(octet_length(encode(text)) / 4096.0)
+                                  AS BIGINT)))) AS frame_idx
+FROM documents WHERE octet_length(encode(text)) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: sessionization (streaming-shaped, window-function oracle)
+# ---------------------------------------------------------------------------
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gap): sessions per user with
+    event counts — groupby(user).map_groups over ts-sorted events."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(group["ts"].astype("datetime64[us]").astype("int64")
+                     .to_numpy())
+        new_session = np.ones(len(ts), dtype=bool)
+        new_session[1:] = np.diff(ts) > gap_us
+        session_id = np.cumsum(new_session) - 1
+        counts = np.bincount(session_id)
+        return pd.DataFrame({
+            "user_id": group["user_id"].iloc[0],
+            "session_id": np.arange(len(counts), dtype="int64"),
+            "n_events": counts.astype("int64"),
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), numbered AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def q_domain_hist(sf_dir: str):
+    """Docs per source (the reference's pages-per-domain diagnostic A12,
+    WebCrawler_basis.py:375-401)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["source"])
+    return ds.groupby("source").aggregate(Count(alias_name="n_docs"))
+
+
+SQL_DOMAIN_HIST = """
+SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # reference-pipeline entries (not SQL-expressible -> rows-only checks)
 # ---------------------------------------------------------------------------
@@ -726,6 +905,15 @@ QUERY_FUNCS = {
     "distinct_users": q_distinct_users,
     "region_nations": q_region_nations,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "embedding_dedup": q_embedding_dedup,
+    "simhash_near_dedup": q_simhash_near_dedup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "image_features": q_image_features,
+    "audio_features": q_audio_features,
+    "frame_samples": q_frame_samples,
+    "sessionize": q_sessionize,
+    "domain_hist": q_domain_hist,
     "ref_postings": q_ref_postings,
     "ref_search": q_ref_search,
 }
@@ -746,8 +934,15 @@ ORACLE_SQL = {
     "distinct_users": SQL_DISTINCT_USERS,
     "region_nations": SQL_REGION_NATIONS,
     "ann_topk": SQL_ANN_TOPK,
-    # simhash_dedup / minhash_dedup / language_id / ref_postings /
-    # ref_search: deliberately no SQL — not ANSI-SQL-expressible
-    # (hash sketches, heuristics, Porter stemming, actor serving);
-    # the driver records rows-only checks for these.
+    "embedding_dedup": SQL_EMBEDDING_DEDUP,
+    "frame_samples": SQL_FRAME_SAMPLES,
+    "sessionize": SQL_SESSIONIZE,
+    "domain_hist": SQL_DOMAIN_HIST,
+    # simhash_dedup / minhash_dedup / simhash_near_dedup / jaccard_pairs
+    # / language_id / ann_ivf / image_features / audio_features /
+    # ref_postings / ref_search: deliberately no SQL — not
+    # ANSI-SQL-expressible (hash sketches, heuristics, Porter stemming,
+    # seeded k-means, md5-seeded decode stubs, actor serving); the
+    # driver records rows-only checks and pytest carries the oracle
+    # (brute-force pair checks, recall bounds, decode determinism).
 }

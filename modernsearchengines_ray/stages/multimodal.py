@@ -1,0 +1,173 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries images/audio/video as Arrow
+``binary`` columns with typed metadata, processed by actor-pool
+``map_batches`` stages (decoder state loaded once per actor).  The
+image/audio libraries are not in this container, so the DECODE step is
+stubbed two ways:
+
+- ``codec="real"`` raises ``NotImplementedError`` at actor construction
+  (clearly marked: wire Pillow/torchaudio/pyav here on a real cluster);
+- ``codec="fake"`` (default in tests) derives deterministic pseudo
+  metadata from the payload bytes (md5-seeded), so the Ray-side
+  plumbing — schema, batch size, actor signature, output layout,
+  partitioned writes — is real and tested end-to-end.
+
+Schema contract per modality:
+
+  media(item_id: int64, payload: binary, mime: string)
+    -> image features: (item_id, width, height, channels, mean_luma)
+    -> audio features: (item_id, sample_rate, n_samples, rms)
+    -> frame samples:  (item_id, frame_idx, frame: binary) via flat_map
+
+Large-binary batch sizing: callers pass small ``batch_size`` (payload
+bytes x batch_size x concurrency must fit the worker heap —
+SURVEY.md §7 hard part 6); the stages never hold more than one batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_FEATURE_SCHEMA = pa.schema([
+    ("item_id", pa.int64()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("channels", pa.int32()),
+    ("mean_luma", pa.float64()),
+])
+
+AUDIO_FEATURE_SCHEMA = pa.schema([
+    ("item_id", pa.int64()),
+    ("sample_rate", pa.int32()),
+    ("n_samples", pa.int64()),
+    ("rms", pa.float64()),
+])
+
+
+def _fake_image_meta(payload: bytes) -> tuple[int, int, int, float]:
+    d = hashlib.md5(payload).digest()
+    width = 16 + (int.from_bytes(d[0:2], "little") % 2032)
+    height = 16 + (int.from_bytes(d[2:4], "little") % 2032)
+    channels = 1 + (d[4] % 4)
+    mean_luma = round(d[5] / 255.0, 6)
+    return width, height, channels, mean_luma
+
+
+def _fake_audio_meta(payload: bytes) -> tuple[int, int, float]:
+    d = hashlib.md5(payload).digest()
+    sample_rate = (8000, 16000, 22050, 44100, 48000)[d[0] % 5]
+    n_samples = len(payload) * 4
+    rms = round(d[1] / 255.0, 6)
+    return sample_rate, n_samples, rms
+
+
+class ImageDecode:
+    """Actor-pool batch fn: (item_id, payload) -> image features.
+
+    ``__init__`` holds the decoder (once per actor); ``__call__`` is the
+    per-batch hot path."""
+
+    def __init__(self, codec: str = "fake"):
+        if codec == "real":
+            raise NotImplementedError(
+                "real image decode needs Pillow/libvips — not in this "
+                "container; construct with codec='fake' or wire the "
+                "library here"
+            )
+        self.codec = codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["item_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        rows = [(i, *_fake_image_meta(p)) for i, p in zip(ids, payloads)]
+        cols = list(zip(*rows)) if rows else [[]] * 5
+        return pa.table({
+            "item_id": pa.array(cols[0], pa.int64()),
+            "width": pa.array(cols[1], pa.int32()),
+            "height": pa.array(cols[2], pa.int32()),
+            "channels": pa.array(cols[3], pa.int32()),
+            "mean_luma": pa.array(cols[4], pa.float64()),
+        }, schema=IMAGE_FEATURE_SCHEMA)
+
+
+class AudioDecode:
+    """Actor-pool batch fn: (item_id, payload) -> audio features."""
+
+    def __init__(self, codec: str = "fake"):
+        if codec == "real":
+            raise NotImplementedError(
+                "real audio decode needs torchaudio/soundfile — not in "
+                "this container; construct with codec='fake' or wire "
+                "the library here"
+            )
+        self.codec = codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["item_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        rows = [(i, *_fake_audio_meta(p)) for i, p in zip(ids, payloads)]
+        cols = list(zip(*rows)) if rows else [[]] * 4
+        return pa.table({
+            "item_id": pa.array(cols[0], pa.int64()),
+            "sample_rate": pa.array(cols[1], pa.int32()),
+            "n_samples": pa.array(cols[2], pa.int64()),
+            "rms": pa.array(cols[3], pa.float64()),
+        }, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def sample_frames(row: dict, every_n_bytes: int = 4096,
+                  max_frames: int = 8) -> list[dict]:
+    """flat_map fn: one media row -> up to ``max_frames`` frame rows.
+
+    The fake 'frame' is the byte window at each sample point; a real
+    video path replaces the windowing with pyav keyframe extraction —
+    the fan-out shape (one row in, N small rows out, payload column
+    dropped) is what matters for the pipeline."""
+    payload = row["payload"]
+    out = []
+    for frame_idx, start in enumerate(
+            range(0, len(payload), every_n_bytes)):
+        if frame_idx >= max_frames:
+            break
+        out.append({
+            "item_id": row["item_id"],
+            "frame_idx": frame_idx,
+            "frame": payload[start : start + 256],
+        })
+    return out
+
+
+def image_features(ds, concurrency=2, batch_size: int = 64,
+                   codec: str = "fake"):
+    """media -> image feature table (actor pool; small batches because
+    payloads are wide)."""
+    return ds.map_batches(
+        ImageDecode,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"codec": codec},
+    )
+
+
+def audio_features(ds, concurrency=2, batch_size: int = 64,
+                   codec: str = "fake"):
+    return ds.map_batches(
+        AudioDecode,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"codec": codec},
+    )
+
+
+def frame_samples(ds, every_n_bytes: int = 4096, max_frames: int = 8):
+    return ds.flat_map(
+        lambda row: sample_frames(row, every_n_bytes, max_frames)
+    )

@@ -67,6 +67,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "quality", "token_count", "fingerprint", "lang_hist",
         "top_customers", "pricing_summary", "events_window",
         "distinct_users", "region_nations", "ann_topk",
+        "embedding_dedup", "frame_samples", "sessionize", "domain_hist",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):
@@ -79,9 +80,25 @@ def test_query_matches_duckdb(contract, ddb, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["simhash_dedup", "minhash_dedup", "language_id",
+    "name", ["simhash_dedup", "minhash_dedup", "simhash_near_dedup",
+             "language_id", "ann_ivf", "image_features", "audio_features",
              "ref_postings", "ref_search"],
 )
 def test_rows_only_queries_run(contract, name):
     res = _to_pandas(contract.queries()[name](SF_DIR))
     assert len(res) > 0
+
+
+def test_jaccard_pairs_runs(contract):
+    # the fixture corpus may or may not contain >=0.8-Jaccard pairs;
+    # the contract is schema + no crash (pair content is brute-force
+    # verified in test_pipeline on a corpus WITH known near-dups)
+    res = _to_pandas(contract.queries()["jaccard_pairs"](SF_DIR))
+    assert list(res.columns) == ["id_a", "id_b", "jaccard"]
+
+
+def test_ann_ivf_recall_vs_exact(contract):
+    exact = _to_pandas(contract.queries()["ann_topk"](SF_DIR))
+    approx = _to_pandas(contract.queries()["ann_ivf"](SF_DIR))
+    overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
+    assert overlap >= 8, f"recall@10 too low: {overlap}/10"

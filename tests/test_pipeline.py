@@ -198,3 +198,191 @@ class TestMinhashDedup:
         assert 3 in set(kept["doc_id"])          # unique doc survives
         assert len(kept) < 4                      # near-dups collapsed
         assert min(set(kept["doc_id"]) & {1, 2, 4}) == 1  # keep-min rule
+
+
+class TestSimhashNearDedup:
+    def test_hamming_radius_collapse(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from modernsearchengines_ray.functions.simhash import (
+            hamming_distance,
+            simhash64,
+        )
+        from modernsearchengines_ray.stages.dedup import dedup_simhash_near
+
+        base = (
+            "the castle above the river hosts a chocolate festival every "
+            "december with stalls along the old town bridge and market "
+            "square where visitors taste wine and swabian noodles all day"
+        )
+        near = base.replace("day", "night")      # tiny perturbation
+        other = (
+            "ray data pipelines stream arrow record batches through "
+            "map operators with backpressure and object store spilling"
+        )
+        assert hamming_distance(simhash64(base), simhash64(near)) <= 3
+        assert hamming_distance(simhash64(base), simhash64(other)) > 3
+
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, other]})
+        kept = dedup_simhash_near(rd.from_pandas(df)).to_pandas()
+        assert set(kept["doc_id"]) == {1, 3}     # near pair collapsed, keep-min
+
+    def test_brute_force_agreement(self, ray_session):
+        """LSH banding must find exactly the brute-force hamming<=3 pairs."""
+        import pandas as pd
+        import ray.data as rd
+
+        from modernsearchengines_ray.functions.simhash import (
+            hamming_distance,
+            simhash64,
+        )
+        from modernsearchengines_ray.stages.dedup import (
+            simhash_near_duplicate_pairs,
+        )
+        from tests.fixtures import make_pages
+
+        pages = make_pages(n=80, seed=7)
+        texts = pages["text"].to_pylist()
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+        hashes = [simhash64(t) for t in texts]
+        brute_linked = {
+            (i, j)
+            for i in range(len(texts))
+            for j in range(i + 1, len(texts))
+            if hamming_distance(hashes[i], hashes[j]) <= 3
+        }
+        roots = simhash_near_duplicate_pairs(rd.from_pandas(df)).to_pandas()
+        lsh_linked = {
+            (int(r), int(i)) for i, r in zip(roots["doc_id"], roots["dup_root"])
+            if r != i
+        }
+        # every brute pair must be reachable: both ends share a root
+        root_of = dict(zip(roots["doc_id"].astype(int),
+                           roots["dup_root"].astype(int)))
+        for i, j in brute_linked:
+            assert root_of[i] == root_of[j] or (root_of[j] == i), (i, j)
+
+
+class TestJaccardPairs:
+    def test_known_pair_found_and_scored(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from modernsearchengines_ray.functions.minhash import ngram_jaccard
+        from modernsearchengines_ray.stages.dedup import (
+            jaccard_candidate_pairs,
+        )
+
+        base = (
+            "one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+        )
+        near = base + " nineteen"
+        other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, other]})
+        pairs = jaccard_candidate_pairs(rd.from_pandas(df), threshold=0.5)
+        assert [(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])] == [(1, 2)]
+        expected = round(ngram_jaccard(base, near), 6)
+        assert abs(pairs["jaccard"].iloc[0] - expected) < 1e-9
+
+
+class TestEmbeddingDedup:
+    def test_dominance_rule(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import dedup_embedding_cosine
+
+        v = [1.0, 0.0, 0.0]
+        near = [0.999, 0.04, 0.0]       # cos > 0.95 vs v
+        far = [0.0, 1.0, 0.0]
+        df = pd.DataFrame({
+            "vec_id": [10, 11, 12],
+            "embedding": [v, near, far],
+        })
+        kept = dedup_embedding_cosine(rd.from_pandas(df)).to_pandas()
+        assert set(kept["vec_id"]) == {10, 12}
+
+
+class TestMultimodal:
+    def test_image_features_deterministic(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.multimodal import (
+            _fake_image_meta,
+            image_features,
+        )
+
+        payloads = [b"abc", b"longer payload bytes", b""]
+        df = pd.DataFrame({
+            "item_id": [1, 2, 3],
+            "payload": payloads,
+            "mime": ["image/fake"] * 3,
+        })
+        out = image_features(rd.from_pandas(df), concurrency=1).to_pandas()
+        out = out.sort_values("item_id").reset_index(drop=True)
+        for i, payload in enumerate(payloads):
+            w, h, c, luma = _fake_image_meta(payload)
+            assert out.loc[i, "width"] == w
+            assert out.loc[i, "height"] == h
+            assert out.loc[i, "channels"] == c
+            assert abs(out.loc[i, "mean_luma"] - luma) < 1e-12
+
+    def test_real_codec_is_explicitly_stubbed(self):
+        import pytest as _pytest
+
+        from modernsearchengines_ray.stages.multimodal import ImageDecode
+
+        with _pytest.raises(NotImplementedError):
+            ImageDecode(codec="real")
+
+    def test_frame_sampling_fanout(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.multimodal import frame_samples
+
+        df = pd.DataFrame({
+            "item_id": [1, 2],
+            "payload": [b"x" * 10000, b"y" * 100],
+            "mime": ["video/fake"] * 2,
+        })
+        out = frame_samples(rd.from_pandas(df), every_n_bytes=4096).to_pandas()
+        got = out.groupby("item_id")["frame_idx"].count().to_dict()
+        assert got == {1: 3, 2: 1}
+        assert all(len(f) <= 256 for f in out["frame"])
+
+
+class TestIVF:
+    def test_ivf_matches_brute_force_with_full_probe(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.ann import (
+            IVFIndex,
+            brute_force_topk,
+        )
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(200, 16)
+        df = pd.DataFrame({
+            "vec_id": range(200),
+            "embedding": [list(map(float, v)) for v in vecs],
+        })
+        ds = rd.from_pandas(df)
+        index = IVFIndex.build(ds, str(tmp_path / "ivf"), num_clusters=8)
+        query = vecs[0]
+
+        exact = brute_force_topk(ds, query[None, :], k=10)
+        exact_ids = list(exact["vec_id"])
+        # probing ALL buckets must equal the exact scan
+        full = [i for i, _ in index.search(query, k=10, nprobe=8)]
+        assert full == exact_ids
+        # probing few buckets keeps high recall (isotropic gaussian data
+        # is IVF's worst case — real embeddings cluster far better)
+        approx = [i for i, _ in index.search(query, k=10, nprobe=3)]
+        assert len(set(approx) & set(exact_ids)) >= 8
