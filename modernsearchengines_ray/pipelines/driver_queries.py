@@ -804,6 +804,25 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def q_topic_assign(sf_dir: str):
+    """LDA topic assignment (reference T4/A13-A14): fit on a driver-side
+    sample, transform via actor pool, top-3 ids + descriptors per doc —
+    rows-only check (variational LDA is not SQL-expressible; pytest
+    checks determinism and planted-structure recovery)."""
+    from ..stages.topics import assign_topics
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = assign_topics(ds, concurrency=2)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "top_topic": pa.compute.list_element(batch["topics"], 0),
+        })
+
+    return out.map_batches(stringify, batch_format="pyarrow")
+
+
 def q_domain_hist(sf_dir: str):
     """Docs per source (the reference's pages-per-domain diagnostic A12,
     WebCrawler_basis.py:375-401)."""
@@ -914,6 +933,7 @@ QUERY_FUNCS = {
     "frame_samples": q_frame_samples,
     "sessionize": q_sessionize,
     "domain_hist": q_domain_hist,
+    "topic_assign": q_topic_assign,
     "ref_postings": q_ref_postings,
     "ref_search": q_ref_search,
 }

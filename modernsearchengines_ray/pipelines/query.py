@@ -27,6 +27,7 @@ protocol already returns columnar partials to make that swap local.
 from __future__ import annotations
 
 import math
+import os
 from collections import defaultdict
 
 import numpy as np
@@ -234,7 +235,92 @@ class QueryEngine:
         fetched = self.fetch(terms, position_terms=original)
         return rank_postings(fetched, tokens, original, self.rank_cfg)
 
+    def search_full(
+        self,
+        query: str,
+        docstore=None,
+        top_n: int = 10,
+        spellchecker=None,
+    ) -> list[dict]:
+        """The reference's interactive path (main_retrival,
+        retrieval.py:406-422): spellcheck -> rank -> top-10 -> metadata
+        join (J2) -> snippet per hit (J3/M21).
+
+        ``docstore`` is a state.docstore.DocStore over the corpus; when
+        None the result rows carry ids + scores only."""
+        from ..functions.snippet import get_relevant_snippet
+
+        if spellchecker is not None:
+            query = spellchecker.correct_query(query)
+        hits = self.search(query)[:top_n]
+        rows = [{"doc_id": d, "score": s} for d, s in hits]
+        if docstore is not None and rows:
+            meta = docstore.lookup_map(
+                [r["doc_id"] for r in rows],
+                columns=["url", "site", "text"],
+            )
+            for r in rows:
+                m = meta.get(r["doc_id"], {})
+                r["url"] = m.get("url", "")
+                r["site"] = m.get("site", "")
+                r["snippet"] = get_relevant_snippet(query, m.get("text", ""))
+        return rows
+
     def shutdown(self) -> None:
         for scorer in self.scorers:
             ray.kill(scorer)
         self.scorers = []
+
+
+# ---------------------------------------------------------------------------
+# batch retrieval (reference S7/S8, retrieval.py:296-331)
+# ---------------------------------------------------------------------------
+
+def read_queries(path: str) -> list[tuple[int, str]]:
+    """Tab-separated ``<number>\\t<text>`` lines (retrieval.py:296-302)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            number, text = line.split("\t", 1)
+            out.append((int(number), text))
+    return out
+
+
+def run_batched_queries(
+    queries_path: str,
+    index_dir: str,
+    out_path: str,
+    docstore=None,
+    num_scorers: int = 4,
+    top_k: int = 100,
+) -> str:
+    """queries.txt -> TREC-style ``qn\\trank\\turl\\tscore:.3f`` file,
+    top-100 per query (retrieval.py:305-331; the batch path applies no
+    spellcheck, matching the reference).  When ``docstore`` is None the
+    doc_id is written in the url column."""
+    engine = QueryEngine(index_dir, num_scorers=num_scorers)
+    try:
+        lines = []
+        for qnum, qtext in read_queries(queries_path):
+            hits = engine.search(qtext)[:top_k]
+            urls = {}
+            if docstore is not None and hits:
+                urls = {
+                    d: m.get("url", "")
+                    for d, m in docstore.lookup_map(
+                        [d for d, _ in hits], columns=["url"]
+                    ).items()
+                }
+            for rank, (doc_id, score) in enumerate(hits, start=1):
+                url = urls.get(doc_id, str(doc_id))
+                lines.append(f"{qnum}\t{rank}\t{url}\t{score:.3f}")
+    finally:
+        engine.shutdown()
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    os.replace(tmp, out_path)
+    return out_path

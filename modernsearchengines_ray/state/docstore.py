@@ -1,0 +1,72 @@
+"""Hash-partitioned document store — the metadata/content side of serving.
+
+The reference resolves ranked doc_ids back to (url, website, topics)
+with per-row SQLite point lookups (retrieval.py:277-292, J2) and
+fetches content per top-10 hit for snippets (retrieval.py:361-374,
+J3).  Here the corpus is written once as hash(doc_id)-partitioned
+parquet; a lookup for k hit ids reads ONLY the partitions those ids
+hash into, with a parquet row filter — a broadcast-small-side
+semi-join against shards, not a scan.
+
+At 10^12 docs the same layout holds (more partitions); per-shard
+actor caches (SURVEY.md §2.1 S6) drop in front of the reads when
+serving latency matters.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+
+def _partition_of(doc_id: int, num_partitions: int) -> int:
+    # splitmix-style scramble so sequential ids spread uniformly
+    h = (doc_id * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    return int(h >> 32) % num_partitions
+
+
+def write_docstore(corpus_ds, store_dir: str,
+                   num_partitions: int = 32) -> str:
+    """corpus -> ``store_dir/part=<p>/`` hive-partitioned parquet."""
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [_partition_of(d, num_partitions)
+                 for d in batch["doc_id"].to_pylist()]
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    corpus_ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        store_dir, partition_cols=["part"]
+    )
+    return store_dir
+
+
+class DocStore:
+    """Point/multi lookup over the partitioned store."""
+
+    def __init__(self, store_dir: str, num_partitions: int = 32):
+        self.store_dir = store_dir
+        self.num_partitions = num_partitions
+        self._dataset = pads.dataset(store_dir, partitioning="hive")
+
+    def lookup(self, doc_ids: list[int],
+               columns: list[str] | None = None) -> pa.Table:
+        """Rows for ``doc_ids`` — reads only the owning partitions."""
+        by_part: dict[int, list[int]] = defaultdict(list)
+        for d in doc_ids:
+            by_part[_partition_of(d, self.num_partitions)].append(d)
+        if not by_part:
+            return self._dataset.head(0)
+        filt = (pads.field("part").isin(list(by_part)) &
+                pads.field("doc_id").isin(doc_ids))
+        cols = columns
+        if cols is not None and "doc_id" not in cols:
+            cols = ["doc_id", *cols]
+        return self._dataset.to_table(columns=cols, filter=filt)
+
+    def lookup_map(self, doc_ids: list[int],
+                   columns: list[str]) -> dict[int, dict]:
+        table = self.lookup(doc_ids, columns)
+        rows = table.to_pylist()
+        return {r["doc_id"]: r for r in rows}

@@ -1,0 +1,231 @@
+"""Ancillary reference capabilities: snippets (M21), spellcheck (M17),
+topics (T4/A13-A14), doc store (S6/J2/J3), batch retrieval (S7/S8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class TestSnippet:
+    def test_argmax_sentence(self):
+        from modernsearchengines_ray.functions.snippet import (
+            get_relevant_snippet,
+        )
+
+        doc = (
+            "The weather is nice today. "
+            "The castle museum opens at ten and shows medieval prints. "
+            "Parking is available nearby."
+        )
+        snippet = get_relevant_snippet("castle museum medieval", doc)
+        assert snippet == "The castle museum opens at ten and shows medieval prints."
+
+    def test_single_sentence_returned_directly(self):
+        from modernsearchengines_ray.functions.snippet import (
+            get_relevant_snippet,
+        )
+
+        assert get_relevant_snippet("anything", "Just one sentence") == \
+            "Just one sentence"
+
+    def test_empty_document(self):
+        from modernsearchengines_ray.functions.snippet import (
+            get_relevant_snippet,
+        )
+
+        assert get_relevant_snippet("q", "") == "Document not found."
+
+
+class TestSpellcheck:
+    def test_known_word_unchanged(self):
+        from modernsearchengines_ray.functions.spellcheck import SpellChecker
+
+        sp = SpellChecker({"castle": 10, "river": 5})
+        assert sp.correction("castle") == "castle"
+
+    def test_edit1_correction_by_frequency(self):
+        from modernsearchengines_ray.functions.spellcheck import SpellChecker
+
+        sp = SpellChecker({"castle": 10, "cattle": 3})
+        assert sp.correction("castl") == "castle"
+
+    def test_edit2_fallback_and_unknown_passthrough(self):
+        from modernsearchengines_ray.functions.spellcheck import SpellChecker
+
+        sp = SpellChecker({"castle": 10})
+        assert sp.correction("castlxy") == "castle"      # distance 2
+        assert sp.correction("zzzzzzz") == "zzzzzzz"     # no candidate
+
+    def test_whitelist(self):
+        from modernsearchengines_ray.functions.spellcheck import SpellChecker
+
+        sp = SpellChecker({})
+        assert sp.correction("tübingen") == "tübingen"
+        assert sp.correct_query("tuebingen castle") == "tuebingen castle"
+
+    def test_from_index(self, prepared):
+        from modernsearchengines_ray.functions.spellcheck import SpellChecker
+
+        _, index_dir, _, _ = prepared
+        sp = SpellChecker.from_index(index_dir)
+        assert len(sp.freq) > 10
+        # a corpus stem survives a one-letter typo
+        stem = max(sp.freq, key=lambda t: (sp.freq[t], t))
+        assert sp.correction(stem + "q") == stem
+
+
+class TestTopics:
+    def test_assign_shapes_and_determinism(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.topics import assign_topics
+        from tests.fixtures import make_pages
+
+        pages = make_pages(n=120, seed=11)
+        df = pd.DataFrame({
+            "doc_id": range(pages.num_rows),
+            "text": pages["text"].to_pylist(),
+        })
+        out1 = assign_topics(rd.from_pandas(df), n_components=5) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        out2 = assign_topics(rd.from_pandas(df), n_components=5) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(out1) == len(df)
+        assert all(len(t) == 3 for t in out1["topics"])
+        assert all(0 <= i < 5 for t in out1["topics"] for i in t)
+        pd.testing.assert_frame_equal(out1, out2)   # seeded => identical
+
+    def test_lda_recovers_planted_structure(self):
+        from modernsearchengines_ray.stages.topics import TopicModel
+
+        rng = np.random.RandomState(0)
+        cats = {
+            0: "apple banana fruit juice orange sweet".split(),
+            1: "engine wheel brake road drive motor".split(),
+        }
+        docs, labels = [], []
+        for _ in range(60):
+            c = int(rng.randint(2))
+            docs.append(" ".join(rng.choice(cats[c], size=30)))
+            labels.append(c)
+        model = TopicModel.fit(docs, n_components=2, seed=1)
+        tops = [t[0] for t in model.assign(docs)]
+        # top topic must separate the two vocabularies (up to label swap)
+        agree = sum(int(t == l) for t, l in zip(tops, labels))
+        assert max(agree, len(docs) - agree) >= 55
+
+    def test_descriptor_mapping(self):
+        from modernsearchengines_ray.stages.topics import (
+            TOPIC_DESCRIPTORS,
+            TopicAssign,
+            TopicModel,
+        )
+        import pyarrow as pa
+
+        model = TopicModel.fit(["castle river market"] * 5 +
+                               ["engine brake road"] * 5, n_components=2)
+        fn = TopicAssign(model)
+        out = fn(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["castle river"], pa.string()),
+        }))
+        descs = out["topic_descriptors"][0].as_py()
+        assert descs[0] in set(TOPIC_DESCRIPTORS.values())
+
+
+class TestDocStore:
+    def test_roundtrip_and_partition_pruning(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from modernsearchengines_ray.state.docstore import (
+            DocStore,
+            write_docstore,
+        )
+
+        df = pd.DataFrame({
+            "doc_id": range(100),
+            "url": [f"https://x{i}.example.com" for i in range(100)],
+            "text": [f"text {i}" for i in range(100)],
+        })
+        store = str(tmp_path / "store")
+        write_docstore(rd.from_pandas(df), store, num_partitions=8)
+        ds = DocStore(store, num_partitions=8)
+        got = ds.lookup_map([3, 97, 42], columns=["url", "text"])
+        assert set(got) == {3, 97, 42}
+        assert got[42]["url"] == "https://x42.example.com"
+        assert got[42]["text"] == "text 42"
+
+    def test_empty_lookup(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from modernsearchengines_ray.state.docstore import (
+            DocStore,
+            write_docstore,
+        )
+
+        df = pd.DataFrame({"doc_id": [1], "url": ["u"], "text": ["t"]})
+        store = str(tmp_path / "store")
+        write_docstore(rd.from_pandas(df), store, num_partitions=4)
+        assert DocStore(store, num_partitions=4).lookup_map([], ["url"]) == {}
+
+
+class TestBatchRetrieval:
+    def test_trec_output_matches_oracle(self, prepared, tmp_path):
+        from modernsearchengines_ray.oracle import oracle_search
+        from modernsearchengines_ray.pipelines.query import (
+            run_batched_queries,
+        )
+        from tests.fixtures import QUERIES
+
+        corpus_df, index_dir, _, oracle_index = prepared
+        qpath = tmp_path / "queries.txt"
+        qpath.write_text(
+            "".join(f"{n}\t{q}\n" for n, q in QUERIES[:3])
+        )
+        out = run_batched_queries(str(qpath), index_dir,
+                                  str(tmp_path / "batch_results.txt"),
+                                  num_scorers=2)
+        lines = open(out).read().splitlines()
+        assert lines, "no output"
+        for qnum, qtext in QUERIES[:3]:
+            want = oracle_search(oracle_index, qtext)[:100]
+            got = [l for l in lines if l.startswith(f"{qnum}\t")]
+            assert len(got) == len(want)
+            for rank, (line, (doc_id, score)) in enumerate(
+                    zip(got, want), start=1):
+                qn, rk, url, sc = line.split("\t")
+                assert int(qn) == qnum and int(rk) == rank
+                assert url == str(doc_id)
+                assert sc == f"{score:.3f}"
+
+    def test_search_full_with_docstore(self, prepared, tmp_path, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.pipelines.query import QueryEngine
+        from modernsearchengines_ray.state.docstore import (
+            DocStore,
+            write_docstore,
+        )
+
+        corpus_df, index_dir, _, _ = prepared
+        store = str(tmp_path / "store")
+        corpus_df = corpus_df.assign(site="")
+        write_docstore(
+            rd.from_pandas(corpus_df[["doc_id", "url", "site", "text"]]),
+            store, num_partitions=8,
+        )
+        engine = QueryEngine(index_dir, num_scorers=2)
+        try:
+            rows = engine.search_full(
+                "castle", DocStore(store, num_partitions=8), top_n=5
+            )
+        finally:
+            engine.shutdown()
+        assert 0 < len(rows) <= 5
+        by_id = corpus_df.set_index("doc_id")
+        for r in rows:
+            assert r["url"] == by_id.loc[r["doc_id"], "url"]
+            assert r["snippet"]                     # non-empty snippet
+            assert r["snippet"] in by_id.loc[r["doc_id"], "text"]

@@ -23,29 +23,9 @@ import pytest
 from fixtures import QUERIES
 
 
-@pytest.fixture(scope="module")
-def prepared(ray_session, pages_parquet, tmp_path_factory):
-    """Run corpus prep + index build once; share across tests."""
-    import ray.data as rd
-
-    from modernsearchengines_ray.oracle import build_oracle_index
-    from modernsearchengines_ray.pipelines.build_index import build_index
-    from modernsearchengines_ray.pipelines.corpus_prep import prepare_corpus
-
-    tmp = tmp_path_factory.mktemp("index")
-    pages = rd.read_parquet(pages_parquet)
-    corpus_df = prepare_corpus(pages).to_pandas()
-    index_dir = str(tmp / "idx")
-    result = build_index(
-        rd.from_pandas(corpus_df[["doc_id", "url", "text"]]),
-        index_dir,
-        corpus_id="test",
-    )
-    oracle_corpus = [
-        (int(r.doc_id), r.url, "", r.text) for r in corpus_df.itertuples()
-    ]
-    oracle_index = build_oracle_index(oracle_corpus)
-    return corpus_df, index_dir, result, oracle_index
+# the shared `prepared` fixture (corpus prep + index build + oracle
+# index) lives in conftest.py — session-scoped, reused by
+# test_ancillary.py too
 
 
 class TestExtract:
