@@ -233,7 +233,7 @@ class TestSimhashNearDedup:
             for j in range(i + 1, len(texts))
             if hamming_distance(hashes[i], hashes[j]) <= 3
         }
-        roots = simhash_near_duplicate_pairs(rd.from_pandas(df)).to_pandas()
+        roots = simhash_near_duplicate_pairs(rd.from_pandas(df))
         lsh_linked = {
             (int(r), int(i)) for i, r in zip(roots["doc_id"], roots["dup_root"])
             if r != i
