@@ -871,6 +871,35 @@ def q_ref_postings(sf_dir: str):
     return runs.map_batches(explode, batch_format="pyarrow")
 
 
+def q_wand_search(sf_dir: str):
+    """Standard BM25 top-10 via block-max WAND + two-round exact merge
+    (pipelines/query.search_bm25) over the built index — rows-only
+    check (pytest proves exactness vs an exhaustive index scan)."""
+    import shutil
+    import tempfile
+
+    from ..config import IndexConfig
+    from ..pipelines.build_index import build_index
+    from ..pipelines.query import QueryEngine
+
+    cfg = IndexConfig(prepend_url_words=False, num_shards=8)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tmp = tempfile.mkdtemp(prefix="msr_wand_")
+    try:
+        build_index(ds, tmp, cfg=cfg, corpus_id=sf_dir)
+        engine = QueryEngine(tmp, num_scorers=2)
+        try:
+            hits = engine.search_bm25("stream data query join", k=10)
+        finally:
+            engine.shutdown()
+        return pd.DataFrame({
+            "doc_id": pd.array([d for d, _ in hits], dtype="int64"),
+            "score": [round(s, 6) for _, s in hits],
+        })
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_ref_search(sf_dir: str):
     """End-to-end: build the sharded index over documents, serve one query
     through the shard-scorer actor pool (T6/A6-A11) — rows-only check."""
@@ -936,6 +965,7 @@ QUERY_FUNCS = {
     "topic_assign": q_topic_assign,
     "ref_postings": q_ref_postings,
     "ref_search": q_ref_search,
+    "wand_search": q_wand_search,
 }
 
 ORACLE_SQL = {

@@ -50,11 +50,13 @@ class ShardScorer:
 
         self._rows: dict[str, dict] = {}
         self._decoded: dict[str, dict] = {}
+        self.block_size = read_meta(index_dir).get("block_size", 128)
         for shard_id in shard_ids:
             table = pq.read_table(shard_path(index_dir, shard_id))
             cols = {name: table[name].to_pylist() for name in
                     ("term", "df", "idf", "seg_lens", "doc_ids", "counts",
-                     "bm25", "positions", "max_bm25", "min_bm25")}
+                     "bm25", "positions", "max_bm25", "min_bm25",
+                     "block_first_doc", "block_max_bm25")}
             for i, term in enumerate(cols["term"]):
                 self._rows[term] = {k: cols[k][i] for k in cols if k != "term"}
 
@@ -110,6 +112,63 @@ class ShardScorer:
             if row is not None:
                 out[term] = (row["df"], row["idf"], row["min_bm25"], row["max_bm25"])
         return out
+
+    def _wand_rows(self, terms: list[str]) -> list[dict]:
+        rows = []
+        for term in terms:
+            decoded = self._decode(term)
+            if decoded is None:
+                continue
+            raw = self._rows[term]
+            rows.append({
+                "doc_ids": decoded["doc_ids"],
+                "bm25": decoded["bm25"],
+                "seg_lens": raw["seg_lens"],
+                "block_first_doc": raw["block_first_doc"],
+                "block_max_bm25": raw["block_max_bm25"],
+            })
+        return rows
+
+    def topk_bm25(self, terms: list[str], k: int,
+                  threshold: float = 0.0):
+        """Exact local top-k over this scorer's terms via block-max WAND.
+
+        Returns (hits, theta_k, stats); theta_k = k-th local score (0 if
+        fewer than k docs matched)."""
+        from ..functions.wand import make_cursors, wand_topk
+
+        cursors = make_cursors(self._wand_rows(terms), self.block_size)
+        hits, stats = wand_topk(cursors, k, initial_threshold=threshold)
+        theta_k = hits[-1][1] if len(hits) == k else 0.0
+        return hits, theta_k, stats
+
+    def scores_above(self, terms: list[str], tau: float) -> dict[int, float]:
+        """All (doc, local score) with score >= tau — vectorized
+        accumulation over the owned lists (phase 2 of the TPUT merge)."""
+        acc: dict[int, float] = defaultdict(float)
+        for term in terms:
+            decoded = self._decode(term)
+            if decoded is None:
+                continue
+            for d, s in zip(decoded["doc_ids"].tolist(),
+                            decoded["bm25"].tolist()):
+                acc[d] += s
+        return {d: s for d, s in acc.items() if s >= tau}
+
+    def score_docs(self, terms: list[str],
+                   doc_ids: list[int]) -> dict[int, float]:
+        """Exact local scores for the candidate docs."""
+        wanted = set(doc_ids)
+        acc: dict[int, float] = defaultdict(float)
+        for term in terms:
+            decoded = self._decode(term)
+            if decoded is None:
+                continue
+            ids = decoded["doc_ids"]
+            mask = np.isin(ids, list(wanted))
+            for d, s in zip(ids[mask].tolist(), decoded["bm25"][mask].tolist()):
+                acc[d] += s
+        return dict(acc)
 
 
 def rank_postings(
@@ -234,6 +293,73 @@ class QueryEngine:
         terms = [t for t, _ in tokens]
         fetched = self.fetch(terms, position_terms=original)
         return rank_postings(fetched, tokens, original, self.rank_cfg)
+
+    def search_bm25(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Standard BM25 top-k (score = Σ per-term index-time BM25) with
+        block-max WAND pruning inside each shard scorer and an exact
+        two-round TPUT-style merge (Cao & Wang 2004) across scorers:
+
+        1. each owning scorer returns its local WAND top-k; the k-th
+           largest lower-bound partial sum gives a global threshold τ;
+        2. scorers return every doc with local score >= τ/m; docs below
+           that in ALL m scorers sum below τ and are provably out;
+           candidates missing a scorer's contribution get exact local
+           scores filled in.
+
+        Single-scorer queries finish in round 1 (pure WAND)."""
+        from ..functions.tokenizer import tokenize
+
+        terms = sorted({t for t, _ in tokenize(query.lower())})
+        by_scorer: dict[int, list[str]] = defaultdict(list)
+        for term in terms:
+            owner = self._owner(term)
+            if owner is not None:
+                by_scorer[owner].append(term)
+        if not by_scorer:
+            return []
+        owners = sorted(by_scorer)
+
+        phase1 = ray.get([
+            self.scorers[i].topk_bm25.remote(by_scorer[i], k)
+            for i in owners
+        ])
+        if len(owners) == 1:
+            return phase1[0][0][:k]
+
+        lower: dict[int, float] = defaultdict(float)
+        for hits, _, _ in phase1:
+            for d, s in hits:
+                lower[d] += s
+        if not lower:
+            return []
+        tau = sorted(lower.values(), reverse=True)[:k][-1] \
+            if len(lower) >= k else 0.0
+
+        m = len(owners)
+        phase2 = ray.get([
+            self.scorers[i].scores_above.remote(by_scorer[i], tau / m)
+            for i in owners
+        ])
+        candidates = set()
+        for part in phase2:
+            candidates.update(part)
+        # fill in exact local scores where a scorer's partial is missing
+        fills = ray.get([
+            self.scorers[i].score_docs.remote(
+                by_scorer[i],
+                [d for d in candidates if d not in phase2[j]],
+            )
+            for j, i in enumerate(owners)
+        ])
+        totals: dict[int, float] = defaultdict(float)
+        for part in phase2:
+            for d, s in part.items():
+                totals[d] += s
+        for fill in fills:
+            for d, s in fill.items():
+                totals[d] += s
+        order = sorted(totals.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return [(d, s) for d, s in order]
 
     def search_full(
         self,

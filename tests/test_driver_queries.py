@@ -82,7 +82,7 @@ def test_query_matches_duckdb(contract, ddb, name):
 @pytest.mark.parametrize(
     "name", ["simhash_dedup", "minhash_dedup", "simhash_near_dedup",
              "language_id", "ann_ivf", "image_features", "audio_features",
-             "topic_assign", "ref_postings", "ref_search"],
+             "topic_assign", "ref_postings", "ref_search", "wand_search"],
 )
 def test_rows_only_queries_run(contract, name):
     res = _to_pandas(contract.queries()[name](SF_DIR))
