@@ -52,20 +52,29 @@ def tokenize(
     unique: set[str] = set()
     tokens: list[tuple[str, int]] = []
 
+    # hot loop: locals bound once (measured ~20% of corpus CPU here)
+    stop = STOPWORDS
+    cache = _STEM_CACHE
+    cache_get = cache.get
+    out_append = tokens.append
+    finditer = _TOKEN_RE.finditer
+
     for chunk in split_text(text, chunk_chars):
         chunk = normalize_chunk(chunk)
-        for match in _TOKEN_RE.finditer(chunk):
-            token = match.group(0)
-            if token in STOPWORDS:
+        for match in finditer(chunk):
+            token = match.group()
+            if token in stop:
                 continue
-            stem = stem_cached(token)
+            stem = cache_get(token)
+            if stem is None:
+                stem = cache[token] = porter_stem(token)
             if not stem:
                 continue
             if only_unique_tokens:
                 if stem in unique:
                     continue
                 unique.add(stem)
-            tokens.append((stem, match.start()))
+            out_append((stem, match.start()))
 
     return tokens
 

@@ -104,6 +104,17 @@ def decode_varints_np(buf: bytes) -> np.ndarray:
     return values
 
 
+def varint_lengths_np(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized): 1 + one per 7 bits."""
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    lengths = np.ones(len(vals), dtype=np.int64)
+    tmp = vals >> np.uint64(7)
+    while tmp.any():
+        lengths += tmp > 0
+        tmp >>= np.uint64(7)
+    return lengths
+
+
 def encode_deltas_np(sorted_values: np.ndarray) -> bytes:
     """Delta + vectorized varint for a non-decreasing int64 array."""
     vals = np.ascontiguousarray(sorted_values, dtype=np.int64)
