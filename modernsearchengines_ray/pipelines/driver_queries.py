@@ -804,6 +804,65 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def q_json_extract(sf_dir: str):
+    """JSON scalar extraction from the events props column (the
+    reference stores nested data as JSON-in-TEXT, SURVEY §1.2) —
+    aggregate of the extracted field, SQL-checkable."""
+    import json
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] for p in batch["props"].to_pylist()]
+        return pa.table({
+            "event_type": batch["event_type"],
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    return ds.map_batches(extract, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Top-2 highest-value events per user (top-k-per-group pattern:
+    groupby.map_groups with a per-group nlargest; SQL row_number
+    oracle).  Deterministic ties by event_id."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def top2(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["value", "event_id"],
+                              ascending=[False, True]).head(2)
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "event_id": g["event_id"],
+            "value": np.round(g["value"], 6),
+        })
+
+    return ds.groupby("user_id").map_groups(top2, batch_format="pandas")
+
+
+SQL_TOP_EVENTS_PER_USER = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_id, round(value, 6) AS value
+FROM ranked WHERE rn <= 2
+"""
+
+
 def q_topic_assign(sf_dir: str):
     """LDA topic assignment (reference T4/A13-A14): fit on a driver-side
     sample, transform via actor pool, top-3 ids + descriptors per doc —
@@ -962,6 +1021,8 @@ QUERY_FUNCS = {
     "frame_samples": q_frame_samples,
     "sessionize": q_sessionize,
     "domain_hist": q_domain_hist,
+    "json_extract": q_json_extract,
+    "top_events_per_user": q_top_events_per_user,
     "topic_assign": q_topic_assign,
     "ref_postings": q_ref_postings,
     "ref_search": q_ref_search,
@@ -988,6 +1049,8 @@ ORACLE_SQL = {
     "frame_samples": SQL_FRAME_SAMPLES,
     "sessionize": SQL_SESSIONIZE,
     "domain_hist": SQL_DOMAIN_HIST,
+    "json_extract": SQL_JSON_EXTRACT,
+    "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
     # simhash_dedup / minhash_dedup / simhash_near_dedup / jaccard_pairs
     # / language_id / ann_ivf / image_features / audio_features /
     # ref_postings / ref_search: deliberately no SQL — not

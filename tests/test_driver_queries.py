@@ -68,6 +68,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "top_customers", "pricing_summary", "events_window",
         "distinct_users", "region_nations", "ann_topk",
         "embedding_dedup", "frame_samples", "sessionize", "domain_hist",
+        "json_extract", "top_events_per_user",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):
