@@ -351,6 +351,51 @@ FROM documents
 """
 
 
+def q_quality_signals(sf_dir: str):
+    """Gopher-style quality signals + BPE-ish token count per doc —
+    rows-only (heuristic kernels; pytest covers them)."""
+    from ..functions.quality import bpeish_token_count, quality_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signals(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        rows = [quality_stats(t) for t in texts]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "stopword_ratio": pa.array(
+                [round(r["stopword_ratio"], 6) for r in rows], pa.float64()),
+            "punct_ratio": pa.array(
+                [round(r["punct_ratio"], 6) for r in rows], pa.float64()),
+            "n_tokens_bpeish": pa.array(
+                [bpeish_token_count(t) for t in texts], pa.int64()),
+        })
+
+    return ds.map_batches(signals, batch_format="pyarrow")
+
+
+def q_rolling_fp(sf_dir: str):
+    """Winnowing-style rolling-hash fingerprints per doc (sparse sketch
+    for containment checks) — rows-only."""
+    from ..functions.quality import rolling_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        sketches = [rolling_fingerprints(t)
+                    for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_fingerprints": pa.array(
+                [len(s) for s in sketches], pa.int64()),
+            "min_fp": pa.array(
+                [min(s) if s else 0 for s in sketches], pa.int64()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
 def q_fingerprint(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1002,6 +1047,8 @@ QUERY_FUNCS = {
     "simhash_dedup": q_simhash_dedup,
     "minhash_dedup": q_minhash_dedup,
     "quality": q_quality,
+    "quality_signals": q_quality_signals,
+    "rolling_fp": q_rolling_fp,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "lang_hist": q_lang_hist,

