@@ -214,12 +214,16 @@ def rank_postings(
         scores[idx] += w * values
         credits[idx] += c
         if is_original:
+            # python-int lists: the proximity sweep compares elements
+            # one by one and numpy scalar boxing is 5-10x slower
+            flat_list = flat_positions.tolist()
             starts = np.zeros(len(counts), dtype=np.int64)
             np.cumsum(counts[:-1], out=starts[1:])
-            for j, cand_idx in enumerate(idx):
-                pos_lists[cand_idx].append(
-                    flat_positions[starts[j] : starts[j] + counts[j]]
-                )
+            starts_list = starts.tolist()
+            counts_list = counts.tolist()
+            for j, cand_idx in enumerate(idx.tolist()):
+                s = starts_list[j]
+                pos_lists[cand_idx].append(flat_list[s : s + counts_list[j]])
 
     scores[tueb_mask] += rank_cfg.tueb_boost
 

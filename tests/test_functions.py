@@ -217,3 +217,30 @@ class TestSimhash:
         b = simhash64("the quick brown fox jumped over the lazy dog " * 10)
         c = simhash64("completely unrelated content about databases and ray")
         assert hamming_distance(a, b) < hamming_distance(a, c)
+
+
+class TestProximityFastPath:
+    def test_matches_heap_sweep(self):
+        import random
+
+        import numpy as np
+
+        from modernsearchengines_ray.functions.proximity import (
+            _heap_sweep,
+            calculate_proximity_score,
+        )
+
+        rng = random.Random(99)
+        for _ in range(500):
+            k = rng.randint(2, 5)
+            lists = []
+            for _ in range(k):
+                n = rng.choice([0, 1, 1, 1, 2, 3])
+                lists.append(np.array(sorted(rng.sample(range(500), n)),
+                                      dtype=np.int64))
+            fast = calculate_proximity_score(lists)
+            if any(len(p) for p in lists):
+                assert fast == _heap_sweep(lists), [p.tolist() for p in lists]
+        # empty/singleton contract
+        assert calculate_proximity_score([]) == 0.0
+        assert calculate_proximity_score([np.array([3])]) == 0.0
