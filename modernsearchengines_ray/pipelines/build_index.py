@@ -27,7 +27,7 @@ from dataclasses import dataclass
 import pyarrow as pa
 
 from ..config import DEFAULT_INDEX_CONFIG, IndexConfig
-from ..stages.postings import build_shard_table
+from ..stages.postings import build_shard_table, finalize_shard_table
 from ..stages.spill import spill_runs, spilled_files, read_shard_runs
 from ..stages.stats import CorpusStats
 from ..state.manifest import (
@@ -113,6 +113,105 @@ def _spill_key(cfg: IndexConfig, corpus_id: str) -> str:
     return hashlib.md5(payload.encode()).hexdigest()
 
 
+def _split_slices(files: dict, salts: int) -> list[dict]:
+    """Partition the run-file map into ``salts`` contiguous slices of
+    the SORTED file list — slice order == single-level file order, so
+    two-level output is bit-identical."""
+    names = sorted(files)
+    size = (len(names) + salts - 1) // salts
+    out = [
+        {n: files[n] for n in names[j * size : (j + 1) * size]}
+        for j in range(salts)
+    ]
+    return [s for s in out if s]
+
+
+def _partial_path(runs_dir: str, shard_id: int, salt: int) -> str:
+    return os.path.join(runs_dir, "partial",
+                        f"shard={shard_id}-salt={salt}.arrow")
+
+
+def _submerge_task(
+    batch: pa.Table,
+    runs_dir: str,
+    slices: list[dict],
+    avg_doc_len: float,
+    cfg: IndexConfig,
+) -> pa.Table:
+    """Level 1 of the salted merge: one (shard, slice) partial per row,
+    written as an Arrow IPC file under ``runs_dir/partial/``."""
+    os.makedirs(os.path.join(runs_dir, "partial"), exist_ok=True)
+    shards, salts = [], []
+    for shard_id, salt in zip(batch["shard"].to_pylist(),
+                              batch["salt"].to_pylist()):
+        group = read_shard_runs(runs_dir, slices[salt], shard_id)
+        table, _ = build_shard_table(group, 0, avg_doc_len, cfg, raw=True)
+        path = _partial_path(runs_dir, shard_id, salt)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with pa.OSFile(tmp, "wb") as f, \
+                pa.ipc.new_stream(f, table.schema) as writer:
+            writer.write_table(table)
+        os.replace(tmp, path)
+        shards.append(shard_id)
+        salts.append(salt)
+    return pa.table({
+        "shard": pa.array(shards, pa.int32()),
+        "salt": pa.array(salts, pa.int32()),
+    })
+
+
+def _finalize_task(
+    batch: pa.Table,
+    runs_dir: str,
+    num_salts: int,
+    index_dir: str,
+    num_documents: int,
+    cfg: IndexConfig,
+    input_fingerprint: str,
+) -> pa.Table:
+    """Level 2 of the salted merge: sum dfs, apply idf + prune, write."""
+    out = {"shard": [], "terms": [], "postings": [], "bytes": [],
+           "wall_ms": []}
+    for shard_id in batch["shard"].to_pylist():
+        t0 = time.perf_counter()
+        partials = []
+        for salt in range(num_salts):
+            path = _partial_path(runs_dir, shard_id, salt)
+            if not os.path.exists(path):
+                continue
+            with pa.OSFile(path, "rb") as f, \
+                    pa.ipc.open_stream(f) as reader:
+                partials.append(reader.read_all())
+        table, n_postings = finalize_shard_table(
+            partials, num_documents, cfg
+        )
+        nbytes = atomic_write_parquet(table, shard_path(index_dir, shard_id))
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        write_shard_manifest(
+            index_dir,
+            ShardManifest(
+                partition_id=shard_id,
+                input_fingerprint=input_fingerprint,
+                row_count=table.num_rows,
+                postings_count=n_postings,
+                bytes=nbytes,
+                wall_ms=wall_ms,
+            ),
+        )
+        out["shard"].append(shard_id)
+        out["terms"].append(table.num_rows)
+        out["postings"].append(n_postings)
+        out["bytes"].append(nbytes)
+        out["wall_ms"].append(wall_ms)
+    return pa.table({
+        "shard": pa.array(out["shard"], pa.int32()),
+        "terms": pa.array(out["terms"], pa.int64()),
+        "postings": pa.array(out["postings"], pa.int64()),
+        "bytes": pa.array(out["bytes"], pa.int64()),
+        "wall_ms": pa.array(out["wall_ms"], pa.float64()),
+    })
+
+
 def _merge_task(
     batch: pa.Table,
     runs_dir: str,
@@ -167,8 +266,15 @@ def build_index(
     tokenizer_concurrency=None,
     tokenizer_batch_size: int | None = None,
     keep_runs: bool = False,
+    merge_salts: int = 1,
 ) -> BuildResult:
-    """Build (or resume) the sharded index from a corpus Dataset."""
+    """Build (or resume) the sharded index from a corpus Dataset.
+
+    ``merge_salts > 1`` enables the salted two-level merge (SURVEY §4
+    skew handling): level 1 builds per-(shard, file-slice) RAW partials
+    in parallel — a pathologically hot shard's byte work splits S ways
+    — and level 2 sums dfs, applies idf + the df prune, and writes the
+    shard.  Output is bit-identical to the single-level merge."""
     import ray.data as rd
 
     os.makedirs(index_dir, exist_ok=True)
@@ -213,22 +319,55 @@ def build_index(
     # stage 2: merge — one independent task per missing shard
     if todo:
         files = spilled_files(runs_dir)
-        summary = rd.from_items(
-            [{"shard": k} for k in todo],
-            override_num_blocks=len(todo),
-        ).map_batches(
-            _merge_task,
-            batch_format="pyarrow",
-            fn_kwargs={
-                "runs_dir": runs_dir,
-                "files": files,
-                "index_dir": index_dir,
-                "num_documents": stats.num_documents,
-                "avg_doc_len": stats.avg_doc_len,
-                "cfg": cfg,
-                "input_fingerprint": fingerprint,
-            },
-        ).to_pandas()
+        if merge_salts > 1:
+            slices = _split_slices(files, merge_salts)
+            sub = rd.from_items(
+                [{"shard": k, "salt": j}
+                 for k in todo for j in range(len(slices))],
+                override_num_blocks=len(todo) * len(slices),
+            ).map_batches(
+                _submerge_task,
+                batch_format="pyarrow",
+                fn_kwargs={
+                    "runs_dir": runs_dir,
+                    "slices": slices,
+                    "avg_doc_len": stats.avg_doc_len,
+                    "cfg": cfg,
+                },
+            ).to_pandas()
+            assert len(sub) == len(todo) * len(slices)
+            summary = rd.from_items(
+                [{"shard": k} for k in todo],
+                override_num_blocks=len(todo),
+            ).map_batches(
+                _finalize_task,
+                batch_format="pyarrow",
+                fn_kwargs={
+                    "runs_dir": runs_dir,
+                    "num_salts": len(slices),
+                    "index_dir": index_dir,
+                    "num_documents": stats.num_documents,
+                    "cfg": cfg,
+                    "input_fingerprint": fingerprint,
+                },
+            ).to_pandas()
+        else:
+            summary = rd.from_items(
+                [{"shard": k} for k in todo],
+                override_num_blocks=len(todo),
+            ).map_batches(
+                _merge_task,
+                batch_format="pyarrow",
+                fn_kwargs={
+                    "runs_dir": runs_dir,
+                    "files": files,
+                    "index_dir": index_dir,
+                    "num_documents": stats.num_documents,
+                    "avg_doc_len": stats.avg_doc_len,
+                    "cfg": cfg,
+                    "input_fingerprint": fingerprint,
+                },
+            ).to_pandas()
         assert len(summary) == len(todo)
 
     write_meta(index_dir, stats, cfg, fingerprint)

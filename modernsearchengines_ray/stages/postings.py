@@ -87,8 +87,16 @@ def build_shard_table(
     num_documents: int,
     avg_doc_len: float,
     cfg: IndexConfig,
+    raw: bool = False,
 ) -> tuple[pa.Table, int]:
     """Merge one shard's posting runs into per-term rows.
+
+    ``raw=True`` is the salted two-level merge's LEVEL-1 mode: scores
+    stay idf-less (idf = 1, since df is only locally known), nothing is
+    pruned, and ``df`` holds the partial doc count — finalize_shard_table
+    sums dfs, applies idf and the prune.  BM25 is idf x raw with raw
+    computed first in both modes, so two-level output is bit-identical
+    to single-level.
 
     Returns (table, n_postings)."""
     if group.num_rows == 0:
@@ -121,7 +129,7 @@ def build_shard_table(
     for term, r0, r1 in zip(uniq_terms, starts, row_ends):
         v0, v1 = id_offsets[r0], id_offsets[r1]
         df = int(v1 - v0)
-        if df <= cfg.min_df_exclusive:
+        if not raw and df <= cfg.min_df_exclusive:
             continue
         n_postings += df
 
@@ -130,8 +138,12 @@ def build_shard_table(
         doc_ids = id_values[v0:v1]
         tf = tf_values[v0:v1].astype(np.int64)
 
-        idf = float(np.log((num_documents - df + 0.5) / (df + 0.5) + 1.0))
-        scores = idf * raw_all[v0:v1]
+        if raw:
+            idf = 1.0
+            scores = raw_all[v0:v1]
+        else:
+            idf = float(np.log((num_documents - df + 0.5) / (df + 0.5) + 1.0))
+            scores = idf * raw_all[v0:v1]
 
         # per-segment blocks: first doc id + max score upper bound
         block_first: list[int] = []
@@ -155,6 +167,64 @@ def build_shard_table(
         cols["bm25"].append(scores.astype("<f8").tobytes())
         cols["positions"].append(b"".join(blobs[r0:r1]))
         cols["block_first_doc"].append(block_first)
+        cols["block_max_bm25"].append(block_max)
+
+    table = pa.table(
+        {name: pa.array(cols[name], SHARD_SCHEMA.field(name).type)
+         for name in SHARD_SCHEMA.names},
+        schema=SHARD_SCHEMA,
+    )
+    return table, n_postings
+
+
+def finalize_shard_table(
+    partials: list[pa.Table],
+    num_documents: int,
+    cfg: IndexConfig,
+) -> tuple[pa.Table, int]:
+    """LEVEL 2 of the salted two-level merge: combine per-slice partial
+    tables (each produced by ``build_shard_table(raw=True)`` over a
+    contiguous slice of the run files) into the final shard.
+
+    Per term: df = Σ partial dfs -> prune -> idf; raw score buffers are
+    scaled by idf (idf x max(raw) == max(idf x raw) bit-for-bit for
+    positive idf, so block-max metadata just scales); segment columns
+    concatenate in slice order, which equals the single-level file
+    order — output is bit-identical to a single-level merge."""
+    rows: dict[str, list[dict]] = {}
+    for part_idx, table in enumerate(partials):
+        if table.num_rows == 0:
+            continue
+        data = table.to_pylist()
+        for row in data:
+            rows.setdefault(row["term"], []).append(row)
+
+    cols: dict[str, list] = {name: [] for name in SHARD_SCHEMA.names}
+    n_postings = 0
+    for term in sorted(rows):
+        parts = rows[term]
+        df = int(sum(p["df"] for p in parts))
+        if df <= cfg.min_df_exclusive:
+            continue
+        n_postings += df
+        idf = float(np.log((num_documents - df + 0.5) / (df + 0.5) + 1.0))
+
+        raw_concat = b"".join(p["bm25"] for p in parts)
+        scaled = idf * np.frombuffer(raw_concat, dtype="<f8")
+        block_max = [idf * m for p in parts for m in p["block_max_bm25"]]
+
+        cols["term"].append(term)
+        cols["df"].append(df)
+        cols["idf"].append(idf)
+        cols["min_bm25"].append(idf * min(p["min_bm25"] for p in parts))
+        cols["max_bm25"].append(idf * max(p["max_bm25"] for p in parts))
+        cols["seg_lens"].append([x for p in parts for x in p["seg_lens"]])
+        cols["doc_ids"].append(b"".join(p["doc_ids"] for p in parts))
+        cols["counts"].append(b"".join(p["counts"] for p in parts))
+        cols["bm25"].append(scaled.astype("<f8").tobytes())
+        cols["positions"].append(b"".join(p["positions"] for p in parts))
+        cols["block_first_doc"].append(
+            [x for p in parts for x in p["block_first_doc"]])
         cols["block_max_bm25"].append(block_max)
 
     table = pa.table(

@@ -435,3 +435,40 @@ class TestSkewAndSpillResume:
         assert set(got) == set(want)
         for term in want:
             assert got[term] == want[term], term
+
+
+class TestSaltedMerge:
+    def test_bit_identical_to_single_level(self, ray_session,
+                                           pages_parquet, tmp_path):
+        """merge_salts=3 must reproduce the single-level index exactly
+        (same parquet content per shard — not just same postings)."""
+        import hashlib
+        import os
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from modernsearchengines_ray.config import IndexConfig
+        from modernsearchengines_ray.pipelines.build_index import build_index
+        from modernsearchengines_ray.pipelines.corpus_prep import prepare_corpus
+
+        corpus_df = prepare_corpus(
+            rd.read_parquet(pages_parquet)).to_pandas()
+        cols = corpus_df[["doc_id", "url", "text"]]
+        cfg = IndexConfig(num_shards=8)
+
+        single = str(tmp_path / "single")
+        salted = str(tmp_path / "salted")
+        # same corpus_id -> same spill key; use separate dirs so each
+        # spills independently (block structure identical: same input)
+        build_index(rd.from_pandas(cols), single, cfg=cfg, corpus_id="s1")
+        build_index(rd.from_pandas(cols), salted, cfg=cfg, corpus_id="s1",
+                    merge_salts=3)
+
+        for k in range(cfg.num_shards):
+            a = pq.read_table(os.path.join(single, f"shard={k}.parquet"))
+            b = pq.read_table(os.path.join(salted, f"shard={k}.parquet"))
+            assert a.schema == b.schema
+            assert a.num_rows == b.num_rows, k
+            for name in a.column_names:
+                assert a[name].to_pylist() == b[name].to_pylist(), (k, name)
