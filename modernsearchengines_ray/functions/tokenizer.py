@@ -27,16 +27,9 @@ from .textnorm import normalize_chunk, split_text
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
 #: memoized stem cache — Zipf makes this extremely effective; bounded by
-#: vocabulary size which is tiny relative to token count.
+#: vocabulary size which is tiny relative to token count.  Filled inline
+#: in the tokenize hot loop.
 _STEM_CACHE: dict[str, str] = {}
-
-
-def stem_cached(token: str) -> str:
-    stem = _STEM_CACHE.get(token)
-    if stem is None:
-        stem = porter_stem(token)
-        _STEM_CACHE[token] = stem
-    return stem
 
 
 def tokenize(

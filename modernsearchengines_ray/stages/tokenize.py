@@ -30,14 +30,12 @@ the same WAND upper bounds).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..config import IndexConfig
 from ..functions.hashing import term_shard
 from ..functions.textnorm import url_to_comma_separated_words
 from ..functions.tokenizer import tokenize
-from ..functions.varint import encode_varints_np, varint_lengths_np
 
 RUN_SCHEMA = pa.schema([
     ("term", pa.string()),
@@ -49,14 +47,37 @@ RUN_SCHEMA = pa.schema([
 ])
 
 
+def _encode_positions(positions: list[int], out: bytearray) -> None:
+    """Append the delta+varint stream of a (short, ascending) list.
+
+    Pure-Python on purpose: per-posting lists are tiny (tf is 1-3 for
+    most terms) and numpy per-call setup costs ~10x this loop — a
+    batch-wide vectorized encode was tried and measured ~30% SLOWER
+    end-to-end (list marshalling swamped the saved varint loops); the
+    numpy codecs serve the long per-term streams at decode time.
+    """
+    prev = 0
+    for value in positions:
+        delta = value - prev
+        prev = value
+        while True:
+            byte = delta & 0x7F
+            delta >>= 7
+            if delta:
+                out.append(byte | 0x80)
+            else:
+                out.append(byte)
+                break
+
+
 class _Run:
-    __slots__ = ("doc_ids", "tfs", "doc_lens", "pos_lists")
+    __slots__ = ("doc_ids", "tfs", "doc_lens", "blob")
 
     def __init__(self) -> None:
         self.doc_ids: list[int] = []
         self.tfs: list[int] = []
         self.doc_lens: list[int] = []
-        self.pos_lists: list[list[int]] = []
+        self.blob = bytearray()
 
 
 #: per-worker-process shard cache shared across task invocations
@@ -112,39 +133,9 @@ def build_runs(batch: pa.Table, cfg: IndexConfig) -> tuple[pa.Table, tuple[int, 
             run.doc_ids.append(doc_id)
             run.tfs.append(len(positions))
             run.doc_lens.append(doc_len)
-            run.pos_lists.append(positions)
+            _encode_positions(positions, run.blob)
 
     terms = sorted(runs)
-
-    # one vectorized delta+varint encode for EVERY position in the
-    # batch (term-major, doc-major; delta resets per doc), then
-    # byte-slice per term — a per-posting Python varint loop measured
-    # ~25% of the whole stage
-    all_pos: list[int] = []
-    doc_starts: list[int] = []
-    term_bounds = [0]
-    for t in terms:
-        for plist in runs[t].pos_lists:
-            doc_starts.append(len(all_pos))
-            all_pos.extend(plist)
-        term_bounds.append(len(all_pos))
-    if all_pos:
-        flat = np.asarray(all_pos, dtype=np.int64)
-        starts = np.asarray(doc_starts, dtype=np.int64)
-        deltas = np.empty_like(flat)
-        deltas[0] = flat[0]
-        np.subtract(flat[1:], flat[:-1], out=deltas[1:])
-        deltas[starts] = flat[starts]
-        blob = encode_varints_np(deltas)
-        byte_cum = np.zeros(len(flat) + 1, dtype=np.int64)
-        np.cumsum(varint_lengths_np(deltas), out=byte_cum[1:])
-        blobs = [
-            blob[byte_cum[term_bounds[i]] : byte_cum[term_bounds[i + 1]]]
-            for i in range(len(terms))
-        ]
-    else:
-        blobs = [b""] * len(terms)
-
     table = pa.table(
         {
             "term": pa.array(terms, pa.string()),
@@ -160,7 +151,9 @@ def build_runs(batch: pa.Table, cfg: IndexConfig) -> tuple[pa.Table, tuple[int, 
             "doc_lens": pa.array(
                 [runs[t].doc_lens for t in terms], pa.list_(pa.int32())
             ),
-            "positions": pa.array(blobs, pa.binary()),
+            "positions": pa.array(
+                [bytes(runs[t].blob) for t in terms], pa.binary()
+            ),
         },
         schema=RUN_SCHEMA,
     )
