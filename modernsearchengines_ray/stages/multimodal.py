@@ -121,7 +121,7 @@ class AudioDecode:
 
 def sample_frames(row: dict, every_n_bytes: int = 4096,
                   max_frames: int = 8) -> list[dict]:
-    """flat_map fn: one media row -> up to ``max_frames`` frame rows.
+    """One media row -> up to ``max_frames`` frame rows.
 
     The fake 'frame' is the byte window at each sample point; a real
     video path replaces the windowing with pyav keyframe extraction —
@@ -139,6 +139,25 @@ def sample_frames(row: dict, every_n_bytes: int = 4096,
             "frame": payload[start : start + 256],
         })
     return out
+
+
+def _sample_frames_batch(batch: pa.Table, every_n_bytes: int,
+                         max_frames: int) -> pa.Table:
+    """Batched fan-out (``flat_map`` would invoke Python per ROW)."""
+    ids, idxs, frames = [], [], []
+    for item_id, payload in zip(batch["item_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+        for row in sample_frames(
+                {"item_id": item_id, "payload": payload},
+                every_n_bytes, max_frames):
+            ids.append(row["item_id"])
+            idxs.append(row["frame_idx"])
+            frames.append(row["frame"])
+    return pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "frame_idx": pa.array(idxs, pa.int32()),
+        "frame": pa.array(frames, pa.binary()),
+    })
 
 
 def image_features(ds, concurrency=2, batch_size: int = 64,
@@ -167,7 +186,13 @@ def audio_features(ds, concurrency=2, batch_size: int = 64,
     )
 
 
-def frame_samples(ds, every_n_bytes: int = 4096, max_frames: int = 8):
-    return ds.flat_map(
-        lambda row: sample_frames(row, every_n_bytes, max_frames)
+def frame_samples(ds, every_n_bytes: int = 4096, max_frames: int = 8,
+                  batch_size: int = 64):
+    return ds.map_batches(
+        _sample_frames_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        fn_kwargs={"every_n_bytes": every_n_bytes,
+                   "max_frames": max_frames},
     )
