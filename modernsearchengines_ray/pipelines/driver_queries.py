@@ -599,6 +599,33 @@ def q_distinct_users(sf_dir: str):
 SQL_DISTINCT_USERS = "SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events"
 
 
+def q_distinct_users_approx(sf_dir: str):
+    """HLL approximate distinct users: one sketch per batch (the
+    registers ARE the partial aggregate — no shuffle), merged by
+    elementwise max on the driver.  Rows-only check; pytest bounds the
+    error vs the exact count (~0.81% stderr at p=14)."""
+    from ..functions.hll import HyperLogLog
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        sketch = HyperLogLog()
+        sketch.add_many(batch["user_id"].to_pylist())
+        return pa.table({
+            "registers": pa.array([sketch.registers.tobytes()], pa.binary()),
+        })
+
+    parts = ds.map_batches(sketch_batch, batch_format="pyarrow").to_pandas()
+    merged = HyperLogLog()
+    for blob in parts["registers"]:
+        merged.merge(HyperLogLog.from_registers(
+            np.frombuffer(blob, dtype=np.uint8)))
+    return pd.DataFrame({
+        "n_users_approx": pd.array([int(round(merged.estimate()))],
+                                   dtype="int64"),
+    })
+
+
 def q_region_nations(sf_dir: str):
     """nation ⋈ region broadcast join + count per region."""
     import ray
@@ -1057,6 +1084,7 @@ QUERY_FUNCS = {
     "pricing_summary": q_pricing_summary,
     "events_window": q_events_window,
     "distinct_users": q_distinct_users,
+    "distinct_users_approx": q_distinct_users_approx,
     "region_nations": q_region_nations,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,

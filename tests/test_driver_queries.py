@@ -103,3 +103,11 @@ def test_ann_ivf_recall_vs_exact(contract):
     approx = _to_pandas(contract.queries()["ann_ivf"](SF_DIR))
     overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
     assert overlap >= 8, f"recall@10 too low: {overlap}/10"
+
+
+def test_distinct_users_approx_error_bound(contract, ddb):
+    approx = _to_pandas(contract.queries()["distinct_users_approx"](SF_DIR))
+    exact = ddb.execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    got = int(approx["n_users_approx"].iloc[0])
+    assert abs(got - exact) / exact < 0.05, (got, exact)

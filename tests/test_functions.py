@@ -244,3 +244,34 @@ class TestProximityFastPath:
         # empty/singleton contract
         assert calculate_proximity_score([]) == 0.0
         assert calculate_proximity_score([np.array([3])]) == 0.0
+
+
+class TestHyperLogLog:
+    def test_estimate_accuracy_and_merge(self):
+        from modernsearchengines_ray.functions.hll import HyperLogLog
+
+        full = HyperLogLog()
+        a, b = HyperLogLog(), HyperLogLog()
+        n = 50_000
+        for i in range(n):
+            full.add(i)
+            (a if i % 2 else b).add(i)
+        # p=14 => ~0.81% stderr; allow 4 sigma
+        assert abs(full.estimate() - n) / n < 0.033
+        merged = a.merge(b)
+        assert abs(merged.estimate() - full.estimate()) < 1e-9
+
+    def test_duplicates_dont_inflate(self):
+        from modernsearchengines_ray.functions.hll import HyperLogLog
+
+        s = HyperLogLog()
+        for _ in range(10):
+            s.add_many(range(1000))
+        assert abs(s.estimate() - 1000) / 1000 < 0.05
+
+    def test_small_range_linear_counting(self):
+        from modernsearchengines_ray.functions.hll import HyperLogLog
+
+        s = HyperLogLog()
+        s.add_many(range(10))
+        assert round(s.estimate()) == 10
