@@ -732,6 +732,16 @@ WHERE NOT EXISTS (
 """
 
 
+def q_embedding_lsh_pairs(sf_dir: str):
+    """Hyperplane-LSH cosine near-dup candidates with exact
+    verification — the bucketed scale path (no all-pairs matrix) —
+    rows-only check (pytest pins recall + zero false positives)."""
+    from ..stages.dedup import embedding_lsh_candidate_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_lsh_candidate_pairs(ds, threshold=0.95)
+
+
 def q_simhash_near_dedup(sf_dir: str):
     """Simhash hamming-radius<=3 near-dup collapse (band-rotation LSH)
     — rows-only check (hash values live in our kernel, not SQL)."""
@@ -1089,6 +1099,7 @@ QUERY_FUNCS = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "embedding_dedup": q_embedding_dedup,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "simhash_near_dedup": q_simhash_near_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "image_features": q_image_features,

@@ -392,6 +392,91 @@ def jaccard_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
 # -- embedding-cosine near-dup ---------------------------------------------
 
+def embedding_lsh_candidate_pairs(ds, id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  threshold: float = 0.95,
+                                  num_tables: int = 8,
+                                  hyperplanes_per_table: int = 12,
+                                  seed: int = 42) -> pd.DataFrame:
+    """Random-hyperplane LSH (Charikar 2002 SimHash for angles): the
+    bucketed SCALE path for cosine near-dup — no all-pairs matrix.
+
+    Each of ``num_tables`` hash tables buckets vectors by the sign
+    pattern of ``hyperplanes_per_table`` random projections; two
+    vectors at angle θ collide in one table with prob
+    (1 - θ/π)^h, so candidates survive with prob
+    1-(1-p)^T (≥ 0.95-cosine pairs: ~0.89 at the 8x12 default).
+    Candidates are verified with the exact cosine.  Returns verified
+    (id_a, id_b, cos_sim) pairs, id_a < id_b."""
+    import ray
+
+    rng = np.random.RandomState(seed)
+    sample = ds.limit(1).to_pandas()[vec_col].iloc[0]
+    dim = len(sample)
+    planes = rng.randn(num_tables, hyperplanes_per_table, dim)
+    planes_ref = ray.put(planes)
+    weights = (1 << np.arange(hyperplanes_per_table)).astype(np.int64)
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids = batch[id_col].to_numpy()
+        emb = batch[vec_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64) \
+            .reshape(len(ids), -1)
+        out_ids, out_keys = [], []
+        for t in range(pl.shape[0]):
+            signs = (mat @ pl[t].T) > 0                # n x h
+            codes = signs.astype(np.int64) @ weights
+            out_ids.extend(ids.tolist())
+            out_keys.extend((np.int64(t) << np.int64(32)) + codes)
+        return pa.table({
+            id_col: pa.array(out_ids, pa.int64()),
+            "bucket": pa.array(out_keys, pa.int64()),
+        })
+
+    buckets = ds.map_batches(bucket_rows, batch_format="pyarrow")
+    bdf = pa.concat_tables(
+        __import__("ray").get(buckets.to_arrow_refs())).to_pandas()
+    sizes = bdf.groupby("bucket")[id_col].transform("nunique")
+    collisions = bdf[sizes >= 2]
+    cand = set()
+    for _, group in collisions.groupby("bucket"):
+        ids = sorted(set(group[id_col]))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    if not cand:
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                             "id_b": pd.array([], dtype="int64"),
+                             "cos_sim": pd.array([], dtype="float64")})
+
+    # exact verification: fetch only candidate vectors
+    wanted = {i for pair in cand for i in pair}
+    wanted_ref = ray.put(wanted)
+
+    def project(batch: pa.Table) -> pa.Table:
+        keep = ray.get(wanted_ref)
+        mask = pa.array([v in keep for v in batch[id_col].to_pylist()],
+                        pa.bool_())
+        return batch.select([id_col, vec_col]).filter(mask)
+
+    vdf = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    vecs = {i: np.asarray(v, dtype=np.float64)
+            for i, v in zip(vdf[id_col], vdf[vec_col])}
+    rows = []
+    for a, b in sorted(cand):
+        va, vb = vecs[a], vecs[b]
+        sim = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        if sim >= threshold:
+            rows.append((a, b, round(sim, 6)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"]) \
+        if rows else pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                                   "id_b": pd.array([], dtype="int64"),
+                                   "cos_sim": pd.array([], dtype="float64")})
+
+
 def dedup_embedding_cosine(ds, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.95):

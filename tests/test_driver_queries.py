@@ -111,3 +111,14 @@ def test_distinct_users_approx_error_bound(contract, ddb):
         "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
     got = int(approx["n_users_approx"].iloc[0])
     assert abs(got - exact) / exact < 0.05, (got, exact)
+
+
+def test_embedding_lsh_pairs_schema(contract):
+    # the sf0.01 embeddings contain no >=0.95-cosine pairs (the exact
+    # dominance dedup keeps all rows), so the contract here is schema +
+    # agreement with that fact; recall is pinned in test_pipeline on a
+    # corpus WITH planted near-dups
+    res = _to_pandas(contract.queries()["embedding_lsh_pairs"](SF_DIR))
+    assert list(res.columns) == ["id_a", "id_b", "cos_sim"]
+    exact_kept = _to_pandas(contract.queries()["embedding_dedup"](SF_DIR))
+    assert (len(res) == 0) == (len(exact_kept) == 500)

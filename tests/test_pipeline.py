@@ -472,3 +472,48 @@ class TestSaltedMerge:
             assert a.num_rows == b.num_rows, k
             for name in a.column_names:
                 assert a[name].to_pylist() == b[name].to_pylist(), (k, name)
+
+
+class TestEmbeddingLsh:
+    def test_lsh_candidates_cover_exact_pairs(self, ray_session):
+        """Hyperplane LSH must find (nearly) all >=0.95-cosine pairs on
+        a corpus with planted near-dups, and verification keeps no
+        false positives."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import (
+            embedding_lsh_candidate_pairs,
+        )
+
+        rng = np.random.RandomState(4)
+        base = rng.randn(60, 24)
+        rows, ids = [], []
+        for i, v in enumerate(base):
+            rows.append(v)
+            ids.append(2 * i)
+            if i % 3 == 0:                   # plant a near-dup
+                rows.append(v + 0.02 * rng.randn(24))
+                ids.append(2 * i + 1)
+        mat = np.stack(rows)
+        mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat_n @ mat_n.T
+        exact = {
+            (ids[i], ids[j])
+            for i in range(len(ids)) for j in range(i + 1, len(ids))
+            if sims[i, j] >= 0.95
+        }
+        assert exact, "fixture must contain near-dup pairs"
+
+        df = pd.DataFrame({
+            "vec_id": ids,
+            "embedding": [list(map(float, v)) for v in mat],
+        })
+        pairs = embedding_lsh_candidate_pairs(rd.from_pandas(df))
+        got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        # every returned pair is truly >= threshold (verified)
+        assert got <= exact | {(min(a, b), max(a, b)) for a, b in exact}
+        # recall: the 8x12 table config catches ~89% per pair; on this
+        # fixture demand >= 80% of the planted pairs
+        assert len(got & exact) / len(exact) >= 0.8, (len(got), len(exact))
