@@ -21,6 +21,8 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 
+import numpy as np
+
 from ..functions.hashing import stable_hash64
 from ..stages.dedup import dedup_exact_simhash
 from ..stages.extract import extract_pages
@@ -34,31 +36,72 @@ def filter_english(ds):
     )
 
 
-def assign_doc_ids(ds, mode: str = "dense_rank"):
+def assert_unique_keys(ds, col: str = "url") -> int:
+    """Validate the exact-dedup precondition that ``col`` is unique
+    (the reference's pages table declares url PRIMARY KEY —
+    WebCrawler_basis.py:311-320; parquet enforces nothing).  Runs as
+    two narrow distributed counts; raises ``ValueError`` on duplicates.
+    Returns the distinct count."""
+    narrow = ds.select_columns([col])
+    total = narrow.count()
+    distinct = len(narrow.unique(col))
+    if distinct != total:
+        raise ValueError(
+            f"column {col!r} is not unique: {total} rows, "
+            f"{distinct} distinct — dedup keep-min({col}) and doc-id "
+            "assignment require unique keys")
+    return distinct
+
+
+def check_doc_id_collisions(ds) -> None:
+    """In-pipeline collision check for hash-mode doc ids: the 63-bit
+    url hash must be injective over this corpus (expected collisions at
+    10^9 urls: ~0.05; still, a collision silently merges two docs'
+    postings, so fail loudly).  Narrow distributed distinct counts only."""
+    n_ids = len(ds.select_columns(["doc_id"]).unique("doc_id"))
+    n_urls = len(ds.select_columns(["url"]).unique("url"))
+    if n_ids != n_urls:
+        raise ValueError(
+            f"doc_id hash collision: {n_urls} distinct urls -> "
+            f"{n_ids} distinct doc_ids; re-key with a wider hash or "
+            "dense_rank mode")
+
+
+def assign_doc_ids(ds, mode: str = "dense_rank",
+                   check_collisions: bool = False):
     """Attach int64 ``doc_id``.
 
     - dense_rank: rank of url in the lexicographically sorted url set
       (deterministic, matches the oracle; driver pulls ONLY the url
-      column — conformance-scale path).
-    - hash: stable 63-bit hash of url — the shuffle-free scale path.
+      column and broadcasts it as a SORTED ARRAY — ``np.searchsorted``
+      lookup per batch, no per-task Python dict — conformance-scale
+      path).
+    - hash: stable 63-bit hash of url — the shuffle-free scale path;
+      ``check_collisions=True`` adds the loud-failure injectivity check
+      (two narrow distinct counts; off by default to keep the build
+      single-pass — enable for untrusted corpora).
     """
     if mode == "hash":
         def add_hash_id(batch: pa.Table) -> pa.Table:
             ids = [stable_hash64(u) & 0x7FFFFFFFFFFFFFFF
                    for u in batch["url"].to_pylist()]
             return batch.append_column("doc_id", pa.array(ids, pa.int64()))
-        return ds.map_batches(add_hash_id, batch_format="pyarrow")
 
-    urls = sorted(
-        ds.select_columns(["url"]).to_pandas()["url"].tolist()
-    )
-    rank = {url: i for i, url in enumerate(urls)}
-    rank_ref = ray.put(rank)
+        out = ds.map_batches(add_hash_id, batch_format="pyarrow")
+        if check_collisions:
+            check_doc_id_collisions(out)
+        return out
+
+    urls = np.sort(np.asarray(
+        ds.select_columns(["url"]).to_pandas()["url"], dtype=object))
+    urls_ref = ray.put(urls)
 
     def add_rank_id(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(rank_ref)
-        ids = [lookup[u] for u in batch["url"].to_pylist()]
-        return batch.append_column("doc_id", pa.array(ids, pa.int64()))
+        sorted_urls = ray.get(urls_ref)
+        ids = np.searchsorted(
+            sorted_urls, np.asarray(batch["url"].to_pylist(), dtype=object))
+        return batch.append_column(
+            "doc_id", pa.array(ids.astype(np.int64), pa.int64()))
 
     return ds.map_batches(add_rank_id, batch_format="pyarrow")
 
@@ -117,17 +160,24 @@ def prepare_corpus_streaming(pages_ds, workdir: str,
                              columns=["simhash", "url", "lang"])
     partial_refs = filter_english(narrow).map_batches(
         batch_min, batch_format="pyarrow").to_arrow_refs()
-    partials = pa.concat_tables(ray.get(partial_refs))
+    from ..stages.dedup import concat_partials
+
+    partials = concat_partials(ray.get(partial_refs))
     winners = partials.group_by("simhash").aggregate([("url_min", "min")])
-    keep_set = set(winners["url_min_min"].to_pylist())
-    keep_ref = ray.put(keep_set)
+    from ..stages.dedup import _pair_winner_mask, _sorted_winner_arrays
+
+    # filter on the (simhash, url) PAIR — url membership alone would
+    # keep every snapshot of a winning url and could keep a loser whose
+    # url won a different hash group (see stages/dedup.py docstring)
+    win_hashes, win_urls = _sorted_winner_arrays(
+        winners, "simhash", "url_min_min")
+    win_ref = ray.put((win_hashes, win_urls))
 
     def filter_winners(batch: pa.Table) -> pa.Table:
-        keep = ray.get(keep_ref)
-        mask = pa.array(
-            [u in keep for u in batch["url"].to_pylist()], pa.bool_()
-        )
-        return batch.filter(mask)
+        wh, wu = ray.get(win_ref)
+        hashes = batch["simhash"].to_numpy(zero_copy_only=False)
+        urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+        return batch.filter(pa.array(_pair_winner_mask(hashes, urls, wh, wu)))
 
     read_kwargs = {}
     if num_blocks is not None:

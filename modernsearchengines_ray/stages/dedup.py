@@ -10,22 +10,84 @@ Beyond the reference, the training-data dedup family:
 - exact dedup by md5(text) (hash-partition + per-group first),
 - MinHash+LSH near-dup (shingle -> signature -> band -> bucket groupby),
 - simhash hamming-radius near-dup via band rotation,
-- n-gram Jaccard verification of candidate pairs.
+- n-gram Jaccard verification of candidate pairs,
+- embedding-cosine near-dup (hyperplane-LSH candidates + exact verify).
 
-All stages replace the reference's O(n²) pairwise loop with a single
-``groupby`` shuffle on the hash key — the scalable formulation.
+Reduce tiers (every exact/minhash dedup takes ``reduce=``):
+
+- ``"driver"`` (default at test scale): map-side per-batch Arrow
+  group-min partials -> one driver reduce over the NARROW (hash, key)
+  pairs -> broadcast winner table -> vectorized semi-join filter.  The
+  wide rows never shuffle; the driver holds one row per unique hash.
+- ``"partitioned"`` (the 10^12-doc path): the same map-side partials
+  feed a distributed ``groupby(hash).aggregate(Min(key))`` and the
+  winner set joins back via ``Dataset.join`` (hash-shuffle semi-join) —
+  NO driver materialization anywhere.  Both modes are bit-identical
+  (tested); driver mode stays the default because the hash-shuffle
+  fixed overheads (~seconds of aggregator actor startup) dwarf the
+  reduce itself below ~10^8 rows.
+
+Winner filters match on the FULL (hash, key) pair, not key membership
+alone: with multi-snapshot inputs (same url recrawled, different
+content) key-only filtering would keep every row sharing a winning url
+and could keep a losing row whose url won a *different* hash group.
+Precondition for exact dedup semantics: (hash, key) pairs are unique
+per row — rows carrying an identical pair (byte-identical recrawl) all
+survive; validate keys with
+:func:`modernsearchengines_ray.pipelines.corpus_prep.assert_unique_keys`
+at ingestion when that matters.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
-
-import numpy as np
+import pyarrow.compute as pc
 
 from ..functions.hashing import text_fingerprint
 from ..functions.minhash import MinHasher, word_shingles
 from ..functions.simhash import hamming_distance, simhash64
+
+#: partitions for the ``reduce="partitioned"`` hash-shuffle ops; at
+#: sandbox scale a couple suffice — at cluster scale size to nodes.
+DEFAULT_JOIN_PARTITIONS = 2
+
+
+def concat_partials(tables: list[pa.Table]) -> pa.Table:
+    """Concat map-side partial tables, tolerating the empty-schema
+    blocks Ray Data emits for zero-row inputs."""
+    real = [t for t in tables if t.num_columns > 0]
+    if not real:
+        return tables[0] if tables else pa.table({})
+    return pa.concat_tables([t for t in real if t.num_rows > 0] or real[:1])
+
+
+# -- vectorized filter helpers ---------------------------------------------
+
+def _keep_mask_isin(column, values: pa.Array) -> pa.Array:
+    """Boolean mask: column element ∈ values (one vectorized kernel —
+    a ``[v in keep for v in col.to_pylist()]`` loop is per-row Python)."""
+    return pc.is_in(column, value_set=values)
+
+
+def _pair_winner_mask(hashes: np.ndarray, keys: np.ndarray,
+                      win_hashes: np.ndarray,
+                      win_keys: np.ndarray) -> np.ndarray:
+    """Row keeps iff (hash, key) equals its group's (hash, winner key).
+
+    ``win_hashes`` must be sorted; lookup is one ``searchsorted`` + one
+    vectorized equality (every hash has a winner by construction)."""
+    idx = np.searchsorted(win_hashes, hashes)
+    return win_keys[idx] == keys
+
+
+def _sorted_winner_arrays(winners: pa.Table, hash_col: str,
+                          key_col: str) -> tuple[np.ndarray, np.ndarray]:
+    wh = winners[hash_col].to_numpy(zero_copy_only=False)
+    wk = np.asarray(winners[key_col].to_pylist(), dtype=object)
+    order = np.argsort(wh, kind="stable")
+    return wh[order], wk[order]
 
 
 # -- exact simhash dedup (the reference's semantics) -----------------------
@@ -35,53 +97,71 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(hashes, pa.uint64()))
 
 
-def _keep_min(group: pd.DataFrame, key: str) -> pd.DataFrame:
-    return group.nsmallest(1, key) if key in group else group.head(1)
-
-
-def dedup_exact_simhash(ds, keep_key: str = "url"):
-    """Exact-hash dedup with deterministic keep-min(keep_key) rule.
-
-    Scale-shaped: the wide exchange only moves (simhash, keep_key)
-    pairs — map-side per-batch min first, then a tiny groupby-min —
-    and the winner set is broadcast back as a semi-join filter, so the
-    full-width rows are never shuffled.  (A per-group ``map_groups``
-    would invoke Python once per group — pathological when most
-    groups have size 1.)
-
-    Scale note: the driver reduce + broadcast keep-set hold one row per
-    unique document — right up to the point the winner map outgrows
-    driver memory; at 10^12 docs the same plan swaps both for a
-    hash(simhash)-partitioned ``groupby`` semi-join — the shuffled
-    columns stay (simhash, keep_key) only.  (A Dataset ``groupby`` here
-    costs a flat ~6s all-to-all for a reduction the driver finishes in
-    milliseconds on the map-side partials.)
-    """
+def _dedup_exact_by_hash_col(hashed_ds, hash_col: str, keep_key: str,
+                             reduce: str, num_partitions: int | None):
+    """Shared winner-election + pair semi-join over an attached hash
+    column.  Returns the filtered Dataset (hash column retained)."""
     import ray
 
-    def hash_projection(batch: pa.Table, text_col: str = "text") -> pa.Table:
-        hashes = [simhash64(t) for t in batch[text_col].to_pylist()]
-        return pa.table({
-            "simhash": pa.array(hashes, pa.uint64()),
-            keep_key: batch[keep_key],
-        }).group_by("simhash").aggregate([(keep_key, "min")])
+    def batch_min(batch: pa.Table) -> pa.Table:
+        return batch.select([hash_col, keep_key]) \
+            .group_by(hash_col).aggregate([(keep_key, "min")])
 
-    refs = ds.map_batches(hash_projection, batch_format="pyarrow") \
+    if reduce == "partitioned":
+        from ray.data.aggregate import Min
+
+        # distributed winner election + hash-shuffle semi-join on the
+        # (hash, key) PAIR — no driver state at any point
+        partials = hashed_ds.map_batches(batch_min, batch_format="pyarrow")
+        winners = partials.groupby(hash_col).aggregate(
+            Min(f"{keep_key}_min", alias_name="win_key"))
+        return hashed_ds.join(
+            winners, "inner",
+            num_partitions=num_partitions or DEFAULT_JOIN_PARTITIONS,
+            on=(hash_col, keep_key), right_on=(hash_col, "win_key"),
+        )
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
+
+    refs = hashed_ds.map_batches(batch_min, batch_format="pyarrow") \
         .to_arrow_refs()
-    partials = pa.concat_tables(ray.get(refs))
-    winners = partials.group_by("simhash") \
+    partials = concat_partials(ray.get(refs))
+    winners = partials.group_by(hash_col) \
         .aggregate([(f"{keep_key}_min", "min")])
-    keep_set = set(winners[f"{keep_key}_min_min"].to_pylist())
-    keep_ref = ray.put(keep_set)
+    win_hashes, win_keys = _sorted_winner_arrays(
+        winners, hash_col, f"{keep_key}_min_min")
+    win_ref = ray.put((win_hashes, win_keys))
 
     def filter_winners(batch: pa.Table) -> pa.Table:
-        keep = ray.get(keep_ref)
-        mask = pa.array(
-            [v in keep for v in batch[keep_key].to_pylist()], pa.bool_()
-        )
-        return batch.filter(mask)
+        wh, wk = ray.get(win_ref)
+        hashes = batch[hash_col].to_numpy(zero_copy_only=False)
+        keys = np.asarray(batch[keep_key].to_pylist(), dtype=object)
+        return batch.filter(pa.array(_pair_winner_mask(hashes, keys, wh, wk)))
 
-    return ds.map_batches(filter_winners, batch_format="pyarrow")
+    return hashed_ds.map_batches(filter_winners, batch_format="pyarrow")
+
+
+def dedup_exact_simhash(ds, keep_key: str = "url", reduce: str = "driver",
+                        num_partitions: int | None = None):
+    """Exact-hash dedup with deterministic keep-min(keep_key) rule.
+
+    See the module docstring for the two reduce tiers and the
+    (hash, key) pair-filter semantics.  The internal simhash column is
+    bit-cast to int64: hash values only GROUP (their order never
+    matters) and Ray's shuffle block builders reject uint64 values
+    above 2^63."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        hashes = np.fromiter(
+            (simhash64(t) for t in batch["text"].to_pylist()),
+            dtype=np.uint64, count=batch.num_rows,
+        ).view(np.int64)
+        return batch.append_column("simhash", pa.array(hashes, pa.int64()))
+
+    hashed = ds.map_batches(attach, batch_format="pyarrow")
+    out = _dedup_exact_by_hash_col(hashed, "simhash", keep_key,
+                                   reduce, num_partitions)
+    return out.drop_columns(["simhash"])
 
 
 # -- exact dedup on content hash ------------------------------------------
@@ -91,35 +171,15 @@ def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("text_hash", pa.array(hashes, pa.string()))
 
 
-def dedup_exact_hash(ds, keep_key: str, text_col: str = "text"):
-    """md5(text)-keyed exact dedup, same shuffle-free plan as
-    :func:`dedup_exact_simhash` (map-side min -> driver reduce ->
-    broadcast semi-join filter)."""
-    import ray
-
+def dedup_exact_hash(ds, keep_key: str, text_col: str = "text",
+                     reduce: str = "driver",
+                     num_partitions: int | None = None):
+    """md5(text)-keyed exact dedup, same plan as
+    :func:`dedup_exact_simhash` (output keeps the ``text_hash`` column)."""
     hashed = ds.map_batches(lambda b: add_text_hash(b, text_col),
                             batch_format="pyarrow")
-
-    def batch_min(batch: pa.Table) -> pa.Table:
-        return batch.select(["text_hash", keep_key]) \
-            .group_by("text_hash").aggregate([(keep_key, "min")])
-
-    refs = hashed.map_batches(batch_min, batch_format="pyarrow") \
-        .to_arrow_refs()
-    partials = pa.concat_tables(ray.get(refs))
-    winners = partials.group_by("text_hash") \
-        .aggregate([(f"{keep_key}_min", "min")])
-    keep_set = set(winners[f"{keep_key}_min_min"].to_pylist())
-    keep_ref = ray.put(keep_set)
-
-    def filter_winners(batch: pa.Table) -> pa.Table:
-        keep = ray.get(keep_ref)
-        mask = pa.array(
-            [v in keep for v in batch[keep_key].to_pylist()], pa.bool_()
-        )
-        return batch.filter(mask)
-
-    return hashed.map_batches(filter_winners, batch_format="pyarrow")
+    return _dedup_exact_by_hash_col(hashed, "text_hash", keep_key,
+                                    reduce, num_partitions)
 
 
 # -- MinHash + LSH near-dup ------------------------------------------------
@@ -167,18 +227,22 @@ class MinHashBands:
 
 def minhash_duplicate_groups(ds, id_col: str = "doc_id", text_col: str = "text",
                              num_perm: int = 128, num_bands: int = 16,
-                             concurrency: int | None = None):
+                             concurrency: int | None = None,
+                             reduce: str = "driver",
+                             num_partitions: int | None = None):
     """Dataset -> (doc_id, dup_root): dup_root = min id over every band
     bucket the doc lands in (one-hop single-link, as before).
 
-    Shape: map-side per-batch (band_key, min_id) partials -> driver
-    Arrow group_by min -> broadcast {band_key: min_id} -> map-side
-    per-doc min over its bands.  No per-group Python: a naive
+    driver mode: map-side per-batch (band_key, min_id) partials ->
+    driver Arrow group_by min -> broadcast winner table -> vectorized
+    per-doc min over its bands; rows are PARTIAL (a doc's bands may
+    straddle batches) — consumers min-reduce per id.  partitioned mode:
+    the same plan with distributed ``groupby`` + ``join`` in place of
+    the driver reduce/broadcast; rows are final (already min-reduced).
+    No per-group Python in either mode: a naive
     ``groupby(band_key).map_groups`` invokes pandas once per bucket and
     buckets are overwhelmingly singletons (measured 5.9s at 500 docs,
-    all overhead).  Scale path: when the winner map outgrows the
-    driver, the two reduces become hash-partitioned ``groupby``s —
-    the map-side kernels are unchanged."""
+    all overhead)."""
     import ray
 
     def bands_task(batch: pa.Table) -> pa.Table:
@@ -194,29 +258,85 @@ def minhash_duplicate_groups(ds, id_col: str = "doc_id", text_col: str = "text",
     def batch_min(batch: pa.Table) -> pa.Table:
         return batch.group_by("band_key").aggregate([(id_col, "min")])
 
+    if reduce == "partitioned":
+        from ray.data.aggregate import Min
+
+        nparts = num_partitions or DEFAULT_JOIN_PARTITIONS
+        winners = bands.map_batches(batch_min, batch_format="pyarrow") \
+            .groupby("band_key") \
+            .aggregate(Min(f"{id_col}_min", alias_name="band_root"))
+        rooted = bands.join(winners, "inner", num_partitions=nparts,
+                            on=("band_key",))
+        pairs = rooted.map_batches(
+            lambda b: pa.table({id_col: b[id_col],
+                                "dup_root": b["band_root"]}),
+            batch_format="pyarrow",
+        )
+        final = pairs.groupby(id_col).aggregate(
+            Min("dup_root", alias_name="dup_root"))
+        return final
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
+
     refs = bands.map_batches(batch_min, batch_format="pyarrow") \
         .to_arrow_refs()
-    partials = pa.concat_tables(ray.get(refs))
+    partials = concat_partials(ray.get(refs))
     winners = partials.group_by("band_key") \
         .aggregate([(f"{id_col}_min", "min")])
-    win_map = dict(zip(winners["band_key"].to_pylist(),
-                       winners[f"{id_col}_min_min"].to_pylist()))
-    win_ref = ray.put(win_map)
+    win_index = pd.Index(winners["band_key"].to_pylist())
+    win_roots = winners[f"{id_col}_min_min"].to_numpy(zero_copy_only=False)
+    win_ref = ray.put((win_index, win_roots))
 
     def doc_root(batch: pa.Table) -> pa.Table:
         # per-batch PARTIAL: a doc's bands may straddle batches, so the
         # same id can emit several rows — consumers min-reduce per id
-        wins = ray.get(win_ref)
+        index, roots = ray.get(win_ref)
+        pos = index.get_indexer(batch["band_key"].to_pylist())
         df = pa.table({
             id_col: batch[id_col],
-            "dup_root": pa.array(
-                [wins[k] for k in batch["band_key"].to_pylist()], pa.int64()
-            ),
+            "dup_root": pa.array(roots[pos], pa.int64()),
         })
         return df.group_by(id_col).aggregate([("dup_root", "min")]) \
             .rename_columns([id_col, "dup_root"])
 
     return bands.map_batches(doc_root, batch_format="pyarrow")
+
+
+def dedup_minhash(ds, id_col: str = "doc_id", text_col: str = "text",
+                  reduce: str = "driver",
+                  num_partitions: int | None = None, **kwargs):
+    """Keep one representative per near-dup cluster (single-link, one hop).
+
+    Note: one label-propagation hop handles the common case (clusters
+    formed around a shared bucket); chains longer than one hop would
+    need iterated propagation — documented scale path, not needed for
+    dedup-quality filtering.
+    """
+    import ray
+
+    roots = minhash_duplicate_groups(ds, id_col=id_col, text_col=text_col,
+                                     reduce=reduce,
+                                     num_partitions=num_partitions, **kwargs)
+    if reduce == "partitioned":
+        keep = roots.map_batches(
+            lambda b: b.filter(pc.equal(b[id_col], b["dup_root"]))
+            .select([id_col]),
+            batch_format="pyarrow",
+        )
+        return ds.join(keep, "inner",
+                       num_partitions=num_partitions or DEFAULT_JOIN_PARTITIONS,
+                       on=(id_col,))
+
+    partials = concat_partials(ray.get(roots.to_arrow_refs()))
+    final = partials.group_by(id_col).aggregate([("dup_root", "min")])
+    keep_mask = pc.equal(final[id_col], final["dup_root_min"])
+    keep_ids = final[id_col].filter(keep_mask).combine_chunks()
+    keep_ref = ray.put(keep_ids)
+
+    def filter_keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(_keep_mask_isin(batch[id_col], ray.get(keep_ref)))
+
+    return ds.map_batches(filter_keep, batch_format="pyarrow")
 
 
 # -- simhash hamming-radius near-dup (band rotation LSH) -------------------
@@ -273,51 +393,114 @@ def _hash_components(values: list[int], radius: int,
     return {v: find(v) for v in values}
 
 
+def simhash_near_root_ds(ds, id_col: str = "doc_id",
+                         text_col: str = "text", radius: int = 3,
+                         num_bands: int = 4):
+    """Lazy Dataset of (id, dup_root); dup_root = min id of the doc's
+    hamming-<=radius hash component.
+
+    Map stage hashes; the driver reduces over DISTINCT hash values only
+    (banding + verified union-find — tiny after the map-side Arrow
+    group-min collapses exact-dup masses to one row per hash); the
+    per-doc root attach runs distributed via a broadcast sorted
+    hash->root array.  Scale path: the distinct-hash reduce becomes a
+    hash-partitioned groupby and components propagate iteratively; map
+    kernels are unchanged."""
+    import ray
+
+    rows_ds = _simhash_id_rows(ds, id_col, text_col)
+
+    def batch_min(batch: pa.Table) -> pa.Table:
+        return batch.group_by("simhash").aggregate([(id_col, "min")])
+
+    partials = concat_partials(
+        ray.get(rows_ds.map_batches(batch_min,
+                                    batch_format="pyarrow").to_arrow_refs()))
+    rep = partials.group_by("simhash") \
+        .aggregate([(f"{id_col}_min", "min")])
+    rep_hashes = rep["simhash"].to_pylist()
+    rep_min = rep[f"{id_col}_min_min"].to_pylist()
+    comp = _hash_components([int(v) for v in rep_hashes], radius, num_bands)
+    cluster_min: dict[int, int] = {}
+    for v, mid in zip(rep_hashes, rep_min):
+        r = comp[int(v)]
+        cluster_min[r] = min(cluster_min.get(r, int(mid)), int(mid))
+    # hash -> component-min root, vectorized per-doc attach
+    root_hashes = np.array([int(v) for v in rep_hashes], dtype=np.uint64)
+    order = np.argsort(root_hashes, kind="stable")
+    root_hashes = root_hashes[order]
+    root_vals = np.array(
+        [cluster_min[comp[int(v)]] for v in rep_hashes], dtype=np.int64
+    )[order]
+    root_ref = ray.put((root_hashes, root_vals))
+
+    def attach_root(batch: pa.Table) -> pa.Table:
+        rh, rv = ray.get(root_ref)
+        idx = np.searchsorted(rh, batch["simhash"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            id_col: batch[id_col],
+            "dup_root": pa.array(rv[idx], pa.int64()),
+        })
+
+    return rows_ds.map_batches(attach_root, batch_format="pyarrow")
+
+
 def simhash_near_duplicate_pairs(ds, id_col: str = "doc_id",
                                  text_col: str = "text", radius: int = 3,
                                  num_bands: int = 4) -> pd.DataFrame:
-    """(id, dup_root) for every doc; dup_root = min id of the doc's
-    hamming-<=radius hash component.
-
-    Map stage hashes; the driver reduces over DISTINCT hash values
-    (banding + verified union-find — tiny after exact collapse).
-    Scale path: the distinct-hash reduce becomes a hash-partitioned
-    groupby and components propagate iteratively; map kernels are
-    unchanged."""
-    import ray
-
-    rows = _simhash_id_rows(ds, id_col, text_col)
-    df = pa.concat_tables(ray.get(rows.to_arrow_refs())).to_pandas()
-    rep = df.groupby("simhash")[id_col].min()
-    comp = _hash_components([int(v) for v in rep.index], radius, num_bands)
-    cluster_min: dict[int, int] = {}
-    for v, mid in rep.items():
-        r = comp[int(v)]
-        cluster_min[r] = min(cluster_min.get(r, int(mid)), int(mid))
-    return pd.DataFrame({
-        id_col: df[id_col],
-        "dup_root": [cluster_min[comp[int(h)]] for h in df["simhash"]],
-    })
+    """DataFrame form of :func:`simhash_near_root_ds` (diagnostics)."""
+    return simhash_near_root_ds(ds, id_col=id_col, text_col=text_col,
+                                radius=radius,
+                                num_bands=num_bands).to_pandas()
 
 
 def dedup_simhash_near(ds, id_col: str = "doc_id", text_col: str = "text",
                        radius: int = 3, num_bands: int = 4):
     """Keep one representative (min id) per simhash-hamming-radius
-    cluster — same contract as :func:`dedup_minhash`."""
+    cluster — same contract as :func:`dedup_minhash`.  Only the keep
+    ids (one per cluster) reach the driver."""
     import ray
 
-    roots = simhash_near_duplicate_pairs(ds, id_col=id_col, text_col=text_col,
-                                         radius=radius, num_bands=num_bands)
-    keep_ids = set(roots.loc[roots[id_col] == roots["dup_root"], id_col])
-    keep_ref = ray.put(keep_ids)
+    roots = simhash_near_root_ds(ds, id_col=id_col, text_col=text_col,
+                                 radius=radius, num_bands=num_bands)
+    keep = roots.map_batches(
+        lambda b: b.filter(pc.equal(b[id_col], b["dup_root"]))
+        .select([id_col]),
+        batch_format="pyarrow",
+    ).to_pandas()[id_col]
+    keep_ref = ray.put(pa.array(keep.to_numpy(), pa.int64()))
 
     def filter_keep(batch: pa.Table) -> pa.Table:
-        ids = ray.get(keep_ref)
-        mask = pa.array([v in ids for v in batch[id_col].to_pylist()],
-                        pa.bool_())
-        return batch.filter(mask)
+        return batch.filter(_keep_mask_isin(batch[id_col], ray.get(keep_ref)))
 
     return ds.map_batches(filter_keep, batch_format="pyarrow")
+
+
+# -- shared candidate-pair enumeration -------------------------------------
+
+def _collision_pairs(ids: np.ndarray, buckets: np.ndarray) -> set[tuple]:
+    """Unique (id_a < id_b) pairs of ids sharing a bucket — vectorized
+    group detection (lexsort + boundary diff); the quadratic expansion
+    runs only inside collision buckets (rare by construction)."""
+    if len(ids) == 0:
+        return set()
+    order = np.lexsort((ids, buckets))
+    b_sorted, i_sorted = buckets[order], ids[order]
+    # drop duplicate (bucket, id) rows
+    first = np.ones(len(b_sorted), dtype=bool)
+    first[1:] = (b_sorted[1:] != b_sorted[:-1]) | (i_sorted[1:] != i_sorted[:-1])
+    b_sorted, i_sorted = b_sorted[first], i_sorted[first]
+    boundaries = np.flatnonzero(
+        np.concatenate(([True], b_sorted[1:] != b_sorted[:-1], [True])))
+    pairs: set[tuple] = set()
+    for s, e in zip(boundaries[:-1], boundaries[1:]):
+        if e - s < 2:
+            continue
+        members = i_sorted[s:e]
+        ii, jj = np.triu_indices(len(members), k=1)
+        pairs.update(zip(members[ii].tolist(), members[jj].tolist()))
+    return pairs
 
 
 # -- n-gram Jaccard verification of LSH candidates --------------------------
@@ -343,35 +526,25 @@ def jaccard_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     bands = ds.map_batches(bands_task, batch_format="pyarrow")
 
     # driver reduce over collision buckets only (scale path: partitioned
-    # groupby); a Dataset groupby would invoke Python per bucket and
-    # buckets are overwhelmingly singletons
-    import ray as _ray
+    # groupby; a Dataset groupby would invoke Python per bucket and
+    # buckets are overwhelmingly singletons)
+    btab = concat_partials(ray.get(bands.to_arrow_refs()))
+    cand = _collision_pairs(
+        btab[id_col].to_numpy(zero_copy_only=False),
+        np.asarray(btab["band_key"].to_pylist(), dtype=object),
+    )
+    empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                          "id_b": pd.array([], dtype="int64"),
+                          "jaccard": pd.array([], dtype="float64")})
+    if not cand:
+        return empty
 
-    bdf = pa.concat_tables(_ray.get(bands.to_arrow_refs())).to_pandas()
-    sizes = bdf.groupby("band_key")[id_col].transform("nunique")
-    collisions = bdf[sizes >= 2]
-    a_out, b_out = [], []
-    for _, group in collisions.groupby("band_key"):
-        ids = sorted(set(group[id_col]))
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-    pairs = pd.DataFrame({"id_a": a_out, "id_b": b_out}) \
-        .drop_duplicates(ignore_index=True)
-    if len(pairs) == 0:
-        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
-                             "id_b": pd.array([], dtype="int64"),
-                             "jaccard": pd.array([], dtype="float64")})
-
-    cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
+    cand_ids = pa.array(sorted({i for pair in cand for i in pair}), pa.int64())
     cand_ref = ray.put(cand_ids)
 
     def project_candidates(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(cand_ref)
-        mask = pa.array([v in wanted for v in batch[id_col].to_pylist()],
-                        pa.bool_())
-        return batch.select([id_col, text_col]).filter(mask)
+        return batch.select([id_col, text_col]).filter(
+            _keep_mask_isin(batch[id_col], ray.get(cand_ref)))
 
     texts_df = ds.map_batches(project_candidates,
                               batch_format="pyarrow").to_pandas()
@@ -381,12 +554,16 @@ def jaccard_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     }
     from ..functions.minhash import jaccard as exact_jaccard
 
-    scores = [
-        exact_jaccard(shingle_map[a], shingle_map[b])
-        for a, b in zip(pairs["id_a"], pairs["id_b"])
-    ]
-    pairs = pairs.assign(jaccard=np.round(scores, 6))
-    out = pairs[pairs["jaccard"] >= threshold]
+    pairs_sorted = sorted(cand)
+    scores = np.round(
+        [exact_jaccard(shingle_map[a], shingle_map[b])
+         for a, b in pairs_sorted], 6)
+    out = pd.DataFrame({
+        "id_a": pd.array([a for a, _ in pairs_sorted], dtype="int64"),
+        "id_b": pd.array([b for _, b in pairs_sorted], dtype="int64"),
+        "jaccard": scores,
+    })
+    out = out[out["jaccard"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -395,7 +572,7 @@ def jaccard_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 def embedding_lsh_candidate_pairs(ds, id_col: str = "vec_id",
                                   vec_col: str = "embedding",
                                   threshold: float = 0.95,
-                                  num_tables: int = 8,
+                                  num_tables: int = 16,
                                   hyperplanes_per_table: int = 12,
                                   seed: int = 42) -> pd.DataFrame:
     """Random-hyperplane LSH (Charikar 2002 SimHash for angles): the
@@ -404,10 +581,13 @@ def embedding_lsh_candidate_pairs(ds, id_col: str = "vec_id",
     Each of ``num_tables`` hash tables buckets vectors by the sign
     pattern of ``hyperplanes_per_table`` random projections; two
     vectors at angle θ collide in one table with prob
-    (1 - θ/π)^h, so candidates survive with prob
-    1-(1-p)^T (≥ 0.95-cosine pairs: ~0.89 at the 8x12 default).
-    Candidates are verified with the exact cosine.  Returns verified
-    (id_a, id_b, cos_sim) pairs, id_a < id_b."""
+    (1 - θ/π)^h, so a >= 0.95-cosine pair survives the default 16x12
+    with prob ~0.995.  Candidates are verified with the exact cosine.
+    Returns verified (id_a, id_b, cos_sim) pairs, id_a < id_b.
+
+    For LOW thresholds (broad similarity mining, e.g. 0.45) pass fewer
+    hyperplanes per table and more tables — collision probability at
+    wide angles decays as 0.65^h, so deep codes would miss everything."""
     import ray
 
     rng = np.random.RandomState(seed)
@@ -429,38 +609,32 @@ def embedding_lsh_candidate_pairs(ds, id_col: str = "vec_id",
         for t in range(pl.shape[0]):
             signs = (mat @ pl[t].T) > 0                # n x h
             codes = signs.astype(np.int64) @ weights
-            out_ids.extend(ids.tolist())
-            out_keys.extend((np.int64(t) << np.int64(32)) + codes)
+            out_ids.append(ids)
+            out_keys.append((np.int64(t) << np.int64(32)) + codes)
         return pa.table({
-            id_col: pa.array(out_ids, pa.int64()),
-            "bucket": pa.array(out_keys, pa.int64()),
+            id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+            "bucket": pa.array(np.concatenate(out_keys), pa.int64()),
         })
 
     buckets = ds.map_batches(bucket_rows, batch_format="pyarrow")
-    bdf = pa.concat_tables(
-        __import__("ray").get(buckets.to_arrow_refs())).to_pandas()
-    sizes = bdf.groupby("bucket")[id_col].transform("nunique")
-    collisions = bdf[sizes >= 2]
-    cand = set()
-    for _, group in collisions.groupby("bucket"):
-        ids = sorted(set(group[id_col]))
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                cand.add((ids[i], ids[j]))
+    btab = concat_partials(ray.get(buckets.to_arrow_refs()))
+    cand = _collision_pairs(
+        btab[id_col].to_numpy(zero_copy_only=False),
+        btab["bucket"].to_numpy(zero_copy_only=False),
+    )
+    empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                          "id_b": pd.array([], dtype="int64"),
+                          "cos_sim": pd.array([], dtype="float64")})
     if not cand:
-        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
-                             "id_b": pd.array([], dtype="int64"),
-                             "cos_sim": pd.array([], dtype="float64")})
+        return empty
 
     # exact verification: fetch only candidate vectors
-    wanted = {i for pair in cand for i in pair}
+    wanted = pa.array(sorted({i for pair in cand for i in pair}), pa.int64())
     wanted_ref = ray.put(wanted)
 
     def project(batch: pa.Table) -> pa.Table:
-        keep = ray.get(wanted_ref)
-        mask = pa.array([v in keep for v in batch[id_col].to_pylist()],
-                        pa.bool_())
-        return batch.select([id_col, vec_col]).filter(mask)
+        return batch.select([id_col, vec_col]).filter(
+            _keep_mask_isin(batch[id_col], ray.get(wanted_ref)))
 
     vdf = ds.map_batches(project, batch_format="pyarrow").to_pandas()
     vecs = {i: np.asarray(v, dtype=np.float64)
@@ -471,23 +645,47 @@ def embedding_lsh_candidate_pairs(ds, id_col: str = "vec_id",
         sim = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         if sim >= threshold:
             rows.append((a, b, round(sim, 6)))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"]) \
-        if rows else pd.DataFrame({"id_a": pd.array([], dtype="int64"),
-                                   "id_b": pd.array([], dtype="int64"),
-                                   "cos_sim": pd.array([], dtype="float64")})
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"])
 
 
 def dedup_embedding_cosine(ds, id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           threshold: float = 0.95):
+                           threshold: float = 0.95,
+                           method: str = "lsh",
+                           num_tables: int = 16,
+                           hyperplanes_per_table: int = 12):
     """Keep rows with no LOWER-id row within cosine >= threshold.
 
     The dominance rule makes the result order-free and SQL-checkable
-    (NOT EXISTS over the cross join).  Test-scale path broadcasts the
-    full normalized matrix; the 10^12-row path replaces the broadcast
-    with LSH/IVF bucket joins (stages/ann.py) — the per-batch kernel is
-    unchanged."""
+    (NOT EXISTS over the cross join).  Default ``method="lsh"`` runs
+    hyperplane-LSH candidate generation + exact verification
+    (:func:`embedding_lsh_candidate_pairs`) and drops every id that
+    appears as the HIGHER id of a verified pair — identical semantics,
+    no all-pairs matrix, no full-table driver materialization of the
+    vectors (only verified pair ids reach the driver).
+
+    ``method="matrix"`` is the O(n²) broadcast-matmul test oracle
+    (exact by construction; recall does not depend on LSH parameters) —
+    conformance checks only, never the scale path."""
     import ray
+
+    if method == "lsh":
+        pairs = embedding_lsh_candidate_pairs(
+            ds, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            num_tables=num_tables,
+            hyperplanes_per_table=hyperplanes_per_table)
+        dominated = pa.array(sorted(set(pairs["id_b"].tolist())), pa.int64())
+        dom_ref = ray.put(dominated)
+
+        def drop_dominated(batch: pa.Table) -> pa.Table:
+            mask = _keep_mask_isin(batch[id_col], ray.get(dom_ref))
+            return batch.filter(pc.invert(mask))
+
+        return ds.map_batches(drop_dominated, batch_format="pyarrow")
+    if method != "matrix":
+        raise ValueError(f"unknown method: {method!r}")
 
     ref_df = ds.select_columns([id_col, vec_col]).to_pandas()
     ref_df = ref_df.sort_values(id_col, ignore_index=True)
@@ -511,30 +709,3 @@ def dedup_embedding_cosine(ds, id_col: str = "vec_id",
         return batch.filter(pa.array(~dominated, pa.bool_()))
 
     return ds.map_batches(keep_mask, batch_format="pyarrow")
-
-
-def dedup_minhash(ds, id_col: str = "doc_id", text_col: str = "text", **kwargs):
-    """Keep one representative per near-dup cluster (single-link, one hop).
-
-    Note: one label-propagation hop handles the common case (clusters
-    formed around a shared bucket); chains longer than one hop would
-    need iterated propagation — documented scale path, not needed for
-    dedup-quality filtering.
-    """
-    import ray
-
-    roots = minhash_duplicate_groups(ds, id_col=id_col, text_col=text_col,
-                                     **kwargs)
-    partials = pa.concat_tables(ray.get(roots.to_arrow_refs()))
-    final = partials.group_by(id_col).aggregate([("dup_root", "min")])
-    ids = final[id_col].to_pylist()
-    keep_ids = {i for i, r in zip(ids, final["dup_root_min"].to_pylist())
-                if i == r}
-    keep_ref = ray.put(keep_ids)
-
-    def filter_keep(batch: pa.Table) -> pa.Table:
-        ids = ray.get(keep_ref)
-        mask = pa.array([v in ids for v in batch[id_col].to_pylist()], pa.bool_())
-        return batch.filter(mask)
-
-    return ds.map_batches(filter_keep, batch_format="pyarrow")

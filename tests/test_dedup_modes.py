@@ -1,0 +1,229 @@
+"""Dedup reduce tiers + pair-filter semantics.
+
+Covers the round-2 hardening:
+- ``reduce="partitioned"`` (distributed groupby + hash-shuffle join)
+  must be bit-identical to ``reduce="driver"`` on the same input;
+- winner filters match the full (hash, key) pair — multi-snapshot
+  inputs (same url, different content) must not resurrect losers;
+- ingestion guards: ``assert_unique_keys`` and hash-id collision check;
+- the LSH-default embedding dedup equals the matrix-mode oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    from tests.fixtures import make_pages
+
+    pages = make_pages(n=60, seed=11)
+    texts = pages["text"].to_pylist()
+    # plant exact duplicates so dedup actually drops rows
+    texts = texts + [texts[0], texts[1], texts[1]]
+    return pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+    })
+
+
+class TestPartitionedReduceParity:
+    def test_exact_simhash_modes_agree(self, ray_session, docs_df):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import dedup_exact_simhash
+
+        a = dedup_exact_simhash(rd.from_pandas(docs_df), keep_key="doc_id",
+                                reduce="driver").to_pandas()
+        b = dedup_exact_simhash(rd.from_pandas(docs_df), keep_key="doc_id",
+                                reduce="partitioned").to_pandas()
+        pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+        assert len(a) == len(docs_df) - 3        # planted dups dropped
+
+    def test_exact_hash_modes_agree(self, ray_session, docs_df):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import dedup_exact_hash
+
+        a = dedup_exact_hash(rd.from_pandas(docs_df),
+                             keep_key="doc_id", reduce="driver").to_pandas()
+        b = dedup_exact_hash(rd.from_pandas(docs_df), keep_key="doc_id",
+                             reduce="partitioned").to_pandas()
+        pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+
+    def test_minhash_modes_agree(self, ray_session, docs_df):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import dedup_minhash
+
+        a = dedup_minhash(rd.from_pandas(docs_df),
+                          reduce="driver").to_pandas()
+        b = dedup_minhash(rd.from_pandas(docs_df),
+                          reduce="partitioned").to_pandas()
+        pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+
+    def test_unknown_mode_rejected(self, ray_session, docs_df):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import dedup_exact_hash
+
+        with pytest.raises(ValueError, match="reduce"):
+            dedup_exact_hash(rd.from_pandas(docs_df), keep_key="doc_id",
+                             reduce="bogus")
+
+
+class TestPairFilterSemantics:
+    """ADVICE r1 (medium): key-only winner filtering keeps every row
+    sharing a winning url; the (hash, key) pair filter must not."""
+
+    def test_losing_snapshot_of_winning_url_is_dropped(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import dedup_exact_hash
+
+        # url B's text-X snapshot LOSES its hash group to url A, but
+        # url B also owns a unique snapshot Z which it wins.
+        df = pd.DataFrame({
+            "url": ["a", "b", "b"],
+            "text": ["same content x", "same content x", "unique content z"],
+        })
+        for mode in ("driver", "partitioned"):
+            kept = dedup_exact_hash(rd.from_pandas(df), keep_key="url",
+                                    reduce=mode).to_pandas()
+            got = set(zip(kept["url"], kept["text"]))
+            assert got == {("a", "same content x"),
+                           ("b", "unique content z")}, mode
+
+    def test_simhash_pair_filter_in_streaming_prep(self, ray_session,
+                                                   tmp_path):
+        """Same scenario through prepare_corpus_streaming: the winning
+        url's losing snapshot must not survive the semi-join."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from modernsearchengines_ray.pipelines.corpus_prep import (
+            prepare_corpus_streaming,
+        )
+
+        def wrap(text: str) -> bytes:
+            return (f'<html lang="en"><head><title>t</title></head>'
+                    f"<body><p>{text}</p></body></html>").encode()
+
+        text_x = ("the castle above the river hosts a chocolate festival "
+                  "every december with stalls along the old town bridge")
+        text_z = ("ray data pipelines stream arrow record batches through "
+                  "map operators with backpressure and object store spill")
+        pages = pa.table({
+            "url": ["http://a.example/p", "http://b.example/p",
+                    "http://b.example/q"],
+            "warc_ts": pa.array([1, 2, 3], pa.timestamp("us")),
+            "html": [wrap(text_x), wrap(text_x), wrap(text_z)],
+            "text": ["", "", ""],
+            "lang": ["en", "en", "en"],
+        })
+        src = tmp_path / "pages.parquet"
+        import pyarrow.parquet as pq
+
+        pq.write_table(pages, str(src))
+        corpus = prepare_corpus_streaming(
+            rd.read_parquet(str(src)), str(tmp_path / "work"),
+            doc_id_mode="hash").to_pandas()
+        assert set(corpus["url"]) == {"http://a.example/p",
+                                      "http://b.example/q"}
+
+
+class TestIngestionGuards:
+    def test_assert_unique_keys_passes_and_raises(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.pipelines.corpus_prep import (
+            assert_unique_keys,
+        )
+
+        ok = pd.DataFrame({"url": ["a", "b", "c"]})
+        assert assert_unique_keys(rd.from_pandas(ok)) == 3
+        dup = pd.DataFrame({"url": ["a", "b", "a"]})
+        with pytest.raises(ValueError, match="not unique"):
+            assert_unique_keys(rd.from_pandas(dup))
+
+    def test_hash_id_collision_fails_loudly(self, ray_session, monkeypatch):
+        import ray.data as rd
+
+        from modernsearchengines_ray.pipelines import corpus_prep
+
+        df = pd.DataFrame({"url": ["u1", "u2"], "text": ["x", "y"]})
+        # force a collision: constant hash for every url
+        monkeypatch.setattr(corpus_prep, "stable_hash64", lambda u: 7)
+        with pytest.raises(ValueError, match="collision"):
+            corpus_prep.assign_doc_ids(rd.from_pandas(df), mode="hash",
+                                       check_collisions=True).materialize()
+
+    def test_hash_ids_clean_when_injective(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.pipelines.corpus_prep import (
+            assign_doc_ids,
+        )
+
+        df = pd.DataFrame({"url": [f"http://x/{i}" for i in range(50)],
+                           "text": ["t"] * 50})
+        out = assign_doc_ids(rd.from_pandas(df), mode="hash",
+                             check_collisions=True).to_pandas()
+        assert out["doc_id"].nunique() == 50
+
+
+class TestEmbeddingDedupLshDefault:
+    def test_lsh_equals_matrix_oracle_on_planted_dups(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import dedup_embedding_cosine
+
+        rng = np.random.RandomState(3)
+        base = rng.randn(40, 32)
+        rows = [v / np.linalg.norm(v) for v in base]
+        # plant near-dups: tiny perturbations of rows 0..4
+        for i in range(5):
+            v = rows[i] + rng.randn(32) * 0.01
+            rows.append(v / np.linalg.norm(v))
+        df = pd.DataFrame({
+            "vec_id": range(len(rows)),
+            "embedding": [r.tolist() for r in rows],
+        })
+        lsh = dedup_embedding_cosine(rd.from_pandas(df),
+                                     method="lsh").to_pandas()
+        mat = dedup_embedding_cosine(rd.from_pandas(df),
+                                     method="matrix").to_pandas()
+        assert set(lsh["vec_id"]) == set(mat["vec_id"])
+        assert set(range(40)).issubset(set(lsh["vec_id"]))
+        assert not (set(range(40, 45)) & set(lsh["vec_id"]))
+
+
+class TestCollisionPairsKernel:
+    def test_pairs_within_buckets_only(self):
+        from modernsearchengines_ray.stages.dedup import _collision_pairs
+
+        ids = np.array([1, 2, 3, 2, 1, 4], dtype=np.int64)
+        buckets = np.array([10, 10, 10, 20, 20, 30], dtype=np.int64)
+        got = _collision_pairs(ids, buckets)
+        assert got == {(1, 2), (1, 3), (2, 3)}
+
+    def test_duplicate_rows_and_strings(self):
+        from modernsearchengines_ray.stages.dedup import _collision_pairs
+
+        ids = np.array([5, 5, 6], dtype=np.int64)
+        buckets = np.asarray(["b:1", "b:1", "b:1"], dtype=object)
+        assert _collision_pairs(ids, buckets) == {(5, 6)}
+
+    def test_empty(self):
+        from modernsearchengines_ray.stages.dedup import _collision_pairs
+
+        assert _collision_pairs(np.array([], dtype=np.int64),
+                                np.array([], dtype=np.int64)) == set()
