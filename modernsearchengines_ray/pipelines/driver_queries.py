@@ -843,24 +843,77 @@ FROM documents WHERE octet_length(encode(text)) > 0
 
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization (30-min gap): sessions per user with
-    event counts — groupby(user).map_groups over ts-sorted events."""
+    event counts.
+
+    Plan: one distributed range sort by (user_id, ts) — the only wide
+    op, same exchange the SQL window needs — then a VECTORIZED
+    per-block collapse of events into partial sessions (np.diff with
+    user-boundary resets; no per-group Python — a
+    ``groupby(user).map_groups`` invokes pandas once per user, measured
+    ~2s of pure overhead at 10k users), then one vectorized stitch over
+    the partial-session table (#sessions rows, ~10-100x smaller than
+    events).  Partial-session merging is ASSOCIATIVE (same kernel both
+    levels), so at 10^12 events the stitch reruns as further
+    tree-reduce rounds instead of a driver pass; a user's partials can
+    only meet at sorted-block boundaries, so each round shrinks the
+    table to ~#sessions + #blocks rows."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     gap_us = 30 * 60 * 1_000_000
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(group["ts"].astype("datetime64[us]").astype("int64")
-                     .to_numpy())
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = np.diff(ts) > gap_us
-        session_id = np.cumsum(new_session) - 1
-        counts = np.bincount(session_id)
-        return pd.DataFrame({
-            "user_id": group["user_id"].iloc[0],
-            "session_id": np.arange(len(counts), dtype="int64"),
-            "n_events": counts.astype("int64"),
+    def partial_sessions(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "start_us": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            })
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (users[1:] != users[:-1]) | (np.diff(ts) > gap_us)
+        sid = np.cumsum(new) - 1
+        last = np.empty(n, dtype=bool)
+        last[:-1] = new[1:]
+        last[-1] = True
+        return pa.table({
+            "user_id": pa.array(users[new], pa.int64()),
+            "start_us": pa.array(ts[new], pa.int64()),
+            "end_us": pa.array(ts[last], pa.int64()),
+            "n_events": pa.array(np.bincount(sid).astype(np.int64),
+                                 pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    parts = ds.sort(["user_id", "ts"]) \
+        .map_batches(partial_sessions, batch_size=None,
+                     batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["user_id", "start_us"], kind="mergesort",
+                              ignore_index=True)
+    users = parts["user_id"].to_numpy()
+    starts = parts["start_us"].to_numpy()
+    ends = parts["end_us"].to_numpy()
+    counts = parts["n_events"].to_numpy()
+    n = len(parts)
+    if n == 0:
+        return pd.DataFrame({"user_id": pd.array([], dtype="int64"),
+                             "session_id": pd.array([], dtype="int64"),
+                             "n_events": pd.array([], dtype="int64")})
+    new = np.ones(n, dtype=bool)
+    new[1:] = (users[1:] != users[:-1]) | (starts[1:] - ends[:-1] > gap_us)
+    merged_users = users[new]
+    merged_counts = np.add.reduceat(counts, np.flatnonzero(new))
+    # session numbering: rank of the (merged) session within its user
+    user_new = np.ones(len(merged_users), dtype=bool)
+    user_new[1:] = merged_users[1:] != merged_users[:-1]
+    run_start = np.maximum.accumulate(
+        np.where(user_new, np.arange(len(merged_users)), 0))
+    session_id = np.arange(len(merged_users)) - run_start
+    return pd.DataFrame({
+        "user_id": merged_users.astype("int64"),
+        "session_id": session_id.astype("int64"),
+        "n_events": merged_counts.astype("int64"),
+    })
 
 
 SQL_SESSIONIZE = """
@@ -915,22 +968,51 @@ FROM events GROUP BY event_type
 """
 
 
+def _top2_per_user(users: np.ndarray, event_ids: np.ndarray,
+                   values: np.ndarray):
+    """Vectorized top-2 per user by (value desc, event_id asc):
+    lexsort + run-relative rank — no per-group Python."""
+    order = np.lexsort((event_ids, -values, users))
+    u, e, v = users[order], event_ids[order], values[order]
+    n = len(u)
+    new = np.ones(n, dtype=bool)
+    new[1:] = u[1:] != u[:-1]
+    run_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+    keep = (np.arange(n) - run_start) < 2
+    return u[keep], e[keep], v[keep]
+
+
 def q_top_events_per_user(sf_dir: str):
-    """Top-2 highest-value events per user (top-k-per-group pattern:
-    groupby.map_groups with a per-group nlargest; SQL row_number
-    oracle).  Deterministic ties by event_id."""
+    """Top-2 highest-value events per user (top-k-per-group pattern;
+    SQL row_number oracle).  Deterministic ties by event_id.
+
+    Per-block vectorized partial top-2 (the events->2-rows-per-user
+    collapse runs distributed), then the SAME kernel once more over the
+    partials — per-group top-k is associative, so this is a standard
+    combiner/tree-reduce; no ``map_groups`` per-user Python anywhere."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
 
-    def top2(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["value", "event_id"],
-                              ascending=[False, True]).head(2)
-        return pd.DataFrame({
-            "user_id": g["user_id"],
-            "event_id": g["event_id"],
-            "value": np.round(g["value"], 6),
+    def partial_top2(batch: pa.Table) -> pa.Table:
+        u, e, v = _top2_per_user(
+            batch["user_id"].to_numpy(zero_copy_only=False),
+            batch["event_id"].to_numpy(zero_copy_only=False),
+            batch["value"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "event_id": pa.array(e, pa.int64()),
+            "value": pa.array(v, pa.float64()),
         })
 
-    return ds.groupby("user_id").map_groups(top2, batch_format="pandas")
+    parts = ds.map_batches(partial_top2, batch_format="pyarrow").to_pandas()
+    u, e, v = _top2_per_user(parts["user_id"].to_numpy(),
+                             parts["event_id"].to_numpy(),
+                             parts["value"].to_numpy())
+    return pd.DataFrame({
+        "user_id": u.astype("int64"),
+        "event_id": e.astype("int64"),
+        "value": np.round(v, 6),
+    })
 
 
 SQL_TOP_EVENTS_PER_USER = """

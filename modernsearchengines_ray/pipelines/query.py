@@ -26,7 +26,6 @@ protocol already returns columnar partials to make that swap local.
 
 from __future__ import annotations
 
-import math
 import os
 from collections import defaultdict
 
@@ -43,28 +42,47 @@ from .build_index import read_meta
 
 @ray.remote
 class ShardScorer:
-    """Holds decoded posting lists for a set of index shards."""
+    """Holds posting lists for a set of index shards.
+
+    Shard parquet stays as Arrow tables in the actor (columnar, shared
+    buffers); only a term -> (table, row) locator dict is built eagerly.
+    Individual posting lists decode lazily per term on first use and
+    cache — a full ``to_pylist`` of every column would hold the whole
+    shard as Python objects (~4x the Arrow footprint) for terms most
+    queries never touch."""
+
+    _RAW_FIELDS = ("df", "idf", "seg_lens", "doc_ids", "counts", "bm25",
+                   "positions", "max_bm25", "min_bm25", "block_first_doc",
+                   "block_max_bm25")
 
     def __init__(self, index_dir: str, shard_ids: list[int]):
         import pyarrow.parquet as pq
 
-        self._rows: dict[str, dict] = {}
+        self._tables: list = []
+        self._loc: dict[str, tuple[int, int]] = {}
         self._decoded: dict[str, dict] = {}
         self.block_size = read_meta(index_dir).get("block_size", 128)
         for shard_id in shard_ids:
             table = pq.read_table(shard_path(index_dir, shard_id))
-            cols = {name: table[name].to_pylist() for name in
-                    ("term", "df", "idf", "seg_lens", "doc_ids", "counts",
-                     "bm25", "positions", "max_bm25", "min_bm25",
-                     "block_first_doc", "block_max_bm25")}
-            for i, term in enumerate(cols["term"]):
-                self._rows[term] = {k: cols[k][i] for k in cols if k != "term"}
+            ti = len(self._tables)
+            self._tables.append(table)
+            for ri, term in enumerate(table["term"].to_pylist()):
+                self._loc[term] = (ti, ri)
+
+    def _raw(self, term: str, fields=None) -> dict | None:
+        loc = self._loc.get(term)
+        if loc is None:
+            return None
+        ti, ri = loc
+        table = self._tables[ti]
+        return {k: table[k][ri].as_py() for k in (fields or self._RAW_FIELDS)}
 
     def _decode(self, term: str) -> dict | None:
         cached = self._decoded.get(term)
         if cached is not None:
             return cached
-        row = self._rows.get(term)
+        row = self._raw(term, fields=("df", "seg_lens", "doc_ids",
+                                      "counts", "bm25", "positions"))
         if row is None:
             return None
         df = row["df"]
@@ -108,9 +126,11 @@ class ShardScorer:
         """(df, idf, min_bm25, max_bm25) per present term — WAND metadata."""
         out = {}
         for term in terms:
-            row = self._rows.get(term)
+            row = self._raw(term, fields=("df", "idf", "min_bm25",
+                                          "max_bm25"))
             if row is not None:
-                out[term] = (row["df"], row["idf"], row["min_bm25"], row["max_bm25"])
+                out[term] = (row["df"], row["idf"], row["min_bm25"],
+                             row["max_bm25"])
         return out
 
     def _wand_rows(self, terms: list[str]) -> list[dict]:
@@ -119,7 +139,8 @@ class ShardScorer:
             decoded = self._decode(term)
             if decoded is None:
                 continue
-            raw = self._rows[term]
+            raw = self._raw(term, fields=("seg_lens", "block_first_doc",
+                                          "block_max_bm25"))
             rows.append({
                 "doc_ids": decoded["doc_ids"],
                 "bm25": decoded["bm25"],
@@ -142,33 +163,44 @@ class ShardScorer:
         theta_k = hits[-1][1] if len(hits) == k else 0.0
         return hits, theta_k, stats
 
-    def scores_above(self, terms: list[str], tau: float) -> dict[int, float]:
-        """All (doc, local score) with score >= tau — vectorized
+    def _accumulate(self, arrays: list[tuple[np.ndarray, np.ndarray]]):
+        """Columnar per-doc sum over (ids, scores) pairs.  ``np.add.at``
+        applies elements in array order, so per-doc FP addition order
+        matches the sequential term loop (term order, ascending doc
+        within term) — scores stay bit-identical to the scalar path."""
+        if not arrays:
+            return (np.empty(0, dtype=np.int64), np.empty(0))
+        all_ids = np.concatenate([ids for ids, _ in arrays])
+        all_scores = np.concatenate([s for _, s in arrays])
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        acc = np.zeros(len(uids))
+        np.add.at(acc, inv, all_scores)
+        return uids, acc
+
+    def scores_above(self, terms: list[str], tau: float):
+        """(doc_ids, local scores) arrays with score >= tau — vectorized
         accumulation over the owned lists (phase 2 of the TPUT merge)."""
-        acc: dict[int, float] = defaultdict(float)
+        arrays = []
         for term in terms:
             decoded = self._decode(term)
-            if decoded is None:
-                continue
-            for d, s in zip(decoded["doc_ids"].tolist(),
-                            decoded["bm25"].tolist()):
-                acc[d] += s
-        return {d: s for d, s in acc.items() if s >= tau}
+            if decoded is not None:
+                arrays.append((decoded["doc_ids"], decoded["bm25"]))
+        uids, acc = self._accumulate(arrays)
+        keep = acc >= tau
+        return uids[keep], acc[keep]
 
-    def score_docs(self, terms: list[str],
-                   doc_ids: list[int]) -> dict[int, float]:
-        """Exact local scores for the candidate docs."""
-        wanted = set(doc_ids)
-        acc: dict[int, float] = defaultdict(float)
+    def score_docs(self, terms: list[str], doc_ids: np.ndarray):
+        """Exact local (ids, scores) arrays for the candidate docs."""
+        wanted = np.asarray(doc_ids, dtype=np.int64)
+        arrays = []
         for term in terms:
             decoded = self._decode(term)
             if decoded is None:
                 continue
             ids = decoded["doc_ids"]
-            mask = np.isin(ids, list(wanted))
-            for d, s in zip(ids[mask].tolist(), decoded["bm25"][mask].tolist()):
-                acc[d] += s
-        return dict(acc)
+            mask = np.isin(ids, wanted)
+            arrays.append((ids[mask], decoded["bm25"][mask]))
+        return self._accumulate(arrays)
 
 
 def rank_postings(
@@ -344,26 +376,25 @@ class QueryEngine:
             self.scorers[i].scores_above.remote(by_scorer[i], tau / m)
             for i in owners
         ])
-        candidates = set()
-        for part in phase2:
-            candidates.update(part)
+        if not any(len(ids) for ids, _ in phase2):
+            return []
+        candidates = np.unique(np.concatenate([ids for ids, _ in phase2]))
         # fill in exact local scores where a scorer's partial is missing
         fills = ray.get([
             self.scorers[i].score_docs.remote(
                 by_scorer[i],
-                [d for d in candidates if d not in phase2[j]],
+                candidates[~np.isin(candidates, phase2[j][0])],
             )
             for j, i in enumerate(owners)
         ])
-        totals: dict[int, float] = defaultdict(float)
-        for part in phase2:
-            for d, s in part.items():
-                totals[d] += s
-        for fill in fills:
-            for d, s in fill.items():
-                totals[d] += s
-        order = sorted(totals.items(), key=lambda x: (-x[1], x[0]))[:k]
-        return [(d, s) for d, s in order]
+        # columnar merge, scorer order preserved per doc (each doc
+        # appears at most once per part, so FP sums match the old
+        # per-dict accumulation exactly)
+        totals = np.zeros(len(candidates))
+        for ids, scores in list(phase2) + list(fills):
+            totals[np.searchsorted(candidates, ids)] += scores
+        order = np.lexsort((candidates, -totals))[:k]
+        return [(int(candidates[i]), float(totals[i])) for i in order]
 
     def search_full(
         self,
@@ -376,15 +407,28 @@ class QueryEngine:
         retrieval.py:406-422): spellcheck -> rank -> top-10 -> metadata
         join (J2) -> snippet per hit (J3/M21).
 
+        Snippets are selected with the reference's ``relevant_query``:
+        the processed EXTENDED query minus the word 'tuebingen',
+        falling back to 'tuebingen' when nothing remains
+        (retrieval.py:412-418) — not the raw user query.
+
         ``docstore`` is a state.docstore.DocStore over the corpus; when
         None the result rows carry ids + scores only."""
         from ..functions.snippet import get_relevant_snippet
 
         if spellchecker is not None:
             query = spellchecker.correct_query(query)
-        hits = self.search(query)[:top_n]
+        tokens, extended, original = oracle_query_processing(
+            query, self.synonyms_table, self.rank_cfg
+        )
+        terms = [t for t, _ in tokens]
+        fetched = self.fetch(terms, position_terms=original)
+        hits = rank_postings(fetched, tokens, original, self.rank_cfg)[:top_n]
         rows = [{"doc_id": d, "score": s} for d, s in hits]
         if docstore is not None and rows:
+            relevant_query = " ".join(
+                w for w in extended.split() if w != "tuebingen"
+            ) or "tuebingen"
             meta = docstore.lookup_map(
                 [r["doc_id"] for r in rows],
                 columns=["url", "site", "text"],
@@ -393,7 +437,8 @@ class QueryEngine:
                 m = meta.get(r["doc_id"], {})
                 r["url"] = m.get("url", "")
                 r["site"] = m.get("site", "")
-                r["snippet"] = get_relevant_snippet(query, m.get("text", ""))
+                r["snippet"] = get_relevant_snippet(
+                    relevant_query, m.get("text", ""))
         return rows
 
     def shutdown(self) -> None:
@@ -430,23 +475,38 @@ def run_batched_queries(
     """queries.txt -> TREC-style ``qn\\trank\\turl\\tscore:.3f`` file,
     top-100 per query (retrieval.py:305-331; the batch path applies no
     spellcheck, matching the reference).  When ``docstore`` is None the
-    doc_id is written in the url column."""
+    doc_id is written in the url column.
+
+    Queries run CONCURRENTLY over the shared scorer pool (a thread per
+    query drives its own fetch -> rank; actor calls release the GIL at
+    ``ray.get``) and the output keeps input order, so the TREC bytes
+    are identical to the sequential loop."""
+    from concurrent.futures import ThreadPoolExecutor
+
     engine = QueryEngine(index_dir, num_scorers=num_scorers)
+
+    def run_one(item: tuple[int, str]) -> list[str]:
+        qnum, qtext = item
+        hits = engine.search(qtext)[:top_k]
+        urls = {}
+        if docstore is not None and hits:
+            urls = {
+                d: m.get("url", "")
+                for d, m in docstore.lookup_map(
+                    [d for d, _ in hits], columns=["url"]
+                ).items()
+            }
+        return [
+            f"{qnum}\t{rank}\t{urls.get(doc_id, str(doc_id))}\t{score:.3f}"
+            for rank, (doc_id, score) in enumerate(hits, start=1)
+        ]
+
     try:
-        lines = []
-        for qnum, qtext in read_queries(queries_path):
-            hits = engine.search(qtext)[:top_k]
-            urls = {}
-            if docstore is not None and hits:
-                urls = {
-                    d: m.get("url", "")
-                    for d, m in docstore.lookup_map(
-                        [d for d, _ in hits], columns=["url"]
-                    ).items()
-                }
-            for rank, (doc_id, score) in enumerate(hits, start=1):
-                url = urls.get(doc_id, str(doc_id))
-                lines.append(f"{qnum}\t{rank}\t{url}\t{score:.3f}")
+        queries = read_queries(queries_path)
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(queries)))) \
+                as pool:
+            lines = [line for chunk in pool.map(run_one, queries)
+                     for line in chunk]
     finally:
         engine.shutdown()
     tmp = out_path + ".tmp"
