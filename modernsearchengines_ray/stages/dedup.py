@@ -637,17 +637,27 @@ def embedding_lsh_candidate_pairs(ds, id_col: str = "vec_id",
             _keep_mask_isin(batch[id_col], ray.get(wanted_ref)))
 
     vdf = ds.map_batches(project, batch_format="pyarrow").to_pandas()
-    vecs = {i: np.asarray(v, dtype=np.float64)
-            for i, v in zip(vdf[id_col], vdf[vec_col])}
-    rows = []
-    for a, b in sorted(cand):
-        va, vb = vecs[a], vecs[b]
-        sim = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
-        if sim >= threshold:
-            rows.append((a, b, round(sim, 6)))
-    if not rows:
+    cand_ids_np = vdf[id_col].to_numpy()
+    order = np.argsort(cand_ids_np, kind="stable")
+    cand_ids_np = cand_ids_np[order]
+    mat = np.stack(vdf[vec_col].to_numpy()[order]).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    pairs_sorted = sorted(cand)
+    a_ids = np.fromiter((a for a, _ in pairs_sorted), dtype=np.int64,
+                        count=len(pairs_sorted))
+    b_ids = np.fromiter((b for _, b in pairs_sorted), dtype=np.int64,
+                        count=len(pairs_sorted))
+    ai = np.searchsorted(cand_ids_np, a_ids)
+    bi = np.searchsorted(cand_ids_np, b_ids)
+    sims = np.einsum("ij,ij->i", mat[ai], mat[bi]) / (norms[ai] * norms[bi])
+    keep = sims >= threshold
+    if not keep.any():
         return empty
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"])
+    return pd.DataFrame({
+        "id_a": pd.array(a_ids[keep], dtype="int64"),
+        "id_b": pd.array(b_ids[keep], dtype="int64"),
+        "cos_sim": np.round(sims[keep], 6),
+    })
 
 
 def dedup_embedding_cosine(ds, id_col: str = "vec_id",
