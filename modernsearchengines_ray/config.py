@@ -48,6 +48,13 @@ class IndexConfig:
     #: prepend comma-separated url words to the document text before
     #: tokenizing (reference indexing.py:195). Off for inputs with no url.
     prepend_url_words: bool = True
+    #: surface-form -> lemma lookup applied between the stopword drop
+    #: and Porter stemming (the reference's spaCy lemma position,
+    #: indexing.py:148-151).  None = identity (round-1 semantics);
+    #: functions/lemma.py ships a vendored irregular-forms table and a
+    #: loader for the published spacy-lookups-data English table.
+    #: Must match the table the query side uses (QueryEngine).
+    lemma_table: dict[str, str] | None = field(default=None, hash=False)
 
 
 @dataclass(frozen=True)

@@ -6,10 +6,13 @@
 
 ⚠ Reference length-norm quirk (SURVEY.md §2.5 A4): ``doc_len`` is the
 document's **token** count (indexing.py:207-208) while ``avg_doc_len``
-is the mean **character** length of ``url_words + " " + text`` over ALL
-docs including the >800k-char skipped ones (indexing.py:183,193-200).
-We replicate it verbatim — never "fix" it — by feeding those exact
-quantities in from the corpus-stats stage.
+is a mean **character** length of ``url_words + " " + text``
+(indexing.py:183,193-200) whose divisor counts ALL docs (including the
+>800k-char skipped ones) but whose numerator EXCLUDES the skipped
+docs' characters — skipped docs dilute the average without
+contributing chars (stages/stats.py states the same).  We replicate it
+verbatim — never "fix" it — by feeding those exact quantities in from
+the corpus-stats stage.
 """
 
 from __future__ import annotations

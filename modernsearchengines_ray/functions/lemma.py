@@ -1,0 +1,163 @@
+"""English lemmatization lookup layer (M14 fidelity hook).
+
+The reference tokenizes with spaCy ``en_core_web_sm`` — stopword/punct
+drop, then ``token.lemma_``, then Porter stem
+(/root/reference/indexing.py:130-159).  spaCy is not in this container,
+so the pipeline here is spaCy-SHAPED: the same stop -> lemma -> stem
+order, with the lemma step a pluggable LOOKUP TABLE
+(``IndexConfig(lemma_table=...)`` / ``tokenize(lemma_table=...)``).
+Deploying against the real ``spacy-lookups-data`` English table (public,
+MIT) is a one-line ``load_lemma_table`` call — no code change.
+
+``DEFAULT_LEMMA_TABLE`` vendors the common irregular inflections
+(standard public knowledge: irregular verb pasts/participles, irregular
+noun plurals).  Why irregulars only: Porter already collapses REGULAR
+inflection the same way with or without lemmatization
+(``studies -> studi`` directly, and ``studies -> study -> studi`` via a
+lemma), so the observable spaCy-vs-identity divergence is concentrated
+in irregular forms (``ran`` stems to ``ran`` without the table, ``run``
+with it).  Remaining documented divergences from the real reference:
+
+- no POS disambiguation — a context-free table lemmatizes the verb
+  reading ('saw' -> 'see') even where spaCy's tagger would keep the
+  noun;
+- coverage is the irregular core, not spaCy's full ~40k-entry lookup.
+
+Default behavior is UNCHANGED: ``lemma_table=None`` keeps the identity
+lemma (round-1 semantics); engine and oracle share this module, so
+conformance stays exact whichever table is configured.
+"""
+
+from __future__ import annotations
+
+_IRREGULAR_VERBS = {
+    # past / participle -> base (public-knowledge irregular inflections)
+    "arose": "arise", "arisen": "arise",
+    "ate": "eat", "eaten": "eat",
+    "awoke": "awake", "awoken": "awake",
+    "bore": "bear", "borne": "bear",
+    "beat": "beat", "beaten": "beat",
+    "became": "become", "began": "begin", "begun": "begin",
+    "bent": "bend",
+    "bit": "bite", "bitten": "bite",
+    "bled": "bleed", "blew": "blow", "blown": "blow",
+    "broke": "break", "broken": "break",
+    "bred": "breed",
+    "brought": "bring", "built": "build",
+    "burnt": "burn", "burst": "burst",
+    "bought": "buy",
+    "caught": "catch", "chose": "choose", "chosen": "choose",
+    "clung": "cling", "came": "come",
+    "crept": "creep",
+    "dealt": "deal", "dug": "dig",
+    "did": "do", "done": "do",
+    "drew": "draw", "drawn": "draw",
+    "drank": "drink", "drunk": "drink",
+    "drove": "drive", "driven": "drive",
+    "fell": "fall", "fallen": "fall",
+    "fed": "feed", "felt": "feel",
+    "fought": "fight", "found": "find",
+    "fled": "flee", "flung": "fling",
+    "flew": "fly", "flown": "fly",
+    "forbade": "forbid", "forbidden": "forbid",
+    "forgot": "forget", "forgotten": "forget",
+    "forgave": "forgive", "forgiven": "forgive",
+    "froze": "freeze", "frozen": "freeze",
+    "got": "get", "gotten": "get",
+    "gave": "give", "given": "give",
+    "went": "go", "gone": "go",
+    "grew": "grow", "grown": "grow",
+    "hung": "hang", "heard": "hear",
+    "hid": "hide", "hidden": "hide",
+    "held": "hold", "hurt": "hurt",
+    "kept": "keep", "knelt": "kneel",
+    "knew": "know", "known": "know",
+    "laid": "lay", "led": "lead",
+    "leapt": "leap", "learnt": "learn",
+    "left": "leave", "lent": "lend",
+    "lit": "light",
+    "lost": "lose", "made": "make",
+    "meant": "mean", "met": "meet",
+    "paid": "pay", "proven": "prove",
+    "quit": "quit",
+    "rode": "ride", "ridden": "ride",
+    "rang": "ring", "rung": "ring",
+    "rose": "rise", "risen": "rise",
+    "ran": "run",
+    "said": "say", "saw": "see", "seen": "see",
+    "sought": "seek", "sold": "sell", "sent": "send",
+    "shook": "shake", "shaken": "shake",
+    "shone": "shine", "shot": "shoot",
+    "showed": "show", "shown": "show",
+    "shrank": "shrink", "shrunk": "shrink",
+    "shut": "shut",
+    "sang": "sing", "sung": "sing",
+    "sank": "sink", "sunk": "sink",
+    "sat": "sit", "slept": "sleep",
+    "slid": "slide", "spoke": "speak", "spoken": "speak",
+    "spent": "spend", "spun": "spin",
+    "sprang": "spring", "sprung": "spring",
+    "stood": "stand", "stole": "steal", "stolen": "steal",
+    "stuck": "stick", "stung": "sting",
+    "struck": "strike", "strove": "strive", "striven": "strive",
+    "swore": "swear", "sworn": "swear",
+    "swept": "sweep",
+    "swam": "swim", "swum": "swim",
+    "swung": "swing",
+    "took": "take", "taken": "take",
+    "taught": "teach", "tore": "tear", "torn": "tear",
+    "told": "tell", "thought": "think",
+    "threw": "throw", "thrown": "throw",
+    "understood": "understand",
+    "woke": "wake", "woken": "wake",
+    "wore": "wear", "worn": "wear",
+    "wove": "weave", "woven": "weave",
+    "wept": "weep",
+    "won": "win", "wound": "wind",
+    "withdrew": "withdraw", "withdrawn": "withdraw",
+    "wrung": "wring",
+    "wrote": "write", "written": "write",
+}
+
+_IRREGULAR_NOUNS = {
+    "men": "man", "women": "woman", "children": "child",
+    "feet": "foot", "teeth": "tooth", "geese": "goose",
+    "mice": "mouse", "lice": "louse", "oxen": "ox",
+    "dice": "die", "pence": "penny",
+    "criteria": "criterion", "phenomena": "phenomenon",
+    "analyses": "analysis", "bases": "basis", "crises": "crisis",
+    "theses": "thesis", "hypotheses": "hypothesis",
+    "diagnoses": "diagnosis", "oases": "oasis",
+    "appendices": "appendix", "indices": "index", "matrices": "matrix",
+    "vertices": "vertex", "axes": "axis",
+    "alumni": "alumnus", "cacti": "cactus", "fungi": "fungus",
+    "nuclei": "nucleus", "radii": "radius", "stimuli": "stimulus",
+    "syllabi": "syllabus",
+    "bacteria": "bacterium", "curricula": "curriculum",
+    "data": "datum", "media": "medium", "memoranda": "memorandum",
+    "strata": "stratum",
+    "wives": "wife", "knives": "knife", "lives": "life",
+    "leaves": "leaf", "loaves": "loaf", "halves": "half",
+    "calves": "calf", "shelves": "shelf", "thieves": "thief",
+    "wolves": "wolf", "scarves": "scarf", "elves": "elf",
+}
+
+#: context-free irregular-form table; copy so callers can't mutate the
+#: module constants through it
+DEFAULT_LEMMA_TABLE: dict[str, str] = {**_IRREGULAR_VERBS,
+                                       **_IRREGULAR_NOUNS}
+
+
+def load_lemma_table(path: str) -> dict[str, str]:
+    """Load a ``form<TAB>lemma`` TSV (the published spacy-lookups-data
+    English lookup exports to exactly this shape).  Lines starting with
+    ``#`` and blank lines are skipped; forms are lowercased."""
+    table: dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            form, lemma = line.split("\t", 1)
+            table[form.lower()] = lemma.lower()
+    return table

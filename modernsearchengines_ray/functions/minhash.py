@@ -41,13 +41,19 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 
 class MinHasher:
-    """num_perm universal-hash permutations over 32-bit shingle hashes."""
+    """num_perm Carter-Wegman hash permutations ((a*x+b) mod p, masked
+    to 32 bits) over 32-bit shingle hashes, evaluated without 64-bit
+    wrap (see __init__)."""
 
     def __init__(self, num_perm: int = 128, seed: int = 42) -> None:
         rng = np.random.RandomState(seed)
         self.num_perm = num_perm
-        self.a = rng.randint(1, _MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
+        # a, b < 2^32 so a*x + b (x a 32-bit shingle hash) stays below
+        # 2^64 and the mod-p reduction is EXACT — drawing a from [1, p)
+        # like datasketch wraps a*x mod 2^64 first, a known bias of
+        # that implementation we deliberately avoid (ADVICE r1).
+        self.a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
 
     def signature(self, shingles: set[str]) -> np.ndarray:
         if not shingles:

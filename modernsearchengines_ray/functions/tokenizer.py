@@ -10,10 +10,16 @@ Deviation (documented): the reference tokenizes with spaCy
 ``en_core_web_sm`` and lemmatizes before stemming; spaCy is not
 available in this environment, so tokens are unicode word-character
 runs (``\\w+`` minus underscores, which the normalizer already removed)
-and the lemma step is the identity — Porter stemming is applied
-directly.  Stopword and punctuation drops keep the same position in the
-pipeline; the sequential oracle shares this module, so engine-vs-oracle
-conformance is exact.
+and the lemma step is a pluggable LOOKUP TABLE applied in spaCy's
+position (after the stopword drop, before Porter) —
+``lemma_table=None`` (the default, and what the conformance suite
+pins) is the identity; pass
+:data:`modernsearchengines_ray.functions.lemma.DEFAULT_LEMMA_TABLE`
+(vendored irregular forms) or a loaded spacy-lookups-data table for
+spaCy-shaped lemmatization (see functions/lemma.py for the remaining
+divergences).  Stopword and punctuation drops keep the same position
+in the pipeline; the sequential oracle shares this module, so
+engine-vs-oracle conformance is exact for any table.
 """
 
 from __future__ import annotations
@@ -31,23 +37,42 @@ _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 #: in the tokenize hot loop.
 _STEM_CACHE: dict[str, str] = {}
 
+#: per-lemma-table stem caches: id(table) -> (table, {token: stem}).
+#: The table itself is kept alongside so a recycled id() can never
+#: serve another table's cache.
+_LEMMA_STEM_CACHES: dict[int, tuple[dict, dict[str, str]]] = {}
+
+
+def _stem_cache_for(lemma_table: dict[str, str] | None) -> dict[str, str]:
+    if lemma_table is None:
+        return _STEM_CACHE
+    key = id(lemma_table)
+    entry = _LEMMA_STEM_CACHES.get(key)
+    if entry is None or entry[0] is not lemma_table:
+        entry = _LEMMA_STEM_CACHES[key] = (lemma_table, {})
+    return entry[1]
+
 
 def tokenize(
     text: str,
     only_unique_tokens: bool = False,
     chunk_chars: int = 800_000,
+    lemma_table: dict[str, str] | None = None,
 ) -> list[tuple[str, int]]:
     """Return [(stem, char_offset_in_normalized_chunk), ...].
 
     ``only_unique_tokens`` keeps the first occurrence of each stem
     (reference indexing.py:152-156, used on the query side).
+    ``lemma_table`` maps surface form -> lemma before stemming
+    (reference indexing.py:148-151 spaCy lemma position); None = identity.
     """
     unique: set[str] = set()
     tokens: list[tuple[str, int]] = []
 
     # hot loop: locals bound once (measured ~20% of corpus CPU here)
     stop = STOPWORDS
-    cache = _STEM_CACHE
+    cache = _stem_cache_for(lemma_table)
+    lemma_get = lemma_table.get if lemma_table is not None else None
     cache_get = cache.get
     out_append = tokens.append
     finditer = _TOKEN_RE.finditer
@@ -60,7 +85,8 @@ def tokenize(
                 continue
             stem = cache_get(token)
             if stem is None:
-                stem = cache[token] = porter_stem(token)
+                base = token if lemma_get is None else lemma_get(token, token)
+                stem = cache[token] = porter_stem(base)
             if not stem:
                 continue
             if only_unique_tokens:

@@ -83,7 +83,8 @@ def build_oracle_index(
             text = url_to_comma_separated_words(url) + " " + doc
         else:
             text = doc
-        tokens = tokenize(text, chunk_chars=cfg.chunk_chars)
+        tokens = tokenize(text, chunk_chars=cfg.chunk_chars,
+                          lemma_table=cfg.lemma_table)
         oi.document_lengths[doc_id] = len(tokens)
         for lemma, position in tokens:
             index[lemma].setdefault(doc_id, [0.0, []])[1].append(position)
@@ -126,8 +127,12 @@ def oracle_query_processing(
     query: str,
     synonyms_table: dict[str, list[str]] | None = None,
     rank_cfg: RankConfig = DEFAULT_RANK_CONFIG,
+    lemma_table: dict[str, str] | None = None,
 ) -> tuple[list[tuple[str, int]], str, list[str]]:
-    """retrieval.py:146-175 with the synonym stage frozen to a table."""
+    """retrieval.py:146-175 with the synonym stage frozen to a table.
+
+    ``lemma_table`` must match the index build's (IndexConfig.lemma_table)
+    or query terms will miss their postings."""
     synonyms_table = synonyms_table or {}
     query = query.lower()
     query = _remove_stopwords_and_punctuation(query)
@@ -145,8 +150,10 @@ def oracle_query_processing(
 
     extended = " ".join(sorted(extended_query))
     extended = _remove_stopwords_and_punctuation(extended)
-    tokens = tokenize(extended, only_unique_tokens=True)
-    original_query = [t for t, _ in tokenize(query, only_unique_tokens=True)]
+    tokens = tokenize(extended, only_unique_tokens=True,
+                      lemma_table=lemma_table)
+    original_query = [t for t, _ in tokenize(query, only_unique_tokens=True,
+                                             lemma_table=lemma_table)]
     return tokens, extended, original_query
 
 
@@ -242,8 +249,9 @@ def oracle_search(
     query: str,
     synonyms_table: dict[str, list[str]] | None = None,
     rank_cfg: RankConfig = DEFAULT_RANK_CONFIG,
+    lemma_table: dict[str, str] | None = None,
 ) -> list[tuple[int, float]]:
     tokens, _extended, original = oracle_query_processing(
-        query, synonyms_table, rank_cfg
+        query, synonyms_table, rank_cfg, lemma_table
     )
     return oracle_rank(oi, tokens, original, rank_cfg)

@@ -285,11 +285,15 @@ class QueryEngine:
         num_scorers: int = 4,
         rank_cfg: RankConfig = DEFAULT_RANK_CONFIG,
         synonyms_table: dict[str, list[str]] | None = None,
+        lemma_table: dict[str, str] | None = None,
     ):
         self.index_dir = index_dir
         self.meta = read_meta(index_dir)
         self.rank_cfg = rank_cfg
         self.synonyms_table = synonyms_table or {}
+        #: must match the table the index was built with
+        #: (IndexConfig.lemma_table) or query terms miss their postings
+        self.lemma_table = lemma_table
         shard_ids = sorted(read_manifests(index_dir).keys())
         num_scorers = max(1, min(num_scorers, len(shard_ids) or 1))
         assignments: list[list[int]] = [[] for _ in range(num_scorers)]
@@ -324,7 +328,7 @@ class QueryEngine:
 
     def search(self, query: str) -> list[tuple[int, float]]:
         tokens, _extended, original = oracle_query_processing(
-            query, self.synonyms_table, self.rank_cfg
+            query, self.synonyms_table, self.rank_cfg, self.lemma_table
         )
         terms = [t for t, _ in tokens]
         fetched = self.fetch(terms, position_terms=original)
@@ -345,7 +349,8 @@ class QueryEngine:
         Single-scorer queries finish in round 1 (pure WAND)."""
         from ..functions.tokenizer import tokenize
 
-        terms = sorted({t for t, _ in tokenize(query.lower())})
+        terms = sorted({t for t, _ in tokenize(query.lower(),
+                                               lemma_table=self.lemma_table)})
         by_scorer: dict[int, list[str]] = defaultdict(list)
         for term in terms:
             owner = self._owner(term)
@@ -419,7 +424,7 @@ class QueryEngine:
         if spellchecker is not None:
             query = spellchecker.correct_query(query)
         tokens, extended, original = oracle_query_processing(
-            query, self.synonyms_table, self.rank_cfg
+            query, self.synonyms_table, self.rank_cfg, self.lemma_table
         )
         terms = [t for t, _ in tokens]
         fetched = self.fetch(terms, position_terms=original)

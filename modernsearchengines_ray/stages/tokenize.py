@@ -121,7 +121,8 @@ def build_runs(batch: pa.Table, cfg: IndexConfig) -> tuple[pa.Table, tuple[int, 
             text = url_to_comma_separated_words(url) + " " + text
         char_sum += len(text)
         indexed += 1
-        tokens = tokenize(text, chunk_chars=cfg.chunk_chars)
+        tokens = tokenize(text, chunk_chars=cfg.chunk_chars,
+                          lemma_table=cfg.lemma_table)
         doc_len = len(tokens)
         per_term: dict[str, list[int]] = {}
         for term, position in tokens:

@@ -170,6 +170,23 @@ def top_topics(dist: np.ndarray, k: int = 3) -> list[list[int]]:
     return [(-row).argsort()[:k].tolist() for row in dist]
 
 
+def topic_top_words(tfidf: "TfidfModel", lda: "LdaModel",
+                    num_words: int = 15) -> dict[int, list[str]]:
+    """Top words per topic (reference K7, topic.py:87-106 print_topics):
+    each vocabulary word is assigned to the topic where its component
+    weight is highest (argmax over the topic axis), then each topic's
+    words sort by weight descending — ties keep vocabulary (alphabetic)
+    order, matching the reference's stable sort over feature_names."""
+    feature_names = sorted(tfidf.vocab, key=tfidf.vocab.get)
+    owner = lda.components.argmax(axis=0)
+    out: dict[int, list[str]] = {t: [] for t in range(lda.components.shape[0])}
+    for t in out:
+        idx = np.flatnonzero(owner == t)
+        order = np.argsort(-lda.components[t, idx], kind="stable")
+        out[t] = [feature_names[i] for i in idx[order][:num_words]]
+    return out
+
+
 class TopicModel:
     """TF-IDF + LDA bundle with the reference's parameters."""
 

@@ -116,6 +116,38 @@ class TestTopics:
         agree = sum(int(t == l) for t, l in zip(tops, labels))
         assert max(agree, len(docs) - agree) >= 55
 
+    def test_topic_top_words_partition_and_order(self):
+        """K7 (topic.py:87-106): every vocab word belongs to exactly one
+        topic (argmax partition) and words sort by weight descending."""
+        import numpy as np
+
+        from modernsearchengines_ray.stages.topics import (
+            TfidfModel,
+            TopicModel,
+            topic_top_words,
+        )
+
+        docs = [
+            "castle river museum bridge castle tour ticket entrance",
+            "restaurant menu dish taste kitchen dinner lunch dish",
+            "castle museum history medieval manuscript press history",
+            "restaurant kitchen dinner wine cellar taste menu",
+            "river bridge boat punt tower church street river",
+            "museum manuscript book print seminar physics research",
+        ] * 3
+        model = TopicModel.fit(docs, n_components=3, seed=42)
+        words = topic_top_words(model.tfidf, model.lda, num_words=5)
+        assert set(words) == {0, 1, 2}
+        flat = [w for ws in words.values() for w in ws]
+        assert len(flat) == len(set(flat))       # argmax partition: no word twice
+        for t, ws in words.items():
+            weights = [model.lda.components[t, model.tfidf.vocab[w]]
+                       for w in ws]
+            assert weights == sorted(weights, reverse=True)
+        # deterministic across fits
+        again = topic_top_words(model.tfidf, model.lda, num_words=5)
+        assert again == words
+
     def test_descriptor_mapping(self):
         from modernsearchengines_ray.stages.topics import (
             TOPIC_DESCRIPTORS,
