@@ -33,8 +33,12 @@ def entry() -> Any:
     from modernsearchengines_ray.state.shards import list_shard_files
 
     cfg = IndexConfig(prepend_url_words=False, num_shards=8)
-    ds = rd.read_parquet(f"{SF_SMOKE}/documents.parquet",
-                         columns=["doc_id", "text"])
+    from modernsearchengines_ray.pipelines.driver_queries import clean_schema
+
+    ds = rd.read_parquet(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"],
+        schema=clean_schema(f"{SF_SMOKE}/documents.parquet",
+                            ["doc_id", "text"]))
     tmp = tempfile.mkdtemp(prefix="msr_entry_")
     try:
         result = build_index(ds, tmp, cfg=cfg, corpus_id="entry-sf0.001")

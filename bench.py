@@ -72,14 +72,24 @@ def run_once() -> dict:
     from modernsearchengines_ray.pipelines.query import QueryEngine
 
     # warm the page cache so we measure compute + shuffle, not first disk read
-    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    import pyarrow.parquet as pq
+
+    # metadata-free schema: pandas metadata makes pa.Schema unhashable
+    # and floods the log with Ray's schema-dedup warning
+    doc_schema = pq.read_schema(f"{SF_DIR}/documents.parquet") \
+        .remove_metadata()
+    rd.read_parquet(f"{SF_DIR}/documents.parquet", schema=doc_schema).count()
 
     cfg = IndexConfig(prepend_url_words=False, num_shards=32)
     index_dir = tempfile.mkdtemp(prefix="msr_bench_idx_")
 
     t0 = time.perf_counter()
-    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                         columns=["doc_id", "text"])
+    import pyarrow as pa
+
+    ds = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+        schema=pa.schema([doc_schema.field("doc_id"),
+                          doc_schema.field("text")]))
     result = build_index(ds, index_dir, cfg=cfg, corpus_id="bench")
     build_sec = time.perf_counter() - t0
 

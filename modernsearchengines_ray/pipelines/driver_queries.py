@@ -32,10 +32,26 @@ K1, B = 1.5, 0.75
 BM25_QUERY_TERMS = ("data", "join", "stream")
 
 
+def clean_schema(path: str, columns=None):
+    """Metadata-free (optionally column-projected) parquet schema: the
+    testdata files carry pandas metadata, which makes pa.Schema
+    unhashable and trips a per-fragment Ray warning ("Failed to hash
+    the schemas") on every read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return schema
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    return rd.read_parquet(path, columns=columns,
+                           schema=clean_schema(path, columns))
 
 
 # ---------------------------------------------------------------------------
