@@ -117,7 +117,9 @@ def prepare_corpus(pages_ds, doc_id_mode: str = "dense_rank",
 
 def prepare_corpus_streaming(pages_ds, workdir: str,
                              doc_id_mode: str = "hash",
-                             num_blocks: int | None = None):
+                             num_blocks: int | None = None,
+                             reduce: str = "driver",
+                             num_partitions: int | None = None):
     """Two-pass corpus prep; returns the LAZY corpus Dataset.
 
     Pass 1 streams extract + simhash once and writes ``extracted/``
@@ -128,6 +130,17 @@ def prepare_corpus_streaming(pages_ds, workdir: str,
     Dataset (read extracted -> english filter -> winner semi-join ->
     doc ids) is a streaming chain the index build consumes directly;
     nothing re-tokenizes or rewrites the full text a second time.
+
+    ``reduce`` picks the winner-election tier (same contract as
+    stages/dedup.py): ``"driver"`` reduces map-side (simhash, url_min)
+    partials on the driver and broadcasts the winner table (default —
+    one narrow row per unique page); ``"partitioned"`` runs a
+    distributed ``groupby(simhash).aggregate(Min(url))`` plus a
+    hash-shuffle ``Dataset.join`` on the (simhash, url) pair, holding
+    NOTHING on the driver — the 10^12-page tier.  Both filter on the
+    full (simhash, url) PAIR (url membership alone would keep every
+    snapshot of a winning url and could keep a loser whose url won a
+    different hash group).
 
     This is the reference's establish_workingDB lineage
     (/root/reference/WebCrawler_basis.py:311-362: crawl ->
@@ -148,10 +161,55 @@ def prepare_corpus_streaming(pages_ds, workdir: str,
                         zero_copy_batch=True)
     ds.write_parquet(extracted_dir)
 
+    read_kwargs = {}
+    if num_blocks is not None:
+        read_kwargs["override_num_blocks"] = num_blocks
+    corpus = rd.read_parquet(extracted_dir, **read_kwargs)
+    corpus = filter_english(corpus)
+
+    # simhash is stored uint64; Ray's shuffle block builders reject
+    # uint64 above 2^63, and grouping only needs EQUALITY, so both
+    # election tiers work on the int64 bit-cast
+    def cast_hash(batch: pa.Table) -> pa.Table:
+        col = batch["simhash"].cast(pa.int64(), safe=False)
+        i = batch.schema.get_field_index("simhash")
+        return batch.set_column(i, "simhash", col)
+
+    if reduce == "partitioned":
+        from ray.data.aggregate import Min
+
+        from ..stages.dedup import DEFAULT_JOIN_PARTITIONS
+
+        corpus = corpus.map_batches(cast_hash, batch_format="pyarrow")
+        narrow = rd.read_parquet(extracted_dir,
+                                 columns=["simhash", "url", "lang"])
+        winners = filter_english(narrow) \
+            .map_batches(cast_hash, batch_format="pyarrow") \
+            .map_batches(
+                lambda b: b.select(["simhash", "url"]).group_by("simhash")
+                .aggregate([("url", "min")]),
+                batch_format="pyarrow") \
+            .groupby("simhash").aggregate(Min("url_min", alias_name="win_url"))
+        corpus = corpus.join(
+            winners, "inner",
+            num_partitions=num_partitions or DEFAULT_JOIN_PARTITIONS,
+            on=("simhash", "url"), right_on=("simhash", "win_url"),
+        )
+
+        def restore_hash(batch: pa.Table) -> pa.Table:
+            col = batch["simhash"].cast(pa.uint64(), safe=False)
+            i = batch.schema.get_field_index("simhash")
+            return batch.set_column(i, "simhash", col)
+
+        corpus = corpus.map_batches(restore_hash, batch_format="pyarrow")
+        return assign_doc_ids(corpus, mode=doc_id_mode)
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
+
     # winner election over pruned columns: map-side min per batch,
-    # driver reduce (scale path: hash(simhash)-partitioned groupby).
-    # Arrow group_by throughout — pandas group-min over object-dtype
-    # strings measured 10s on 333k rows where Arrow takes 0.1s.
+    # driver reduce.  Arrow group_by throughout — pandas group-min over
+    # object-dtype strings measured 10s on 333k rows where Arrow takes
+    # 0.1s.
     def batch_min(batch: pa.Table) -> pa.Table:
         return batch.select(["simhash", "url"]).group_by("simhash") \
             .aggregate([("url", "min")])
@@ -160,15 +218,14 @@ def prepare_corpus_streaming(pages_ds, workdir: str,
                              columns=["simhash", "url", "lang"])
     partial_refs = filter_english(narrow).map_batches(
         batch_min, batch_format="pyarrow").to_arrow_refs()
-    from ..stages.dedup import concat_partials
+    from ..stages.dedup import (
+        _pair_winner_mask,
+        _sorted_winner_arrays,
+        concat_partials,
+    )
 
     partials = concat_partials(ray.get(partial_refs))
     winners = partials.group_by("simhash").aggregate([("url_min", "min")])
-    from ..stages.dedup import _pair_winner_mask, _sorted_winner_arrays
-
-    # filter on the (simhash, url) PAIR — url membership alone would
-    # keep every snapshot of a winning url and could keep a loser whose
-    # url won a different hash group (see stages/dedup.py docstring)
     win_hashes, win_urls = _sorted_winner_arrays(
         winners, "simhash", "url_min_min")
     win_ref = ray.put((win_hashes, win_urls))
@@ -179,11 +236,6 @@ def prepare_corpus_streaming(pages_ds, workdir: str,
         urls = np.asarray(batch["url"].to_pylist(), dtype=object)
         return batch.filter(pa.array(_pair_winner_mask(hashes, urls, wh, wu)))
 
-    read_kwargs = {}
-    if num_blocks is not None:
-        read_kwargs["override_num_blocks"] = num_blocks
-    corpus = rd.read_parquet(extracted_dir, **read_kwargs)
-    corpus = filter_english(corpus)
     corpus = corpus.map_batches(filter_winners, batch_format="pyarrow")
     return assign_doc_ids(corpus, mode=doc_id_mode)
 

@@ -140,6 +140,31 @@ class TestPairFilterSemantics:
                                       "http://b.example/q"}
 
 
+class TestStreamingPrepPartitioned:
+    def test_streaming_prep_modes_agree(self, ray_session, tmp_path):
+        """prepare_corpus_streaming driver vs partitioned winner
+        election: identical corpus rows (incl. restored uint64 simhash
+        column and hash doc ids)."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from modernsearchengines_ray.pipelines.corpus_prep import (
+            prepare_corpus_streaming,
+        )
+        from tests.fixtures import make_pages
+
+        src = tmp_path / "pages.parquet"
+        pq.write_table(make_pages(n=80, seed=5), str(src))
+        outs = {}
+        for mode in ("driver", "partitioned"):
+            corpus = prepare_corpus_streaming(
+                rd.read_parquet(str(src)), str(tmp_path / f"work_{mode}"),
+                doc_id_mode="hash", reduce=mode).to_pandas()
+            outs[mode] = _sorted(corpus)
+        pd.testing.assert_frame_equal(outs["driver"], outs["partitioned"])
+        assert str(outs["driver"]["simhash"].dtype) == "uint64"
+
+
 class TestIngestionGuards:
     def test_assert_unique_keys_passes_and_raises(self, ray_session):
         import ray.data as rd
