@@ -574,7 +574,9 @@ def embedding_lsh_candidate_pairs(ds, id_col: str = "vec_id",
                                   threshold: float = 0.95,
                                   num_tables: int = 16,
                                   hyperplanes_per_table: int = 12,
-                                  seed: int = 42) -> pd.DataFrame:
+                                  seed: int = 42,
+                                  reduce: str = "driver",
+                                  num_partitions: int | None = None):
     """Random-hyperplane LSH (Charikar 2002 SimHash for angles): the
     bucketed SCALE path for cosine near-dup — no all-pairs matrix.
 
@@ -583,7 +585,17 @@ def embedding_lsh_candidate_pairs(ds, id_col: str = "vec_id",
     vectors at angle θ collide in one table with prob
     (1 - θ/π)^h, so a >= 0.95-cosine pair survives the default 16x12
     with prob ~0.995.  Candidates are verified with the exact cosine.
-    Returns verified (id_a, id_b, cos_sim) pairs, id_a < id_b.
+    Returns verified (id_a, id_b, cos_sim) pairs, id_a < id_b — a
+    DataFrame in ``reduce="driver"`` mode, a lazy Dataset in
+    ``reduce="partitioned"`` mode.
+
+    Reduce tiers: ``"driver"`` pulls the narrow (id, bucket) rows and
+    enumerates collision pairs vectorized on the driver (fine while
+    docs x tables rows fit one machine); ``"partitioned"`` enumerates
+    pairs as a hash-shuffle SELF-JOIN on the bucket key, dedups with a
+    distributed two-key groupby, and verifies by joining packed vector
+    blobs back per side — nothing touches the driver (both tiers are
+    bit-identical under test).
 
     For LOW thresholds (broad similarity mining, e.g. 0.45) pass fewer
     hyperplanes per table and more tables — collision probability at
@@ -617,6 +629,13 @@ def embedding_lsh_candidate_pairs(ds, id_col: str = "vec_id",
         })
 
     buckets = ds.map_batches(bucket_rows, batch_format="pyarrow")
+    if reduce == "partitioned":
+        return _lsh_pairs_partitioned(ds, buckets, id_col, vec_col,
+                                      threshold, dim,
+                                      num_partitions or
+                                      DEFAULT_JOIN_PARTITIONS)
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
     btab = concat_partials(ray.get(buckets.to_arrow_refs()))
     cand = _collision_pairs(
         btab[id_col].to_numpy(zero_copy_only=False),
@@ -658,6 +677,83 @@ def embedding_lsh_candidate_pairs(ds, id_col: str = "vec_id",
         "id_b": pd.array(b_ids[keep], dtype="int64"),
         "cos_sim": np.round(sims[keep], 6),
     })
+
+
+def _lsh_pairs_partitioned(ds, buckets, id_col: str, vec_col: str,
+                           threshold: float, dim: int,
+                           num_partitions: int):
+    """Distributed candidate enumeration + verification (see
+    :func:`embedding_lsh_candidate_pairs`).  Vectors travel as packed
+    float64 blobs because Acero joins reject list<> non-key columns."""
+    right = buckets.map_batches(
+        lambda b: b.rename_columns(["id_b", "bucket"]),
+        batch_format="pyarrow")
+    self_joined = buckets.join(right, "inner",
+                               num_partitions=num_partitions,
+                               on=("bucket",))
+
+    def ordered_pairs(batch: pa.Table) -> pa.Table:
+        a = batch[id_col].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table({
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+        })
+
+    from ray.data.aggregate import Count
+
+    pairs = self_joined.map_batches(ordered_pairs, batch_format="pyarrow") \
+        .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_tables")) \
+        .drop_columns(["n_tables"])
+
+    def pack_vectors(batch: pa.Table) -> pa.Table:
+        emb = batch[vec_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64) \
+            .reshape(batch.num_rows, -1)
+        norms = np.linalg.norm(mat, axis=1)
+        blobs = [mat[i].tobytes() for i in range(mat.shape[0])]
+        return pa.table({
+            id_col: batch[id_col],
+            "blob": pa.array(blobs, pa.binary()),
+            "vnorm": pa.array(norms, pa.float64()),
+        })
+
+    vecs = ds.map_batches(pack_vectors, batch_format="pyarrow")
+    vecs_a = vecs.map_batches(
+        lambda b: b.rename_columns(["id_a", "blob_a", "norm_a"]),
+        batch_format="pyarrow")
+    vecs_b = vecs.map_batches(
+        lambda b: b.rename_columns(["id_b", "blob_b", "norm_b"]),
+        batch_format="pyarrow")
+    joined = pairs.join(vecs_a, "inner", num_partitions=num_partitions,
+                        on=("id_a",))
+    joined = joined.join(vecs_b, "inner", num_partitions=num_partitions,
+                         on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        mat_a = np.frombuffer(
+            b"".join(batch["blob_a"].to_pylist())).reshape(n, dim)
+        mat_b = np.frombuffer(
+            b"".join(batch["blob_b"].to_pylist())).reshape(n, dim)
+        sims = np.einsum("ij,ij->i", mat_a, mat_b) / (
+            batch["norm_a"].to_numpy(zero_copy_only=False)
+            * batch["norm_b"].to_numpy(zero_copy_only=False))
+        keep = sims >= threshold
+        return pa.table({
+            "id_a": batch["id_a"].filter(pa.array(keep)),
+            "id_b": batch["id_b"].filter(pa.array(keep)),
+            "cos_sim": pa.array(np.round(sims[keep], 6), pa.float64()),
+        })
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def dedup_embedding_cosine(ds, id_col: str = "vec_id",

@@ -231,6 +231,30 @@ class TestEmbeddingDedupLshDefault:
         assert not (set(range(40, 45)) & set(lsh["vec_id"]))
 
 
+class TestLshPairsPartitioned:
+    def test_modes_bit_identical_on_planted_dups(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import (
+            embedding_lsh_candidate_pairs,
+        )
+
+        rng = np.random.RandomState(9)
+        base = rng.randn(30, 16)
+        rows = [v / np.linalg.norm(v) for v in base]
+        for i in range(4):
+            v = rows[i] + rng.randn(16) * 0.01
+            rows.append(v / np.linalg.norm(v))
+        df = pd.DataFrame({"vec_id": range(len(rows)),
+                           "embedding": [r.tolist() for r in rows]})
+        driver = embedding_lsh_candidate_pairs(
+            rd.from_pandas(df), reduce="driver")
+        part = embedding_lsh_candidate_pairs(
+            rd.from_pandas(df), reduce="partitioned").to_pandas()
+        pd.testing.assert_frame_equal(_sorted(driver), _sorted(part))
+        assert len(driver) >= 4          # the planted pairs were found
+
+
 class TestCollisionPairsKernel:
     def test_pairs_within_buckets_only(self):
         from modernsearchengines_ray.stages.dedup import _collision_pairs
