@@ -231,6 +231,71 @@ class TestEmbeddingDedupLshDefault:
         assert not (set(range(40, 45)) & set(lsh["vec_id"]))
 
 
+class TestMinhashChainPropagation:
+    def _chain_df(self):
+        """A five-doc chain: adjacent docs differ by two words (near
+        dups), the endpoints differ by eight (far apart).  The fixture
+        asserts its own precondition — endpoints share NO bucket, every
+        adjacent pair shares one — so a collapse of the whole chain can
+        only come from ITERATED propagation."""
+        import pyarrow as pa
+
+        from modernsearchengines_ray.stages.dedup import MinHashBands
+
+        words = [f"w{i:02d}" for i in range(60)]
+        docs = [" ".join(words)]
+        for hop in range(4):
+            words = list(words)
+            words[3 + hop * 13] = f"x{hop}a"
+            words[9 + hop * 11] = f"x{hop}b"
+            docs.append(" ".join(words))
+        docs.append("completely different words about ray data arrow batches")
+        df = pd.DataFrame({"doc_id": range(1, len(docs) + 1),
+                           "text": docs})
+
+        buckets: dict[str, set] = {}
+        table = MinHashBands()(pa.table({
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+            "text": pa.array(df["text"]),
+        }))
+        for i, k in zip(table["doc_id"].to_pylist(),
+                        table["band_key"].to_pylist()):
+            buckets.setdefault(k, set()).add(i)
+        shared = [v for v in buckets.values() if len(v) > 1]
+        assert not any({1, 5} <= s for s in shared), \
+            "precondition: endpoints must not share a bucket"
+        for a, b in ((1, 2), (2, 3), (3, 4), (4, 5)):
+            assert any({a, b} <= s for s in shared), \
+                f"precondition: adjacent pair {a},{b} must share a bucket"
+        return df
+
+    def test_chain_collapses_to_one_root(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import (
+            minhash_duplicate_groups,
+        )
+
+        df = self._chain_df()
+        roots = minhash_duplicate_groups(rd.from_pandas(df)).to_pandas()
+        root_of = dict(zip(roots["doc_id"], roots["dup_root"]))
+        assert root_of[1] == root_of[2] == root_of[3] \
+            == root_of[4] == root_of[5] == 1
+        assert root_of[6] == 6
+
+    def test_propagation_modes_agree(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import dedup_minhash
+
+        df = self._chain_df()
+        a = dedup_minhash(rd.from_pandas(df), reduce="driver").to_pandas()
+        b = dedup_minhash(rd.from_pandas(df),
+                          reduce="partitioned").to_pandas()
+        pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+        assert set(a["doc_id"]) == {1, 6}
+
+
 class TestLshPairsPartitioned:
     def test_modes_bit_identical_on_planted_dups(self, ray_session):
         import ray.data as rd
