@@ -190,6 +190,10 @@ def prepare_corpus_streaming(pages_ds, workdir: str,
                 .aggregate([("url", "min")]),
                 batch_format="pyarrow") \
             .groupby("simhash").aggregate(Min("url_min", alias_name="win_url"))
+        from ..stages.dedup import ensure_schema
+
+        winners = ensure_schema(winners, pa.schema([
+            ("simhash", pa.int64()), ("win_url", pa.string())]))
         corpus = corpus.join(
             winners, "inner",
             num_partitions=num_partitions or DEFAULT_JOIN_PARTITIONS,

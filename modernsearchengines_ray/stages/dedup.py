@@ -63,6 +63,73 @@ def concat_partials(tables: list[pa.Table]) -> pa.Table:
     return pa.concat_tables([t for t in real if t.num_rows > 0] or real[:1])
 
 
+#: sentinel key values no real row can carry: int64 min / NUL-framed
+#: string / NUL-framed bytes.  An INNER join drops the sentinel row the
+#: moment the other side lacks it (which it always does).
+_SENTINEL_INT = -(1 << 63)
+_SENTINEL_STR = "\x00msr\x00sentinel\x00"
+_SENTINEL_BYTES = b"\x00msr\x00sentinel\x00"
+
+
+def _sentinel_table(schema: pa.Schema) -> pa.Table:
+    cols = {}
+    for f in schema:
+        if pa.types.is_unsigned_integer(f.type):
+            cols[f.name] = pa.array([(1 << 64) - 1], f.type)
+        elif pa.types.is_integer(f.type):
+            cols[f.name] = pa.array([_SENTINEL_INT], f.type)
+        elif pa.types.is_string(f.type):
+            cols[f.name] = pa.array([_SENTINEL_STR], f.type)
+        elif pa.types.is_binary(f.type):
+            cols[f.name] = pa.array([_SENTINEL_BYTES], f.type)
+        elif pa.types.is_floating(f.type):
+            cols[f.name] = pa.array([float("nan")], f.type)
+        else:
+            raise TypeError(f"no sentinel for {f.type}")
+    return pa.table(cols, schema=schema)
+
+
+def ensure_schema(ds, schema: pa.Schema, num_blocks: int = 2):
+    """Make a groupby output safe to feed into ``Dataset.join``.
+
+    Two Ray quirks conspire against joining small/empty aggregates:
+    sort-based groupby emits schema-less zero-row blocks, and the hash
+    shuffle never delivers EMPTY shards, so a join partition that
+    receives no rows builds a no-column table and Acero fails with
+    "No match ... for key field reference" — even a typed-but-empty
+    dataset cannot be joined at all.  ``map_batches`` skips zero-row
+    blocks, so a normalization UDF never runs.  The structural fix:
+    union ONE sentinel row whose key values are outside any real
+    domain (guaranteeing every needed block/schema exists) and
+    repartition (rebuilding all blocks under the unified schema); the
+    inner join then drops the sentinel because the other side never
+    contains it.  Callers that RETURN the guarded dataset must filter
+    the sentinel back out (see :func:`drop_sentinels`)."""
+    import ray.data as rd
+
+    return rd.from_arrow(_sentinel_table(schema)).union(ds) \
+        .repartition(num_blocks)
+
+
+def drop_sentinels(ds, col: str):
+    """Remove :func:`ensure_schema` sentinel rows by key column."""
+    def fix(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return batch
+        column = batch[col]
+        if pa.types.is_unsigned_integer(column.type):
+            mask = pc.not_equal(column, (1 << 64) - 1)
+        elif pa.types.is_integer(column.type):
+            mask = pc.not_equal(column, _SENTINEL_INT)
+        elif pa.types.is_binary(column.type):
+            mask = pc.not_equal(column, _SENTINEL_BYTES)
+        else:
+            mask = pc.not_equal(column, _SENTINEL_STR)
+        return batch.filter(mask)
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
 # -- vectorized filter helpers ---------------------------------------------
 
 def _keep_mask_isin(column, values: pa.Array) -> pa.Array:
@@ -115,6 +182,12 @@ def _dedup_exact_by_hash_col(hashed_ds, hash_col: str, keep_key: str,
         partials = hashed_ds.map_batches(batch_min, batch_format="pyarrow")
         winners = partials.groupby(hash_col).aggregate(
             Min(f"{keep_key}_min", alias_name="win_key"))
+        win_schema = pa.schema([
+            (hash_col, partials.schema().base_schema.field(hash_col).type),
+            ("win_key",
+             partials.schema().base_schema.field(f"{keep_key}_min").type),
+        ])
+        winners = ensure_schema(winners, win_schema)
         return hashed_ds.join(
             winners, "inner",
             num_partitions=num_partitions or DEFAULT_JOIN_PARTITIONS,
@@ -273,21 +346,29 @@ def minhash_duplicate_groups(ds, id_col: str = "doc_id", text_col: str = "text",
             lambda b: pa.table({id_col: b[id_col], "label": b[id_col]}),
             batch_format="pyarrow",
         ).groupby(id_col).aggregate(Min("label", alias_name="label"))
+        label_schema = pa.schema([(id_col, pa.int64()),
+                                  ("label", pa.int64())])
+        labels = ensure_schema(labels, label_schema)
         prev_sum = None
         for _ in range(max_iters):
             member = bands.join(labels, "inner", num_partitions=nparts,
                                 on=(id_col,))
-            bucket_min = member.groupby("band_key").aggregate(
-                Min("label", alias_name="bucket_label"))
+            bucket_min = ensure_schema(
+                member.groupby("band_key").aggregate(
+                    Min("label", alias_name="bucket_label")),
+                pa.schema([("band_key", pa.string()),
+                           ("bucket_label", pa.int64())]))
             cand = bands.join(bucket_min, "inner", num_partitions=nparts,
                               on=("band_key",))
-            labels = cand.groupby(id_col).aggregate(
-                Min("bucket_label", alias_name="label")).materialize()
+            labels = ensure_schema(
+                cand.groupby(id_col).aggregate(
+                    Min("bucket_label", alias_name="label")),
+                label_schema).materialize()
             label_sum = labels.sum("label")
             if label_sum == prev_sum:
                 break
             prev_sum = label_sum
-        return labels.map_batches(
+        return drop_sentinels(labels, id_col).map_batches(
             lambda b: b.rename_columns([id_col, "dup_root"]),
             batch_format="pyarrow")
     if reduce != "driver":
@@ -562,13 +643,18 @@ def _collision_pairs(ids: np.ndarray, buckets: np.ndarray) -> set[tuple]:
 def jaccard_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             threshold: float = 0.8, shingle_n: int = 3,
                             num_perm: int = 128, num_bands: int = 16,
-                            concurrency: int = 2):
+                            concurrency: int = 2, reduce: str = "driver",
+                            num_partitions: int | None = None):
     """LSH candidate pairs verified by TRUE n-gram Jaccard >= threshold.
 
     Two phases: (1) MinHash banding proposes candidate pairs (the only
-    all-pairs-free way at scale); (2) the candidate ids' texts — and
-    only those — are broadcast and each pair's exact shingle Jaccard is
-    computed.  Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    all-pairs-free way at scale); (2) each candidate pair's exact
+    shingle Jaccard is computed over the pair's texts — and only those.
+    Returns (id_a, id_b, jaccard) with id_a < id_b — a sorted DataFrame
+    in ``reduce="driver"`` mode (narrow band rows pulled, pairs
+    enumerated vectorized, candidate texts broadcast), a lazy Dataset
+    in ``reduce="partitioned"`` mode (band-key self-join + two-key
+    distinct + per-side text joins; nothing on the driver)."""
     import ray
 
     def bands_task(batch: pa.Table) -> pa.Table:
@@ -578,10 +664,16 @@ def jaccard_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         return fn(batch)
 
     bands = ds.map_batches(bands_task, batch_format="pyarrow")
+    if reduce == "partitioned":
+        return _jaccard_pairs_partitioned(
+            ds, bands, id_col, text_col, threshold, shingle_n,
+            num_partitions or DEFAULT_JOIN_PARTITIONS)
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
 
-    # driver reduce over collision buckets only (scale path: partitioned
-    # groupby; a Dataset groupby would invoke Python per bucket and
-    # buckets are overwhelmingly singletons)
+    # driver reduce over collision buckets only; a Dataset groupby
+    # would invoke Python per bucket and buckets are overwhelmingly
+    # singletons
     btab = concat_partials(ray.get(bands.to_arrow_refs()))
     cand = _collision_pairs(
         btab[id_col].to_numpy(zero_copy_only=False),
@@ -619,6 +711,85 @@ def jaccard_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     })
     out = out[out["jaccard"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _jaccard_pairs_partitioned(ds, bands, id_col: str, text_col: str,
+                               threshold: float, shingle_n: int,
+                               num_partitions: int):
+    """Distributed candidate enumeration + exact-Jaccard verification
+    (see :func:`jaccard_candidate_pairs`)."""
+    from ray.data.aggregate import Count
+
+    right = bands.map_batches(
+        lambda b: b.rename_columns(["id_b", "band_key"]),
+        batch_format="pyarrow")
+    self_joined = bands.join(right, "inner", num_partitions=num_partitions,
+                             on=("band_key",))
+
+    def ordered_pairs(batch: pa.Table) -> pa.Table:
+        a = batch[id_col].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table({
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+        })
+
+    pairs = self_joined.map_batches(ordered_pairs, batch_format="pyarrow") \
+        .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands")) \
+        .drop_columns(["n_bands"])
+    pairs = ensure_schema(pairs, pa.schema([("id_a", pa.int64()),
+                                            ("id_b", pa.int64())]))
+
+    texts = ds.map_batches(
+        lambda b: b.select([id_col, text_col]),
+        batch_format="pyarrow")
+    texts_a = texts.map_batches(
+        lambda b: b.rename_columns(["id_a", "text_a"]),
+        batch_format="pyarrow")
+    texts_b = texts.map_batches(
+        lambda b: b.rename_columns(["id_b", "text_b"]),
+        batch_format="pyarrow")
+    joined = pairs.join(texts_a, "inner", num_partitions=num_partitions,
+                        on=("id_a",))
+    # chained joins need the guard between hops too: a zero-match first
+    # join leaves the second join's left side block-less (see
+    # ensure_schema); the sentinel's id_b never matches a real text
+    joined = ensure_schema(joined, pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()),
+        ("text_a", pa.string())]))
+    joined = joined.join(texts_b, "inner", num_partitions=num_partitions,
+                         on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        from ..functions.minhash import jaccard as exact_jaccard
+
+        # per-batch shingle cache: a hub doc appearing in many pairs
+        # shingles once per batch, not once per pair
+        cache: dict = {}
+
+        def sh(key, text):
+            s = cache.get(key)
+            if s is None:
+                s = cache[key] = word_shingles(text, shingle_n)
+            return s
+
+        a_ids = batch["id_a"].to_pylist()
+        b_ids = batch["id_b"].to_pylist()
+        scores = np.round([
+            exact_jaccard(sh(a, ta), sh(b, tb))
+            for a, b, ta, tb in zip(a_ids, b_ids,
+                                    batch["text_a"].to_pylist(),
+                                    batch["text_b"].to_pylist())
+        ], 6)
+        keep = scores >= threshold
+        return pa.table({
+            "id_a": pa.array(np.asarray(a_ids, dtype=np.int64)[keep]),
+            "id_b": pa.array(np.asarray(b_ids, dtype=np.int64)[keep]),
+            "jaccard": pa.array(scores[keep], pa.float64()),
+        })
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # -- embedding-cosine near-dup ---------------------------------------------
@@ -760,6 +931,8 @@ def _lsh_pairs_partitioned(ds, buckets, id_col: str, vec_col: str,
     pairs = self_joined.map_batches(ordered_pairs, batch_format="pyarrow") \
         .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_tables")) \
         .drop_columns(["n_tables"])
+    pairs = ensure_schema(pairs, pa.schema([("id_a", pa.int64()),
+                                            ("id_b", pa.int64())]))
 
     def pack_vectors(batch: pa.Table) -> pa.Table:
         emb = batch[vec_col]
@@ -784,6 +957,10 @@ def _lsh_pairs_partitioned(ds, buckets, id_col: str, vec_col: str,
         batch_format="pyarrow")
     joined = pairs.join(vecs_a, "inner", num_partitions=num_partitions,
                         on=("id_a",))
+    # guard between the chained joins (see _jaccard_pairs_partitioned)
+    joined = ensure_schema(joined, pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()),
+        ("blob_a", pa.binary()), ("norm_a", pa.float64())]))
     joined = joined.join(vecs_b, "inner", num_partitions=num_partitions,
                          on=("id_b",))
 

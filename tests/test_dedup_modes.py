@@ -320,6 +320,49 @@ class TestLshPairsPartitioned:
         assert len(driver) >= 4          # the planted pairs were found
 
 
+class TestJaccardPairsPartitioned:
+    def test_modes_agree_with_scores(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import (
+            jaccard_candidate_pairs,
+        )
+
+        base = ("one two three four five six seven eight nine ten eleven "
+                "twelve thirteen fourteen fifteen sixteen seventeen eighteen")
+        near = base + " nineteen"
+        near2 = base.replace("eleven", "elf")
+        other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                           "text": [base, near, near2, other]})
+        driver = jaccard_candidate_pairs(rd.from_pandas(df), threshold=0.5)
+        part = jaccard_candidate_pairs(rd.from_pandas(df), threshold=0.5,
+                                       reduce="partitioned").to_pandas()
+        assert len(driver) >= 2
+        pd.testing.assert_frame_equal(_sorted(driver), _sorted(part))
+
+    def test_partitioned_survives_empty_candidate_set(self, ray_session):
+        """All-distinct corpus: zero candidate pairs must flow through
+        the joins as typed empty partitions, not crash Acero."""
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import (
+            jaccard_candidate_pairs,
+        )
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["alpha beta gamma delta epsilon zeta",
+                     "one two three four five six seven"],
+        })
+        out = jaccard_candidate_pairs(rd.from_pandas(df), threshold=0.5,
+                                      reduce="partitioned").to_pandas()
+        assert len(out) == 0
+        # zero-row results may surface schema-less (Ray drops the
+        # column info with the last empty block) — rows are the contract
+        assert list(out.columns) in ([], ["id_a", "id_b", "jaccard"])
+
+
 class TestCollisionPairsKernel:
     def test_pairs_within_buckets_only(self):
         from modernsearchengines_ray.stages.dedup import _collision_pairs
