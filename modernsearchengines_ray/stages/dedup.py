@@ -581,6 +581,122 @@ def simhash_near_root_ds(ds, id_col: str = "doc_id",
     return rows_ds.map_batches(attach_root, batch_format="pyarrow")
 
 
+def _popcount64(values: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    return np.unpackbits(values.view(np.uint8)).reshape(len(values), 8 * 8) \
+        .sum(axis=1)
+
+
+def simhash_near_root_ds_partitioned(ds, id_col: str = "doc_id",
+                                     text_col: str = "text",
+                                     radius: int = 3, num_bands: int = 4,
+                                     num_partitions: int | None = None,
+                                     max_iters: int = 10):
+    """Distributed tier of :func:`simhash_near_root_ds`: connected
+    components over DISTINCT hash values without any driver state.
+
+    Plan: distinct (simhash, min doc id) via groupby -> band explode ->
+    band self-join proposes value pairs -> vectorized hamming
+    verification keeps real edges -> min-label propagation over the
+    edge list (labels carried as a Dataset; the monotone label sum is
+    the convergence witness) -> per-doc root attach by joining the
+    hash rows.  Hashes are bit-cast to int64 for the shuffles; hamming
+    runs on the uint64 view."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    nparts = num_partitions or DEFAULT_JOIN_PARTITIONS
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        hashes = np.fromiter(
+            (simhash64(t) for t in batch[text_col].to_pylist()),
+            dtype=np.uint64, count=batch.num_rows).view(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "simhash": pa.array(hashes, pa.int64()),
+        })
+
+    rows = ds.map_batches(hash_rows, batch_format="pyarrow").materialize()
+    rep_schema = pa.schema([("simhash", pa.int64()), ("label", pa.int64())])
+    reps = rows.map_batches(
+        lambda b: pa.table({"simhash": b["simhash"], "label": b[id_col]}),
+        batch_format="pyarrow",
+    ).groupby("simhash").aggregate(Min("label", alias_name="label"))
+    labels = ensure_schema(reps, rep_schema).materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        hv = batch["simhash"].to_numpy(zero_copy_only=False)
+        width = 64 // num_bands
+        mask = np.uint64((1 << width) - 1)
+        out_h, out_k = [], []
+        uv = hv.view(np.uint64)
+        for b in range(num_bands):
+            band = (uv >> np.uint64(b * width)) & mask
+            out_h.append(hv)
+            out_k.append(np.int64(b) << np.int64(48) | band.view(np.int64))
+        return pa.table({
+            "simhash": pa.array(np.concatenate(out_h), pa.int64()),
+            "band_id": pa.array(np.concatenate(out_k), pa.int64()),
+        })
+
+    bands = drop_sentinels(labels, "simhash").map_batches(
+        lambda b: band_rows(b.select(["simhash"])),
+        batch_format="pyarrow")
+    right = bands.map_batches(
+        lambda b: b.rename_columns(["simhash_b", "band_id"]),
+        batch_format="pyarrow")
+    cand = bands.join(right, "inner", num_partitions=nparts,
+                      on=("band_id",))
+
+    def verify_edges(batch: pa.Table) -> pa.Table:
+        a = batch["simhash"].to_numpy(zero_copy_only=False)
+        b = batch["simhash_b"].to_numpy(zero_copy_only=False)
+        keep = (a != b) & (_popcount64(a ^ b) <= radius)
+        return pa.table({
+            "src": pa.array(a[keep], pa.int64()),
+            "dst": pa.array(b[keep], pa.int64()),
+        })
+
+    # both directions come out of the symmetric self-join naturally;
+    # dedup repeated edges (values sharing several bands)
+    from ray.data.aggregate import Count
+
+    edges = cand.map_batches(verify_edges, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="n")) \
+        .drop_columns(["n"])
+    edges = ensure_schema(edges, pa.schema([("src", pa.int64()),
+                                            ("dst", pa.int64())])) \
+        .materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        neighbor = edges.join(
+            labels.map_batches(
+                lambda b: b.rename_columns(["src", "src_label"]),
+                batch_format="pyarrow"),
+            "inner", num_partitions=nparts, on=("src",))
+        incoming = neighbor.map_batches(
+            lambda b: pa.table({"simhash": b["dst"],
+                                "label": b["src_label"]}),
+            batch_format="pyarrow")
+        labels = ensure_schema(
+            labels.union(incoming).groupby("simhash")
+            .aggregate(Min("label", alias_name="label")),
+            rep_schema).materialize()
+        label_sum = labels.sum("label")
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+
+    rooted = rows.join(
+        drop_sentinels(labels, "simhash").map_batches(
+            lambda b: b.rename_columns(["simhash", "dup_root"]),
+            batch_format="pyarrow"),
+        "inner", num_partitions=nparts, on=("simhash",))
+    return rooted.map_batches(
+        lambda b: b.select([id_col, "dup_root"]), batch_format="pyarrow")
+
+
 def simhash_near_duplicate_pairs(ds, id_col: str = "doc_id",
                                  text_col: str = "text", radius: int = 3,
                                  num_bands: int = 4) -> pd.DataFrame:
@@ -591,11 +707,32 @@ def simhash_near_duplicate_pairs(ds, id_col: str = "doc_id",
 
 
 def dedup_simhash_near(ds, id_col: str = "doc_id", text_col: str = "text",
-                       radius: int = 3, num_bands: int = 4):
+                       radius: int = 3, num_bands: int = 4,
+                       reduce: str = "driver",
+                       num_partitions: int | None = None):
     """Keep one representative (min id) per simhash-hamming-radius
-    cluster — same contract as :func:`dedup_minhash`.  Only the keep
-    ids (one per cluster) reach the driver."""
+    cluster — same contract as :func:`dedup_minhash`.  Driver tier:
+    union-find over distinct hashes, only the keep ids reach the
+    driver.  Partitioned tier: distributed edge-verified label
+    propagation (:func:`simhash_near_root_ds_partitioned`) + join
+    semi-filter, zero driver state."""
     import ray
+
+    if reduce == "partitioned":
+        roots = simhash_near_root_ds_partitioned(
+            ds, id_col=id_col, text_col=text_col, radius=radius,
+            num_bands=num_bands, num_partitions=num_partitions)
+        keep = roots.map_batches(
+            lambda b: b.filter(pc.equal(b[id_col], b["dup_root"]))
+            .select([id_col]),
+            batch_format="pyarrow",
+        )
+        return ds.join(keep, "inner",
+                       num_partitions=num_partitions
+                       or DEFAULT_JOIN_PARTITIONS,
+                       on=(id_col,))
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
 
     roots = simhash_near_root_ds(ds, id_col=id_col, text_col=text_col,
                                  radius=radius, num_bands=num_bands)

@@ -320,6 +320,30 @@ class TestLshPairsPartitioned:
         assert len(driver) >= 4          # the planted pairs were found
 
 
+class TestSimhashNearPartitioned:
+    def test_modes_agree_on_mixed_corpus(self, ray_session):
+        """Driver union-find vs distributed edge-verified label
+        propagation: identical kept rows on a corpus with exact dups,
+        hamming-near dups and unique docs."""
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import dedup_simhash_near
+        from tests.fixtures import make_pages
+
+        pages = make_pages(n=60, seed=13)
+        texts = pages["text"].to_pylist()
+        texts.append(texts[0])                       # exact dup
+        near = texts[1].replace("the", "thee", 1)    # tiny perturbation
+        texts.append(near)
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        a = dedup_simhash_near(rd.from_pandas(df),
+                               reduce="driver").to_pandas()
+        b = dedup_simhash_near(rd.from_pandas(df),
+                               reduce="partitioned").to_pandas()
+        pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+        assert len(a) < len(df)                      # dups collapsed
+
+
 class TestJaccardPairsPartitioned:
     def test_modes_agree_with_scores(self, ray_session):
         import ray.data as rd
