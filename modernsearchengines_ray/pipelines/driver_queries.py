@@ -828,6 +828,61 @@ LIMIT 10
 """
 
 
+ANN_MULTI_QUERY_IDS = (0, 1, 2)
+
+
+def q_ann_topk_multi(sf_dir: str):
+    """Batched brute-force cosine top-10 for THREE query vectors at once
+    (the scale shape: broadcast query MATRIX, per-block partial top-k
+    per query, one vectorized driver merge — stages/ann.brute_force_topk).
+    Self-matches are dropped, ranks re-based, SQL row_number oracle."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import brute_force_topk
+
+    table = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(ANN_MULTI_QUERY_IDS))])
+    order = np.argsort(table["vec_id"].to_numpy())
+    qids = table["vec_id"].to_numpy()[order]
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in table["embedding"].to_pylist()])[order]
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, qmat, k=11)
+    out["query_id"] = qids[out["query_idx"].to_numpy()]
+    out = out[out["vec_id"] != out["query_id"]]
+    out = out.groupby("query_idx", group_keys=False).head(10)
+    ranks = out.groupby("query_idx").cumcount()
+    return pd.DataFrame({
+        "query_id": out["query_id"].astype("int64"),
+        "rank": ranks.astype("int64"),
+        "vec_id": out["vec_id"].astype("int64"),
+        "cos_sim": np.round(out["cos_sim"].to_numpy(), 6),
+    }).reset_index(drop=True)
+
+
+SQL_ANN_TOPK_MULTI = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id IN {ANN_MULTI_QUERY_IDS}
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[],
+                                q.embedding::DOUBLE[]) AS raw_sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, vec_id, raw_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_sim DESC, vec_id) AS rn
+  FROM s
+)
+SELECT query_id, (rn - 1)::BIGINT AS rank, vec_id,
+       round(raw_sim, 6) AS cos_sim
+FROM r WHERE rn <= 10
+"""
+
+
 def q_embedding_dedup(sf_dir: str):
     """Embedding-cosine near-dup collapse (dominance rule: keep rows with
     no lower-id row at cosine >= 0.95) — SQL-checkable NOT EXISTS."""
@@ -1400,6 +1455,7 @@ QUERY_FUNCS = {
     "distinct_users_approx": q_distinct_users_approx,
     "region_nations": q_region_nations,
     "ann_topk": q_ann_topk,
+    "ann_topk_multi": q_ann_topk_multi,
     "ann_ivf": q_ann_ivf,
     "embedding_dedup": q_embedding_dedup,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
@@ -1436,6 +1492,7 @@ ORACLE_SQL = {
     "distinct_users": SQL_DISTINCT_USERS,
     "region_nations": SQL_REGION_NATIONS,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_topk_multi": SQL_ANN_TOPK_MULTI,
     "embedding_dedup": SQL_EMBEDDING_DEDUP,
     "frame_samples": SQL_FRAME_SAMPLES,
     "sessionize": SQL_SESSIONIZE,

@@ -68,14 +68,25 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
             "cos_sim": pa.array(rows["cos_sim"], pa.float64()),
         })
 
+    # final merge over q x k x blocks partial rows, vectorized
+    # (lexsort + run-relative rank; no per-query pandas loop)
     parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    out = []
-    for qi, g in parts.groupby("query_idx"):
-        g = g.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(len(g)))
-        out.append(g)
-    merged = pd.concat(out, ignore_index=True)
-    return merged[["query_idx", "rank", id_col, "cos_sim"]]
+    qs = parts["query_idx"].to_numpy()
+    ids = parts[id_col].to_numpy()
+    sims = parts["cos_sim"].to_numpy()
+    order = np.lexsort((ids, -sims, qs))
+    qs, ids, sims = qs[order], ids[order], sims[order]
+    new = np.ones(len(qs), dtype=bool)
+    new[1:] = qs[1:] != qs[:-1]
+    run_start = np.maximum.accumulate(np.where(new, np.arange(len(qs)), 0))
+    rank = np.arange(len(qs)) - run_start
+    keep = rank < k
+    return pd.DataFrame({
+        "query_idx": qs[keep].astype("int32"),
+        "rank": rank[keep].astype("int64"),
+        id_col: ids[keep].astype("int64"),
+        "cos_sim": sims[keep],
+    })
 
 
 def kmeans_fit(sample: np.ndarray, num_clusters: int, seed: int = 42,

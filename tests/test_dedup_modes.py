@@ -387,6 +387,33 @@ class TestJaccardPairsPartitioned:
         assert list(out.columns) in ([], ["id_a", "id_b", "jaccard"])
 
 
+class TestMultiQueryAnn:
+    def test_batched_topk_matches_per_query_exact(self, ray_session):
+        """brute_force_topk with a query MATRIX must equal the exact
+        per-query matmul ranking (ties by id) for every query."""
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.ann import brute_force_topk
+
+        rng = np.random.RandomState(21)
+        mat = rng.randn(80, 12)
+        df = pd.DataFrame({"vec_id": range(80),
+                           "embedding": [r.tolist() for r in mat]})
+        queries = rng.randn(3, 12)
+        out = brute_force_topk(rd.from_pandas(df), queries, k=5)
+
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = qn @ mn.T
+        for qi in range(3):
+            order = np.lexsort((np.arange(80), -sims[qi]))[:5]
+            got = out[out["query_idx"] == qi]
+            assert got["vec_id"].tolist() == order.tolist(), qi
+            assert got["rank"].tolist() == [0, 1, 2, 3, 4]
+            np.testing.assert_allclose(got["cos_sim"].to_numpy(),
+                                       sims[qi][order], rtol=0, atol=1e-12)
+
+
 class TestCollisionPairsKernel:
     def test_pairs_within_buckets_only(self):
         from modernsearchengines_ray.stages.dedup import _collision_pairs
