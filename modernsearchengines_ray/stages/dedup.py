@@ -339,7 +339,7 @@ def minhash_duplicate_groups(ds, id_col: str = "doc_id", text_col: str = "text",
     bands = ds.map_batches(bands_task, **kwargs).materialize()
 
     if reduce == "partitioned":
-        from ray.data.aggregate import Min, Sum
+        from ray.data.aggregate import Min
 
         nparts = num_partitions or DEFAULT_JOIN_PARTITIONS
         labels = bands.map_batches(
@@ -603,7 +603,7 @@ def simhash_near_root_ds_partitioned(ds, id_col: str = "doc_id",
     hash rows.  Hashes are bit-cast to int64 for the shuffles; hamming
     runs on the uint64 view."""
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
     nparts = num_partitions or DEFAULT_JOIN_PARTITIONS
 
