@@ -27,7 +27,8 @@ protocol already returns columnar partials to make that swap local.
 from __future__ import annotations
 
 import os
-from collections import defaultdict
+import threading
+from collections import OrderedDict, defaultdict
 
 import numpy as np
 import ray
@@ -286,6 +287,7 @@ class QueryEngine:
         rank_cfg: RankConfig = DEFAULT_RANK_CONFIG,
         synonyms_table: dict[str, list[str]] | None = None,
         lemma_table: dict[str, str] | None = None,
+        term_cache_size: int = 512,
     ):
         self.index_dir = index_dir
         self.meta = read_meta(index_dir)
@@ -294,6 +296,16 @@ class QueryEngine:
         #: must match the table the index was built with
         #: (IndexConfig.lemma_table) or query terms miss their postings
         self.lemma_table = lemma_table
+        #: driver-side LRU over fetched posting vectors, keyed
+        #: (term, with_positions) — every query re-ships its terms'
+        #: vectors otherwise, and real query streams repeat terms
+        #: (the Tübingen terms are appended to EVERY query).  Negative
+        #: results cache too.  Vectors are treated as immutable
+        #: (rank_postings copies before writing).  0 disables.
+        self._term_cache_size = term_cache_size
+        self._term_cache: "OrderedDict[tuple[str, bool], tuple | None]" = \
+            OrderedDict()
+        self._cache_lock = threading.Lock()
         shard_ids = sorted(read_manifests(index_dir).keys())
         num_scorers = max(1, min(num_scorers, len(shard_ids) or 1))
         assignments: list[list[int]] = [[] for _ in range(num_scorers)]
@@ -312,8 +324,25 @@ class QueryEngine:
         return self._shard_owner.get(term_shard(term, self.num_shards))
 
     def fetch(self, terms: list[str], position_terms: list[str]) -> dict:
+        pos_set = set(position_terms)
+        fetched: dict[str, tuple] = {}
+        missing: list[str] = []
+        if self._term_cache_size:
+            with self._cache_lock:
+                for term in terms:
+                    key = (term, term in pos_set)
+                    if key in self._term_cache:
+                        self._term_cache.move_to_end(key)
+                        value = self._term_cache[key]
+                        if value is not None:
+                            fetched[term] = value
+                    else:
+                        missing.append(term)
+        else:
+            missing = list(terms)
+
         by_scorer: dict[int, list[str]] = defaultdict(list)
-        for term in terms:
+        for term in missing:
             owner = self._owner(term)
             if owner is not None:
                 by_scorer[owner].append(term)
@@ -321,9 +350,20 @@ class QueryEngine:
             self.scorers[i].get_postings.remote(ts, position_terms)
             for i, ts in by_scorer.items()
         ]
-        fetched: dict[str, tuple] = {}
+        new: dict[str, tuple] = {}
         for result in ray.get(futures):
-            fetched.update(result)
+            new.update(result)
+        fetched.update(new)
+        if self._term_cache_size:
+            with self._cache_lock:
+                for term in missing:
+                    if self._owner(term) is None:
+                        continue          # no shard -> never present
+                    key = (term, term in pos_set)
+                    self._term_cache[key] = new.get(term)
+                    self._term_cache.move_to_end(key)
+                while len(self._term_cache) > self._term_cache_size:
+                    self._term_cache.popitem(last=False)
         return fetched
 
     def search(self, query: str) -> list[tuple[int, float]]:

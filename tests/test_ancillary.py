@@ -203,6 +203,38 @@ class TestDocStore:
         assert DocStore(store, num_partitions=4).lookup_map([], ["url"]) == {}
 
 
+class TestTermCache:
+    def test_cached_and_uncached_results_identical(self, prepared):
+        from fixtures import QUERIES
+
+        from modernsearchengines_ray.pipelines.query import QueryEngine
+
+        _corpus_df, index_dir, _result, _oi = prepared
+        cached = QueryEngine(index_dir, num_scorers=2)
+        uncached = QueryEngine(index_dir, num_scorers=2, term_cache_size=0)
+        try:
+            for _qid, q in QUERIES:
+                first = cached.search(q)
+                again = cached.search(q)          # cache-hit path
+                cold = uncached.search(q)
+                assert first == again == cold, q
+        finally:
+            cached.shutdown()
+            uncached.shutdown()
+
+    def test_cache_eviction_bounded(self, prepared):
+        from modernsearchengines_ray.pipelines.query import QueryEngine
+
+        _corpus_df, index_dir, _result, _oi = prepared
+        engine = QueryEngine(index_dir, num_scorers=2, term_cache_size=4)
+        try:
+            engine.search("castle river market museum garden bridge "
+                          "student library chocolate festival")
+            assert len(engine._term_cache) <= 4
+        finally:
+            engine.shutdown()
+
+
 class TestBatchRetrieval:
     def test_trec_output_matches_oracle(self, prepared, tmp_path):
         from modernsearchengines_ray.oracle import oracle_search
