@@ -78,6 +78,17 @@ def detect_language(text: str) -> str:
     return best_lang
 
 
+def word_ngrams(text: str, n: int = 13) -> set[str]:
+    """Distinct space-joined word n-grams of ``[a-z0-9]+`` tokens —
+    the decontamination unit (GPT-3-style 13-gram overlap checks).
+    Docs shorter than ``n`` words have NO n-grams (empty set), matching
+    the SQL formulation."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < n:
+        return set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
 def rolling_fingerprints(text: str, window: int = 8, modulus: int = 1 << 32,
                          base: int = 257, keep_mod: int = 16) -> list[int]:
     """Winnowing-style rolling-hash fingerprints: Rabin-Karp over char

@@ -453,6 +453,76 @@ def q_rolling_fp(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+DECONTAM_PROBE_IDS = (0, 1, 2)
+DECONTAM_NGRAM = 13
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing >=1 distinct 13-gram
+    with a probe set (GPT-3-style exact n-gram overlap), with the
+    shared-gram count.  The probe set here is docs 0-2, which are kept
+    in the output — each probe trivially overlaps itself, so the entry
+    always verifies nonzero rows end-to-end (fixture corpora carry no
+    planted cross-doc contamination).
+
+    Shape: probe n-gram set built once (tiny — the eval/benchmark side
+    of a decontamination run) and broadcast via ``ray.put``; the corpus
+    side streams through one vectorized-kernel ``map_batches`` — no
+    shuffle, 10^12-doc-safe.  SQL oracle: n-gram explosion via
+    unnest(range)+list_slice and a distinct-count join."""
+    import ray
+
+    from ..functions.quality import word_ngrams
+
+    probe_path = f"{sf_dir}/documents.parquet"
+    import pyarrow.parquet as pq
+
+    probe_tbl = pq.read_table(
+        probe_path, columns=["doc_id", "text"],
+        filters=[("doc_id", "in", list(DECONTAM_PROBE_IDS))])
+    probe_grams: set[str] = set()
+    for t in probe_tbl["text"].to_pylist():
+        probe_grams |= word_ngrams(t, DECONTAM_NGRAM)
+    probe_ref = ray.put(probe_grams)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def overlap(batch: pa.Table) -> pa.Table:
+        probes = ray.get(probe_ref)
+        ids, counts = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            shared = len(word_ngrams(text, DECONTAM_NGRAM) & probes)
+            if shared:
+                ids.append(doc_id)
+                counts.append(shared)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_shared_grams": pa.array(counts, pa.int64()),
+        })
+
+    return ds.map_batches(overlap, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(words, i, i + {DECONTAM_NGRAM - 1}),
+                         ' ') AS gram
+  FROM w, unnest(range(1, len(words) - {DECONTAM_NGRAM - 2})) AS t(i)
+  WHERE len(words) >= {DECONTAM_NGRAM}
+), probe AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id IN {DECONTAM_PROBE_IDS}
+)
+SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n_shared_grams
+FROM g JOIN probe USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 def q_fingerprint(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1446,6 +1516,7 @@ QUERY_FUNCS = {
     "rolling_fp": q_rolling_fp,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
+    "decontaminate": q_decontaminate,
     "lang_hist": q_lang_hist,
     "language_id": q_language_id,
     "top_customers": q_top_customers,
@@ -1485,6 +1556,7 @@ ORACLE_SQL = {
     "quality": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
+    "decontaminate": SQL_DECONTAMINATE,
     "lang_hist": SQL_LANG_HIST,
     "top_customers": SQL_TOP_CUSTOMERS,
     "pricing_summary": SQL_PRICING_SUMMARY,

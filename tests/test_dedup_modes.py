@@ -387,6 +387,31 @@ class TestJaccardPairsPartitioned:
         assert list(out.columns) in ([], ["id_a", "id_b", "jaccard"])
 
 
+class TestDecontamination:
+    def test_planted_contamination_detected(self):
+        from modernsearchengines_ray.functions.quality import word_ngrams
+
+        probe = " ".join(f"w{i}" for i in range(20))
+        probe_grams = word_ngrams(probe, 13)
+        assert len(probe_grams) == 8          # 20 - 13 + 1
+        # a doc quoting 13+ consecutive probe words is contaminated
+        contaminated = "intro text " + " ".join(
+            f"w{i}" for i in range(3, 16)) + " outro"
+        clean = " ".join(f"x{i}" for i in range(30))
+        short = "w0 w1 w2"
+        assert word_ngrams(contaminated, 13) & probe_grams
+        assert not (word_ngrams(clean, 13) & probe_grams)
+        assert word_ngrams(short, 13) == set()
+
+    def test_overlap_count_matches_manual(self):
+        from modernsearchengines_ray.functions.quality import word_ngrams
+
+        text = "a b c d e f g h i j k l m n"          # 14 words
+        grams = word_ngrams(text, 13)
+        assert grams == {"a b c d e f g h i j k l m",
+                         "b c d e f g h i j k l m n"}
+
+
 class TestMultiQueryAnn:
     def test_batched_topk_matches_per_query_exact(self, ray_session):
         """brute_force_topk with a query MATRIX must equal the exact
