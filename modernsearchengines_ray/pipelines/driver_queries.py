@@ -542,6 +542,62 @@ def q_fingerprint(sf_dir: str):
 SQL_FINGERPRINT = "SELECT doc_id, md5(lower(text)) AS fp FROM documents"
 
 
+#: curation rules (Gopher-style, tuned to be discriminative on the
+#: synthetic corpus: n_words spans 10-99, mean_word_len 3.7-5.3)
+CURATE_MIN_WORDS = 30
+CURATE_MWL_RANGE = (4.0, 5.2)
+
+
+def q_curate(sf_dir: str):
+    """Composed training-data curation pipeline over the documents
+    table: language filter -> Gopher-style quality rules -> exact
+    dedup (keep-min doc id per md5) -> kept ids.
+
+    This is the end-to-end shape a 100 TB curation run takes: two
+    streaming map filters (no shuffle) followed by the narrow winner
+    election of :func:`dedup_exact_hash` — every stage individually
+    SQL-gated elsewhere; this entry gates the COMPOSITION."""
+    from ..stages.dedup import dedup_exact_hash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def quality_filter(batch: pa.Table) -> pa.Table:
+        keep = []
+        for lang, text in zip(batch["lang"].to_pylist(),
+                              batch["text"].to_pylist()):
+            if lang != "en":
+                keep.append(False)
+                continue
+            words = simple_tokens(text)
+            if len(words) < CURATE_MIN_WORDS:
+                keep.append(False)
+                continue
+            mwl = sum(len(w) for w in words) / len(words)
+            keep.append(CURATE_MWL_RANGE[0] <= mwl <= CURATE_MWL_RANGE[1])
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    filtered = ds.map_batches(quality_filter, batch_format="pyarrow")
+    return dedup_exact_hash(filtered, keep_key="doc_id") \
+        .select_columns(["doc_id"])
+
+
+SQL_CURATE = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS n_words,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_letters
+  FROM documents WHERE lang = 'en'
+), q AS (
+  SELECT doc_id, text FROM w
+  WHERE n_words >= {CURATE_MIN_WORDS}
+    AND n_letters::DOUBLE / n_words BETWEEN {CURATE_MWL_RANGE[0]}
+                                       AND {CURATE_MWL_RANGE[1]}
+)
+SELECT min(doc_id)::BIGINT AS doc_id FROM q GROUP BY md5(text)
+"""
+
+
 def q_lang_hist(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1517,6 +1573,7 @@ QUERY_FUNCS = {
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "decontaminate": q_decontaminate,
+    "curate": q_curate,
     "lang_hist": q_lang_hist,
     "language_id": q_language_id,
     "top_customers": q_top_customers,
@@ -1557,6 +1614,7 @@ ORACLE_SQL = {
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
     "decontaminate": SQL_DECONTAMINATE,
+    "curate": SQL_CURATE,
     "lang_hist": SQL_LANG_HIST,
     "top_customers": SQL_TOP_CUSTOMERS,
     "pricing_summary": SQL_PRICING_SUMMARY,

@@ -71,7 +71,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "json_extract", "top_events_per_user", "embedding_lsh_pairs",
         "language_id", "quality_signals", "image_features",
         "audio_features", "ref_doc_lens", "distinct_users_hll_check",
-        "ann_topk_multi", "decontaminate",
+        "ann_topk_multi", "decontaminate", "curate",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):
