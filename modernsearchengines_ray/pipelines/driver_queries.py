@@ -292,6 +292,37 @@ def q_simhash_dedup(sf_dir: str):
     return dedup_exact_simhash(ds, keep_key="doc_id").select_columns(["doc_id"])
 
 
+def q_simhash_md5_invariant(sf_dir: str):
+    """Derived invariant giving ``simhash_dedup`` driver-gate teeth:
+    identical texts hash identically, so simhash partitions the corpus
+    COARSER-or-equal than md5 — the keep-min(doc_id) survivors of the
+    simhash dedup must be a subset of the md5 dedup's survivors (each
+    simhash group's min doc is the min of one of its md5 subgroups).
+    SQL supplies the md5 group count; a broken simhash stage flips the
+    bool and fails the hash compare."""
+    from ..stages.dedup import dedup_exact_hash, dedup_exact_simhash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    simhash_kept = set(
+        dedup_exact_simhash(ds, keep_key="doc_id")
+        .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    md5_kept = set(
+        dedup_exact_hash(ds, keep_key="doc_id")
+        .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    return pd.DataFrame({
+        "n_md5_groups": pd.array([len(md5_kept)], dtype="int64"),
+        "simhash_kept_subset_of_md5": pd.array(
+            [simhash_kept <= md5_kept], dtype="boolean"),
+    })
+
+
+SQL_SIMHASH_MD5_INVARIANT = """
+SELECT count(DISTINCT md5(text))::BIGINT AS n_md5_groups,
+       TRUE AS simhash_kept_subset_of_md5
+FROM documents
+"""
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup collapse — rows-only check (not SQL-expressible)."""
     from ..stages.dedup import dedup_minhash
@@ -1411,6 +1442,34 @@ def q_topic_assign(sf_dir: str):
     return out.map_batches(stringify, batch_format="pyarrow")
 
 
+def q_topic_assign_check(sf_dir: str):
+    """Derived invariant for ``topic_assign``: every doc gets exactly
+    three DISTINCT topic ids inside [0, 11) with aligned descriptors.
+    SQL supplies the doc count; validity rides in the bool."""
+    from ..stages.topics import TOPIC_DESCRIPTORS, assign_topics
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = assign_topics(ds, concurrency=2).to_pandas()
+    valid = True
+    for topics, descs in zip(out["topics"], out["topic_descriptors"]):
+        ts = list(topics)
+        if (len(ts) != 3 or len(set(ts)) != 3
+                or not all(0 <= t < 11 for t in ts)
+                or list(descs) != [TOPIC_DESCRIPTORS[t] for t in ts]):
+            valid = False
+            break
+    return pd.DataFrame({
+        "n_docs": pd.array([len(out)], dtype="int64"),
+        "assignments_valid": pd.array([valid], dtype="boolean"),
+    })
+
+
+SQL_TOPIC_ASSIGN_CHECK = """
+SELECT count(*)::BIGINT AS n_docs, TRUE AS assignments_valid
+FROM documents
+"""
+
+
 def q_domain_hist(sf_dir: str):
     """Docs per source (the reference's pages-per-domain diagnostic A12,
     WebCrawler_basis.py:375-401)."""
@@ -1566,6 +1625,7 @@ QUERY_FUNCS = {
     "bm25_topk": q_bm25_topk,
     "dedup_exact": q_dedup_exact,
     "simhash_dedup": q_simhash_dedup,
+    "simhash_md5_invariant": q_simhash_md5_invariant,
     "minhash_dedup": q_minhash_dedup,
     "quality": q_quality,
     "quality_signals": q_quality_signals,
@@ -1597,6 +1657,7 @@ QUERY_FUNCS = {
     "json_extract": q_json_extract,
     "top_events_per_user": q_top_events_per_user,
     "topic_assign": q_topic_assign,
+    "topic_assign_check": q_topic_assign_check,
     "ref_postings": q_ref_postings,
     "ref_doc_lens": q_ref_doc_lens,
     "ref_search": q_ref_search,
@@ -1615,6 +1676,8 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "decontaminate": SQL_DECONTAMINATE,
     "curate": SQL_CURATE,
+    "simhash_md5_invariant": SQL_SIMHASH_MD5_INVARIANT,
+    "topic_assign_check": SQL_TOPIC_ASSIGN_CHECK,
     "lang_hist": SQL_LANG_HIST,
     "top_customers": SQL_TOP_CUSTOMERS,
     "pricing_summary": SQL_PRICING_SUMMARY,
