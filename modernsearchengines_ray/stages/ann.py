@@ -108,6 +108,67 @@ def kmeans_fit(sample: np.ndarray, num_clusters: int, seed: int = 42,
     return centroids
 
 
+def kmeans_fit_distributed(ds, num_clusters: int, seed: int = 42,
+                           iters: int = 10, vec_col: str = "embedding"):
+    """Lloyd's over the FULL dataset, distributed: per iteration one
+    ``map_batches`` pass emits per-cluster partial (sum, count) given
+    the broadcast centroids, and the driver reduces k x dim — the
+    classic partial-aggregate shape (no shuffle; driver state is the
+    centroid matrix only, independent of row count).
+
+    Init is seeded farthest-point over a head sample; assignments are
+    argmax cosine on the unit sphere.  This is the 10^12-row tier of
+    the IVF build: the sample-based driver fit stays the default (a
+    coarse quantizer only needs a representative sample), this path
+    exists for corpora whose head sample is not representative."""
+    import ray
+
+    first = ds.limit(max(num_clusters * 10, 256)).to_pandas()[vec_col]
+    sample = _normalize(np.stack(first.to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    # farthest-point (k-means++ -style greedy) init: a uniform pick
+    # from the head sample degenerates when the input is
+    # cluster-ordered (two seeds in one cluster, none in another) and
+    # Lloyd's cannot recover from an empty cluster
+    chosen = [int(rng.randint(len(sample)))]
+    min_sim = sample @ sample[chosen[0]]
+    while len(chosen) < min(num_clusters, len(sample)):
+        nxt = int(np.argmin(min_sim))
+        chosen.append(nxt)
+        min_sim = np.maximum(min_sim, sample @ sample[nxt])
+    centroids = sample[sorted(chosen)].copy()
+
+    for _ in range(iters):
+        cent_ref = ray.put(centroids)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cent_ref)
+            mat = _normalize(_matrix(batch, vec_col))
+            assign = np.argmax(mat @ cents.T, axis=1)
+            k, dim = cents.shape
+            sums = np.zeros((k, dim))
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=k)
+            return pa.table({
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "vec_sum": pa.array(sums.tolist(),
+                                    pa.list_(pa.float64())),
+                "n": pa.array(counts.astype(np.int64)),
+            })
+
+        parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        k, dim = centroids.shape
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for c, vs, n in zip(parts["cluster"], parts["vec_sum"], parts["n"]):
+            sums[c] += np.asarray(vs)
+            counts[c] += n
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        centroids = _normalize(centroids)
+    return centroids
+
+
 class IVFIndex:
     """Coarse-quantized ANN index: bucketed parquet + centroid table."""
 
@@ -121,16 +182,26 @@ class IVFIndex:
     @classmethod
     def build(cls, ds, index_dir: str, num_clusters: int = 16,
               sample_size: int = 10_000, seed: int = 42,
-              id_col: str = "vec_id", vec_col: str = "embedding"):
-        """Fit the quantizer on a sample, assign every row, write
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              fit: str = "sample"):
+        """Fit the quantizer (``fit="sample"``: driver k-means on a
+        head sample — default, a coarse quantizer only needs coverage;
+        ``fit="distributed"``: full-data Lloyd's via
+        :func:`kmeans_fit_distributed`), assign every row, write
         hash-bucketed parquet (one directory per cluster)."""
         import ray
 
         os.makedirs(index_dir, exist_ok=True)
-        sample_rows = ds.limit(sample_size).select_columns([vec_col]) \
-            .to_pandas()[vec_col]
-        sample = np.stack(sample_rows.to_numpy())
-        centroids = kmeans_fit(sample, num_clusters, seed=seed)
+        if fit == "distributed":
+            centroids = kmeans_fit_distributed(ds, num_clusters, seed=seed,
+                                               vec_col=vec_col)
+        elif fit == "sample":
+            sample_rows = ds.limit(sample_size).select_columns([vec_col]) \
+                .to_pandas()[vec_col]
+            sample = np.stack(sample_rows.to_numpy())
+            centroids = kmeans_fit(sample, num_clusters, seed=seed)
+        else:
+            raise ValueError(f"unknown fit mode: {fit!r}")
         np.save(os.path.join(index_dir, "centroids.npy"), centroids)
         cent_ref = ray.put(centroids)
 

@@ -387,6 +387,56 @@ class TestJaccardPairsPartitioned:
         assert list(out.columns) in ([], ["id_a", "id_b", "jaccard"])
 
 
+class TestDistributedKmeans:
+    def test_recovers_planted_clusters(self, ray_session, tmp_path):
+        """Full-data distributed Lloyd's must recover well-separated
+        planted clusters: pure assignments, and an IVF index built with
+        fit='distributed' returns exact top-k at full probe."""
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.ann import (
+            IVFIndex,
+            kmeans_fit_distributed,
+        )
+
+        rng = np.random.RandomState(4)
+        centers = np.eye(4, 16)               # 4 orthogonal directions
+        vecs, labels = [], []
+        for c in range(4):
+            for _ in range(30):
+                v = centers[c] + rng.randn(16) * 0.05
+                vecs.append((v / np.linalg.norm(v)).tolist())
+                labels.append(c)
+        df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+        ds = rd.from_pandas(df)
+        cents = kmeans_fit_distributed(ds, num_clusters=4, iters=8)
+        assign = np.argmax(np.asarray(vecs) @ cents.T, axis=1)
+        # purity: every planted cluster maps to exactly one centroid
+        mapping = {}
+        for a, lbl in zip(assign, labels):
+            mapping.setdefault(lbl, set()).add(a)
+        assert all(len(s) == 1 for s in mapping.values()), mapping
+        assert len({next(iter(s)) for s in mapping.values()}) == 4
+
+        index = IVFIndex.build(ds, str(tmp_path / "ivf"), num_clusters=4,
+                               fit="distributed")
+        q = np.asarray(vecs[0])
+        hits = index.search(q, k=5, nprobe=4)
+        sims = np.asarray(vecs) @ q
+        want = np.lexsort((np.arange(len(vecs)), -sims))[:5].tolist()
+        assert [i for i, _ in hits] == want
+
+    def test_unknown_fit_mode_rejected(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.ann import IVFIndex
+
+        df = pd.DataFrame({"vec_id": [0], "embedding": [[1.0, 0.0]]})
+        with pytest.raises(ValueError, match="fit"):
+            IVFIndex.build(rd.from_pandas(df), str(tmp_path / "x"),
+                           num_clusters=1, fit="bogus")
+
+
 class TestDecontamination:
     def test_planted_contamination_detected(self):
         from modernsearchengines_ray.functions.quality import word_ngrams
