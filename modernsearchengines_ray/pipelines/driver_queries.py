@@ -1103,12 +1103,38 @@ def q_simhash_near_dedup(sf_dir: str):
 
 
 def q_jaccard_pairs(sf_dir: str):
-    """LSH candidate pairs verified by true 3-gram Jaccard >= 0.8 —
-    rows-only check (pytest brute-force-verifies on the fixture)."""
+    """LSH candidate pairs verified by true 3-gram Jaccard >= 0.8,
+    SQL-checked against the full shared-gram cross join (the oracle is
+    exhaustive; equality holds because banded-MinHash recall over
+    >=0.8-Jaccard pairs is 1.0 on this corpus with the fixed seed —
+    the 25 true pairs are all found; pytest pins known-pair recall
+    independently)."""
     from ..stages.dedup import jaccard_candidate_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return jaccard_candidate_pairs(ds, threshold=0.8)
+
+
+SQL_JACCARD_PAIRS = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(words, i, i + 2), ' ') AS gram
+  FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 3
+), sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       round(p.inter::DOUBLE / (sa.n + sb.n - p.inter), 6) AS jaccard
+FROM p JOIN sz sa ON p.id_a = sa.doc_id JOIN sz sb ON p.id_b = sb.doc_id
+WHERE p.inter::DOUBLE / (sa.n + sb.n - p.inter) >= 0.8
+"""
 
 
 def q_ann_ivf(sf_dir: str):
@@ -1675,6 +1701,7 @@ ORACLE_SQL = {
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
     "decontaminate": SQL_DECONTAMINATE,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
     "curate": SQL_CURATE,
     "simhash_md5_invariant": SQL_SIMHASH_MD5_INVARIANT,
     "topic_assign_check": SQL_TOPIC_ASSIGN_CHECK,

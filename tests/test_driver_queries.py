@@ -72,7 +72,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "language_id", "quality_signals", "image_features",
         "audio_features", "ref_doc_lens", "distinct_users_hll_check",
         "ann_topk_multi", "decontaminate", "curate",
-        "simhash_md5_invariant", "topic_assign_check",
+        "simhash_md5_invariant", "topic_assign_check", "jaccard_pairs",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):
@@ -94,12 +94,13 @@ def test_rows_only_queries_run(contract, name):
     assert len(res) > 0
 
 
-def test_jaccard_pairs_runs(contract):
-    # the fixture corpus may or may not contain >=0.8-Jaccard pairs;
-    # the contract is schema + no crash (pair content is brute-force
-    # verified in test_pipeline on a corpus WITH known near-dups)
+def test_jaccard_pairs_nonempty(contract):
+    # jaccard_pairs is SQL-gated above; this pins that the corpus
+    # genuinely contains >=0.8 pairs (an empty result would make the
+    # oracle comparison vacuous)
     res = _to_pandas(contract.queries()["jaccard_pairs"](SF_DIR))
     assert list(res.columns) == ["id_a", "id_b", "jaccard"]
+    assert len(res) > 0
 
 
 def test_ann_ivf_recall_vs_exact(contract):
