@@ -335,6 +335,33 @@ def q_minhash_dedup(sf_dir: str):
 # text analysis
 # ---------------------------------------------------------------------------
 
+def q_minhash_md5_invariant(sf_dir: str):
+    """Derived invariant for ``minhash_dedup``: identical texts share
+    every band, so they land in one component and only the group's min
+    id can survive — the minhash survivors must be a subset of the md5
+    dedup's survivors (single-link components only ever get coarser).
+    Same gate shape as :func:`q_simhash_md5_invariant`."""
+    from ..stages.dedup import dedup_exact_hash, dedup_minhash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    mh_kept = set(dedup_minhash(ds, concurrency=2)
+                  .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    md5_kept = set(dedup_exact_hash(ds, keep_key="doc_id")
+                   .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    return pd.DataFrame({
+        "n_md5_groups": pd.array([len(md5_kept)], dtype="int64"),
+        "minhash_kept_subset_of_md5": pd.array(
+            [mh_kept <= md5_kept], dtype="boolean"),
+    })
+
+
+SQL_MINHASH_MD5_INVARIANT = """
+SELECT count(DISTINCT md5(text))::BIGINT AS n_md5_groups,
+       TRUE AS minhash_kept_subset_of_md5
+FROM documents
+"""
+
+
 def q_quality(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1653,6 +1680,7 @@ QUERY_FUNCS = {
     "simhash_dedup": q_simhash_dedup,
     "simhash_md5_invariant": q_simhash_md5_invariant,
     "minhash_dedup": q_minhash_dedup,
+    "minhash_md5_invariant": q_minhash_md5_invariant,
     "quality": q_quality,
     "quality_signals": q_quality_signals,
     "rolling_fp": q_rolling_fp,
@@ -1704,6 +1732,7 @@ ORACLE_SQL = {
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "curate": SQL_CURATE,
     "simhash_md5_invariant": SQL_SIMHASH_MD5_INVARIANT,
+    "minhash_md5_invariant": SQL_MINHASH_MD5_INVARIANT,
     "topic_assign_check": SQL_TOPIC_ASSIGN_CHECK,
     "lang_hist": SQL_LANG_HIST,
     "top_customers": SQL_TOP_CUSTOMERS,

@@ -72,7 +72,8 @@ def test_oracle_keys_subset_of_queries(contract):
         "language_id", "quality_signals", "image_features",
         "audio_features", "ref_doc_lens", "distinct_users_hll_check",
         "ann_topk_multi", "decontaminate", "curate",
-        "simhash_md5_invariant", "topic_assign_check", "jaccard_pairs",
+        "simhash_md5_invariant", "minhash_md5_invariant",
+        "topic_assign_check", "jaccard_pairs",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):
