@@ -1755,13 +1755,15 @@ ORACLE_SQL = {
     "audio_features": _sql_audio_features(),
     "ref_doc_lens": _sql_ref_doc_lens(),
     "distinct_users_hll_check": SQL_DISTINCT_USERS_HLL_CHECK,
-    # simhash_dedup / minhash_dedup / simhash_near_dedup / jaccard_pairs
-    # / ann_ivf / rolling_fp / topic_assign / ref_postings / ref_search /
-    # wand_search / distinct_users_approx: deliberately no SQL — not
-    # ANSI-SQL-expressible (hash sketches, Porter stemming, seeded
-    # k-means, rolling hashes, actor serving, point estimates); the
-    # driver records rows-only checks; pytest carries the oracle
-    # (brute-force pair checks, recall bounds, error bounds) and the
-    # derived-invariant entries above (ref_doc_lens,
-    # distinct_users_hll_check) give the family driver-gate teeth.
+    # Remaining rows-only entries — deliberately no direct SQL:
+    # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels
+    # live outside SQL; their *_md5_invariant companions are gated),
+    # ann_ivf (genuinely approximate: recall 8/10 at nprobe=4, pytest
+    # bounds it; an exactness oracle would require probing every
+    # bucket), rolling_fp (rolling Rabin-Karp), topic_assign
+    # (variational LDA; topic_assign_check is gated), ref_postings /
+    # ref_search / wand_search (Porter-stemmed terms + actor serving;
+    # ref_doc_lens gates the tokenizer counts and pytest pins
+    # rank-identity / WAND exactness), distinct_users_approx (point
+    # estimate; distinct_users_hll_check is gated).
 }
