@@ -13,19 +13,22 @@ Beyond the reference, the training-data dedup family:
 - n-gram Jaccard verification of candidate pairs,
 - embedding-cosine near-dup (hyperplane-LSH candidates + exact verify).
 
-Reduce tiers (every exact/minhash dedup takes ``reduce=``):
+Reduce tiers (EVERY stage in this module takes ``reduce=``: exact
+dedup, minhash groups/dedup, simhash-near, jaccard pairs, embedding
+LSH pairs):
 
 - ``"driver"`` (default at test scale): map-side per-batch Arrow
   group-min partials -> one driver reduce over the NARROW (hash, key)
   pairs -> broadcast winner table -> vectorized semi-join filter.  The
   wide rows never shuffle; the driver holds one row per unique hash.
 - ``"partitioned"`` (the 10^12-doc path): the same map-side partials
-  feed a distributed ``groupby(hash).aggregate(Min(key))`` and the
-  winner set joins back via ``Dataset.join`` (hash-shuffle semi-join) —
-  NO driver materialization anywhere.  Both modes are bit-identical
-  (tested); driver mode stays the default because the hash-shuffle
-  fixed overheads (~seconds of aggregator actor startup) dwarf the
-  reduce itself below ~10^8 rows.
+  feed distributed ``groupby`` aggregates, winner/candidate sets join
+  back via ``Dataset.join`` (hash-shuffle), and iterative pieces
+  (minhash label propagation, simhash-near components) carry their
+  state as Datasets — NO driver materialization anywhere.  Both modes
+  are bit-identical (tested); driver mode stays the default because
+  the hash-shuffle fixed overheads (~seconds of aggregator actor
+  startup) dwarf the reduce itself below ~10^8 rows.
 
 Winner filters match on the FULL (hash, key) pair, not key membership
 alone: with multi-snapshot inputs (same url recrawled, different
