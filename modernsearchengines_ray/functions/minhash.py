@@ -23,9 +23,16 @@ _MAX_HASH = (1 << 32) - 1
 
 
 def word_shingles(text: str, n: int = 3) -> set[str]:
+    """Word n-gram shingles; EMPTY below n words (like word_ngrams).
+
+    Docs too short to shingle are excluded from minhash banding and
+    Jaccard mining entirely (they emit no band rows), matching the
+    SQL oracle's ``len(words) >= n`` scope — the previous partial
+    shingle fallback made every pair of short docs jaccard-1.0
+    near-dups of each other (ADVICE r2)."""
     words = _WORD_RE.findall(text.lower())
     if len(words) < n:
-        return {" ".join(words)} if words else set()
+        return set()
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 

@@ -178,7 +178,7 @@ def prepare_corpus_streaming(pages_ds, workdir: str,
     if reduce == "partitioned":
         from ray.data.aggregate import Min
 
-        from ..stages.dedup import DEFAULT_JOIN_PARTITIONS
+        from ..stages.dedup import default_join_partitions
 
         corpus = corpus.map_batches(cast_hash, batch_format="pyarrow")
         narrow = rd.read_parquet(extracted_dir,
@@ -196,7 +196,7 @@ def prepare_corpus_streaming(pages_ds, workdir: str,
             ("simhash", pa.int64()), ("win_url", pa.string())]))
         corpus = corpus.join(
             winners, "inner",
-            num_partitions=num_partitions or DEFAULT_JOIN_PARTITIONS,
+            num_partitions=num_partitions or default_join_partitions(),
             on=("simhash", "url"), right_on=("simhash", "win_url"),
         )
 

@@ -982,11 +982,9 @@ def q_ann_topk(sf_dir: str):
     def cosine(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
         ids = batch["vec_id"].to_numpy()
-        emb = batch["embedding"]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
-        mat = flat.reshape(len(ids), -1)
+        from ..functions.arrowlist import list_matrix
+
+        mat = list_matrix(batch["embedding"], len(ids))
         sims = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
         keep = ids != 0
         return pa.table({
@@ -1552,20 +1550,22 @@ def q_ref_postings(sf_dir: str):
     runs = tokenize_postings(ds, cfg, concurrency=2)
 
     def explode(batch: pa.Table) -> pa.Table:
+        from ..functions.arrowlist import list_values
+
         ids = batch["doc_ids"]
-        tfs = batch["tfs"]
-        dls = batch["doc_lens"]
         if isinstance(ids, pa.ChunkedArray):
-            ids, tfs, dls = (c.combine_chunks() for c in (ids, tfs, dls))
+            ids = ids.combine_chunks()
         sizes = np.diff(ids.offsets.to_numpy(zero_copy_only=False))
         terms = np.repeat(
             np.asarray(batch["term"].to_pylist(), dtype=object), sizes
         )
+        # flatten(), not .values: a sliced batch's .values keeps the
+        # whole block's child and would misalign with `terms`
         return pa.table({
             "term": pa.array(terms, pa.string()),
-            "doc_id": ids.values,
-            "tf": tfs.values,
-            "doc_len": dls.values,
+            "doc_id": list_values(ids),
+            "tf": list_values(batch["tfs"]),
+            "doc_len": list_values(batch["doc_lens"]),
         })
 
     return runs.map_batches(explode, batch_format="pyarrow")

@@ -26,11 +26,9 @@ import pyarrow as pa
 
 
 def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    emb = batch[vec_col]
-    if isinstance(emb, pa.ChunkedArray):
-        emb = emb.combine_chunks()
-    flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    return flat.reshape(batch.num_rows, -1)
+    from ..functions.arrowlist import list_matrix
+
+    return list_matrix(batch[vec_col], batch.num_rows)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:

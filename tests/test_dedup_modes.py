@@ -510,3 +510,136 @@ class TestCollisionPairsKernel:
 
         assert _collision_pairs(np.array([], dtype=np.int64),
                                 np.array([], dtype=np.int64)) == set()
+
+
+class TestRound3Hardening:
+    """Round-3 items: embedding-dedup partitioned tier, cluster-derived
+    join partitions, empty-input short-circuits, short-doc scoping,
+    offset-safe list reads (VERDICT r2 #1/#5/#6 + ADVICE r2)."""
+
+    def _planted_df(self):
+        rng = np.random.RandomState(3)
+        base = rng.randn(40, 32)
+        rows = [v / np.linalg.norm(v) for v in base]
+        for i in range(5):
+            v = rows[i] + rng.randn(32) * 0.01
+            rows.append(v / np.linalg.norm(v))
+        return pd.DataFrame({
+            "vec_id": range(len(rows)),
+            "embedding": [r.tolist() for r in rows],
+        })
+
+    def test_embedding_cosine_modes_agree(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import dedup_embedding_cosine
+
+        df = self._planted_df()
+        a = dedup_embedding_cosine(rd.from_pandas(df),
+                                   reduce="driver").to_pandas()
+        b = dedup_embedding_cosine(rd.from_pandas(df),
+                                   reduce="partitioned").to_pandas()
+        a = a.sort_values("vec_id", ignore_index=True)
+        b = b.sort_values("vec_id", ignore_index=True)[a.columns]
+        assert a["vec_id"].tolist() == b["vec_id"].tolist()
+        # vectors must round-trip the blob pack bit-exactly
+        np.testing.assert_array_equal(np.stack(a["embedding"].to_numpy()),
+                                      np.stack(b["embedding"].to_numpy()))
+        assert set(a["vec_id"]) == set(range(40))
+
+    def test_embedding_cosine_matrix_rejects_partitioned(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import dedup_embedding_cosine
+
+        with pytest.raises(ValueError, match="reduce"):
+            dedup_embedding_cosine(rd.from_pandas(self._planted_df()),
+                                   method="matrix", reduce="partitioned")
+
+    def test_default_join_partitions_derived_from_cluster(self, ray_session):
+        import ray
+
+        from modernsearchengines_ray.stages.dedup import (
+            default_join_partitions,
+        )
+
+        cpus = int(ray.cluster_resources()["CPU"])
+        assert default_join_partitions() == max(2, cpus // 2)
+
+    def test_empty_input_short_circuits(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import (
+            dedup_embedding_cosine,
+            dedup_exact_hash,
+            dedup_minhash,
+            dedup_simhash_near,
+            embedding_lsh_candidate_pairs,
+            jaccard_candidate_pairs,
+        )
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        }))
+        assert dedup_exact_hash(docs, keep_key="doc_id").to_pandas().empty
+        assert dedup_minhash(docs).to_pandas().empty
+        assert dedup_simhash_near(docs).to_pandas().empty
+        assert len(jaccard_candidate_pairs(docs)) == 0
+
+        vecs = rd.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float64())),
+        }))
+        assert len(embedding_lsh_candidate_pairs(vecs)) == 0
+        assert dedup_embedding_cosine(vecs).to_pandas().empty
+
+    def test_short_docs_kept_and_never_candidates(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import (
+            dedup_minhash,
+            jaccard_candidate_pairs,
+        )
+
+        # two identical 2-word docs: below shingle length, excluded
+        # from banding (the SQL oracle's len(words) >= 3 scope) --
+        # never paired, never dropped
+        long_doc = " ".join(f"w{i}" for i in range(30))
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["tiny doc", "tiny doc", long_doc, long_doc],
+        })
+        pairs = jaccard_candidate_pairs(rd.from_pandas(df))
+        assert pairs[["id_a", "id_b"]].values.tolist() == [[3, 4]]
+        kept = dedup_minhash(rd.from_pandas(df)).to_pandas()
+        assert sorted(kept["doc_id"]) == [1, 2, 3]
+
+    def test_list_matrix_offset_safe(self):
+        import pyarrow as pa
+
+        from modernsearchengines_ray.functions.arrowlist import list_matrix
+
+        arr = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]])
+        tab = pa.table({"embedding": arr}).slice(1, 2)
+        got = list_matrix(tab["embedding"], 2)
+        np.testing.assert_array_equal(got, [[3.0, 4.0], [5.0, 6.0]])
+
+    def test_lsh_pairs_identical_under_small_batches(self, ray_session):
+        """Sliced-batch regression (ADVICE r2): batch_size smaller than
+        the block must not misalign the embedding matrix."""
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import (
+            embedding_lsh_candidate_pairs,
+        )
+
+        df = self._planted_df()
+        whole = embedding_lsh_candidate_pairs(rd.from_pandas(df))
+        # re-run with the dataset pre-split into many tiny blocks, which
+        # forces sliced list arrays through every batch fn
+        sliced = embedding_lsh_candidate_pairs(
+            rd.from_pandas(df).repartition(7))
+        pd.testing.assert_frame_equal(
+            _sorted(whole), _sorted(sliced))
