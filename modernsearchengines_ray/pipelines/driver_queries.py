@@ -1288,7 +1288,57 @@ FROM documents WHERE octet_length(encode(text)) > 0
 # events: sessionization (streaming-shaped, window-function oracle)
 # ---------------------------------------------------------------------------
 
-def q_sessionize(sf_dir: str):
+def _stitch_sessions(users: np.ndarray, starts: np.ndarray,
+                     ends: np.ndarray, counts: np.ndarray,
+                     gap_us: int) -> pd.DataFrame:
+    """Merge partial sessions (MUST be sorted by (user, start)) and
+    number each merged session within its user — one vectorized pass,
+    associative, used identically by the driver stitch and per
+    hash-partition in the distributed tier."""
+    n = len(users)
+    if n == 0:
+        return pd.DataFrame({"user_id": pd.array([], dtype="int64"),
+                             "session_id": pd.array([], dtype="int64"),
+                             "n_events": pd.array([], dtype="int64")})
+    new = np.ones(n, dtype=bool)
+    new[1:] = (users[1:] != users[:-1]) | (starts[1:] - ends[:-1] > gap_us)
+    merged_users = users[new]
+    merged_counts = np.add.reduceat(counts, np.flatnonzero(new))
+    # session numbering: rank of the (merged) session within its user
+    user_new = np.ones(len(merged_users), dtype=bool)
+    user_new[1:] = merged_users[1:] != merged_users[:-1]
+    run_start = np.maximum.accumulate(
+        np.where(user_new, np.arange(len(merged_users)), 0))
+    session_id = np.arange(len(merged_users)) - run_start
+    return pd.DataFrame({
+        "user_id": merged_users.astype("int64"),
+        "session_id": session_id.astype("int64"),
+        "n_events": merged_counts.astype("int64"),
+    })
+
+
+class _hash_shuffle_context:
+    """Temporarily flip ``DataContext.shuffle_strategy`` to
+    HASH_SHUFFLE so ``repartition(keys=...)`` hash-co-locates group
+    keys.  The context is SNAPSHOT into each dataset at creation, so
+    datasets built inside the block keep hash shuffling however late
+    they execute, and datasets built outside are untouched."""
+
+    def __enter__(self):
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        self.ctx = DataContext.get_current()
+        self.old = self.ctx.shuffle_strategy
+        self.ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        return self
+
+    def __exit__(self, *exc):
+        self.ctx.shuffle_strategy = self.old
+        return False
+
+
+def q_sessionize(sf_dir: str, reduce: str = "driver"):
     """Gap-based sessionization (30-min gap): sessions per user with
     event counts.
 
@@ -1299,13 +1349,55 @@ def q_sessionize(sf_dir: str):
     ``groupby(user).map_groups`` invokes pandas once per user, measured
     ~2s of pure overhead at 10k users), then one vectorized stitch over
     the partial-session table (#sessions rows, ~10-100x smaller than
-    events).  Partial-session merging is ASSOCIATIVE (same kernel both
-    levels), so at 10^12 events the stitch reruns as further
-    tree-reduce rounds instead of a driver pass; a user's partials can
-    only meet at sorted-block boundaries, so each round shrinks the
-    table to ~#sessions + #blocks rows."""
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    events).  Partial-session merging is ASSOCIATIVE (the same
+    :func:`_stitch_sessions` kernel runs at both levels):
+    ``reduce="driver"`` stitches the partials table in one driver pass;
+    ``reduce="partitioned"`` (the 10^12-event tier, VERDICT r2 #3)
+    hash-repartitions the partials by user_id — each user's partials
+    land wholly in one partition — and runs the stitch per block, so no
+    driver pandas pass exists anywhere."""
     gap_us = 30 * 60 * 1_000_000
+
+    if reduce == "partitioned":
+        from ..stages.dedup import default_join_partitions
+
+        with _hash_shuffle_context():
+            ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+            parts_ds = ds.sort(["user_id", "ts"]) \
+                .map_batches(_sessionize_partials_fn(gap_us),
+                             batch_size=None, batch_format="pyarrow") \
+                .repartition(default_join_partitions(),
+                             keys=["user_id"], sort=False)
+
+            def stitch_block(batch: pa.Table) -> pa.Table:
+                users = batch["user_id"].to_numpy(zero_copy_only=False)
+                starts = batch["start_us"].to_numpy(zero_copy_only=False)
+                ends = batch["end_us"].to_numpy(zero_copy_only=False)
+                counts = batch["n_events"].to_numpy(zero_copy_only=False)
+                order = np.lexsort((starts, users))
+                out = _stitch_sessions(users[order], starts[order],
+                                       ends[order], counts[order], gap_us)
+                return pa.Table.from_pandas(out, preserve_index=False)
+
+            return parts_ds.map_batches(stitch_block, batch_size=None,
+                                        batch_format="pyarrow")
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    parts = ds.sort(["user_id", "ts"]) \
+        .map_batches(_sessionize_partials_fn(gap_us), batch_size=None,
+                     batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["user_id", "start_us"], kind="mergesort",
+                              ignore_index=True)
+    return _stitch_sessions(parts["user_id"].to_numpy(),
+                            parts["start_us"].to_numpy(),
+                            parts["end_us"].to_numpy(),
+                            parts["n_events"].to_numpy(), gap_us)
+
+
+def _sessionize_partials_fn(gap_us: int):
+    """Per-sorted-block collapse of events into partial sessions."""
 
     def partial_sessions(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1332,35 +1424,7 @@ def q_sessionize(sf_dir: str):
                                  pa.int64()),
         })
 
-    parts = ds.sort(["user_id", "ts"]) \
-        .map_batches(partial_sessions, batch_size=None,
-                     batch_format="pyarrow").to_pandas()
-    parts = parts.sort_values(["user_id", "start_us"], kind="mergesort",
-                              ignore_index=True)
-    users = parts["user_id"].to_numpy()
-    starts = parts["start_us"].to_numpy()
-    ends = parts["end_us"].to_numpy()
-    counts = parts["n_events"].to_numpy()
-    n = len(parts)
-    if n == 0:
-        return pd.DataFrame({"user_id": pd.array([], dtype="int64"),
-                             "session_id": pd.array([], dtype="int64"),
-                             "n_events": pd.array([], dtype="int64")})
-    new = np.ones(n, dtype=bool)
-    new[1:] = (users[1:] != users[:-1]) | (starts[1:] - ends[:-1] > gap_us)
-    merged_users = users[new]
-    merged_counts = np.add.reduceat(counts, np.flatnonzero(new))
-    # session numbering: rank of the (merged) session within its user
-    user_new = np.ones(len(merged_users), dtype=bool)
-    user_new[1:] = merged_users[1:] != merged_users[:-1]
-    run_start = np.maximum.accumulate(
-        np.where(user_new, np.arange(len(merged_users)), 0))
-    session_id = np.arange(len(merged_users)) - run_start
-    return pd.DataFrame({
-        "user_id": merged_users.astype("int64"),
-        "session_id": session_id.astype("int64"),
-        "n_events": merged_counts.astype("int64"),
-    })
+    return partial_sessions
 
 
 SQL_SESSIONIZE = """
@@ -1429,29 +1493,57 @@ def _top2_per_user(users: np.ndarray, event_ids: np.ndarray,
     return u[keep], e[keep], v[keep]
 
 
-def q_top_events_per_user(sf_dir: str):
+def _partial_top2_batch(batch: pa.Table) -> pa.Table:
+    u, e, v = _top2_per_user(
+        batch["user_id"].to_numpy(zero_copy_only=False),
+        batch["event_id"].to_numpy(zero_copy_only=False),
+        batch["value"].to_numpy(zero_copy_only=False),
+    )
+    return pa.table({
+        "user_id": pa.array(u, pa.int64()),
+        "event_id": pa.array(e, pa.int64()),
+        "value": pa.array(v, pa.float64()),
+    })
+
+
+def q_top_events_per_user(sf_dir: str, reduce: str = "driver"):
     """Top-2 highest-value events per user (top-k-per-group pattern;
     SQL row_number oracle).  Deterministic ties by event_id.
 
     Per-block vectorized partial top-2 (the events->2-rows-per-user
     collapse runs distributed), then the SAME kernel once more over the
-    partials — per-group top-k is associative, so this is a standard
-    combiner/tree-reduce; no ``map_groups`` per-user Python anywhere."""
+    partials — per-group top-k is associative.  ``reduce="driver"``
+    runs the final combine as one driver pass over the ~2-rows-per-user
+    partials; ``reduce="partitioned"`` (VERDICT r2 #3) hash-repartitions
+    the partials by user_id and re-applies the kernel per block — no
+    driver state, for when even 2 x #users outgrows one machine."""
+    if reduce == "partitioned":
+        from ..stages.dedup import default_join_partitions
+
+        with _hash_shuffle_context():
+            ds = _read(sf_dir, "events",
+                       columns=["user_id", "event_id", "value"])
+            parts_ds = ds.map_batches(_partial_top2_batch,
+                                      batch_format="pyarrow") \
+                .repartition(default_join_partitions(),
+                             keys=["user_id"], sort=False)
+
+            def final_block(batch: pa.Table) -> pa.Table:
+                out = _partial_top2_batch(batch)
+                return out.set_column(
+                    out.schema.get_field_index("value"), "value",
+                    pa.array(np.round(
+                        out["value"].to_numpy(zero_copy_only=False), 6),
+                        pa.float64()))
+
+            return parts_ds.map_batches(final_block, batch_size=None,
+                                        batch_format="pyarrow")
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
 
-    def partial_top2(batch: pa.Table) -> pa.Table:
-        u, e, v = _top2_per_user(
-            batch["user_id"].to_numpy(zero_copy_only=False),
-            batch["event_id"].to_numpy(zero_copy_only=False),
-            batch["value"].to_numpy(zero_copy_only=False),
-        )
-        return pa.table({
-            "user_id": pa.array(u, pa.int64()),
-            "event_id": pa.array(e, pa.int64()),
-            "value": pa.array(v, pa.float64()),
-        })
-
-    parts = ds.map_batches(partial_top2, batch_format="pyarrow").to_pandas()
+    parts = ds.map_batches(_partial_top2_batch,
+                           batch_format="pyarrow").to_pandas()
     u, e, v = _top2_per_user(parts["user_id"].to_numpy(),
                              parts["event_id"].to_numpy(),
                              parts["value"].to_numpy())
@@ -1707,9 +1799,13 @@ QUERY_FUNCS = {
     "audio_features": q_audio_features,
     "frame_samples": q_frame_samples,
     "sessionize": q_sessionize,
+    "sessionize_partitioned":
+        lambda sf_dir: q_sessionize(sf_dir, reduce="partitioned"),
     "domain_hist": q_domain_hist,
     "json_extract": q_json_extract,
     "top_events_per_user": q_top_events_per_user,
+    "top_events_per_user_partitioned":
+        lambda sf_dir: q_top_events_per_user(sf_dir, reduce="partitioned"),
     "topic_assign": q_topic_assign,
     "topic_assign_check": q_topic_assign_check,
     "ref_postings": q_ref_postings,
@@ -1745,9 +1841,11 @@ ORACLE_SQL = {
     "embedding_dedup": SQL_EMBEDDING_DEDUP,
     "frame_samples": SQL_FRAME_SAMPLES,
     "sessionize": SQL_SESSIONIZE,
+    "sessionize_partitioned": SQL_SESSIONIZE,
     "domain_hist": SQL_DOMAIN_HIST,
     "json_extract": SQL_JSON_EXTRACT,
     "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
+    "top_events_per_user_partitioned": SQL_TOP_EVENTS_PER_USER,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "language_id": _sql_language_id(),
     "quality_signals": _sql_quality_signals(),
