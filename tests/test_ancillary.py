@@ -293,3 +293,37 @@ class TestBatchRetrieval:
             assert r["url"] == by_id.loc[r["doc_id"], "url"]
             assert r["snippet"]                     # non-empty snippet
             assert r["snippet"] in by_id.loc[r["doc_id"], "text"]
+
+
+class TestDistributedRankMerge:
+    def test_distributed_merge_bit_identical(self, prepared):
+        """VERDICT r2 #7: merge="distributed" (hash-partitioned ordered
+        reduce over per-(term,doc) contribution rows) must reproduce the
+        driver merge bit-exactly — same docs, same float scores — since
+        the segmented reduce preserves the per-doc term addition order."""
+        from fixtures import QUERIES
+
+        from modernsearchengines_ray.pipelines.query import QueryEngine
+
+        _corpus_df, index_dir, _result, _oi = prepared
+        engine = QueryEngine(index_dir, num_scorers=2)
+        try:
+            for _qid, q in QUERIES[:4]:
+                drv = engine.search(q, merge="driver")
+                dist = engine.search(q, merge="distributed")
+                assert drv == dist, q
+        finally:
+            engine.shutdown()
+
+    def test_unknown_merge_mode_rejected(self, prepared):
+        from modernsearchengines_ray.pipelines.query import QueryEngine
+
+        _corpus_df, index_dir, _result, _oi = prepared
+        engine = QueryEngine(index_dir, num_scorers=2)
+        try:
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="merge"):
+                engine.search("tuebingen castle", merge="bogus")
+        finally:
+            engine.shutdown()

@@ -643,3 +643,23 @@ class TestRound3Hardening:
             rd.from_pandas(df).repartition(7))
         pd.testing.assert_frame_equal(
             _sorted(whole), _sorted(sliced))
+
+
+class TestPrunedBucketPull:
+    def test_only_collision_rows_reach_the_driver(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import _pruned_bucket_pull
+
+        tab = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "band_key": pa.array(["a", "a", "b", "c", "d", "e"]),
+        })
+        got = _pruned_bucket_pull(rd.from_arrow(tab).repartition(3),
+                                  "doc_id", "band_key")
+        # singleton buckets b/c/d/e pruned distributed-side: only the
+        # two rows of bucket "a" are pulled
+        assert got.num_rows == 2
+        assert sorted(got["doc_id"].to_pylist()) == [1, 2]
+        assert set(got["band_key"].to_pylist()) == {"a"}
