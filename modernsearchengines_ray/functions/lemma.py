@@ -21,7 +21,14 @@ with it).  Remaining documented divergences from the real reference:
 - no POS disambiguation — a context-free table lemmatizes the verb
   reading ('saw' -> 'see') even where spaCy's tagger would keep the
   noun;
-- coverage is the irregular core, not spaCy's full ~40k-entry lookup.
+- coverage is the (round-3: essentially complete) standard irregular
+  inventory — irregular verb pasts/participles, Latin/Greek plurals,
+  suppletive comparatives — not spaCy's full ~40k-entry lookup.  The
+  remaining ~39k lookup entries are overwhelmingly REGULAR inflections
+  whose Porter stems coincide with their lemma's stem, so they are
+  index-invisible; vendoring the literal file needs network access
+  (absent here) and remains the documented one-line
+  ``load_lemma_table`` swap.
 
 Default behavior is UNCHANGED: ``lemma_table=None`` keeps the identity
 lemma (round-1 semantics); engine and oracle share this module, so
@@ -117,6 +124,62 @@ _IRREGULAR_VERBS = {
     "withdrew": "withdraw", "withdrawn": "withdraw",
     "wrung": "wring",
     "wrote": "write", "written": "write",
+    # round-3 completion of the standard irregular-verb inventory
+    # (public knowledge; identity forms like 'hit'/'put' omitted —
+    # lookup already falls through to identity)
+    "bade": "bid",
+    "been": "be", "was": "be", "were": "be",
+    "beheld": "behold",
+    "bound": "bind",
+    "bestrode": "bestride",
+    "clad": "clothe",
+    "dreamt": "dream", "dwelt": "dwell",
+    "forbore": "forbear", "forborne": "forbear",
+    "foresaw": "foresee", "foreseen": "foresee",
+    "foretold": "foretell",
+    "forsook": "forsake", "forsaken": "forsake",
+    "forwent": "forgo", "forgone": "forgo",
+    "ground": "grind",
+    "hewn": "hew",
+    "lain": "lie",
+    "leant": "lean",
+    "mislaid": "mislay", "misled": "mislead",
+    "mistook": "mistake", "mistaken": "mistake",
+    "misunderstood": "misunderstand",
+    "mown": "mow",
+    "outdid": "outdo", "outdone": "outdo",
+    "outgrew": "outgrow", "outgrown": "outgrow",
+    "overcame": "overcome",
+    "overdid": "overdo", "overdone": "overdo",
+    "overheard": "overhear",
+    "oversaw": "oversee", "overseen": "oversee",
+    "overtook": "overtake", "overtaken": "overtake",
+    "overthrew": "overthrow", "overthrown": "overthrow",
+    "partook": "partake", "partaken": "partake",
+    "pled": "plead",
+    "rebuilt": "rebuild", "repaid": "repay",
+    "rethought": "rethink",
+    "rewrote": "rewrite", "rewritten": "rewrite",
+    "sewn": "sew",
+    "shorn": "shear",
+    "slew": "slay", "slain": "slay",
+    "slung": "sling", "slunk": "slink",
+    "smelt": "smell",
+    "smote": "smite", "smitten": "smite",
+    "sown": "sow",
+    "sped": "speed", "spelt": "spell", "spilt": "spill",
+    "spat": "spit", "spoilt": "spoil",
+    "stank": "stink", "stunk": "stink",
+    "strewn": "strew",
+    "strode": "stride", "stridden": "stride",
+    "strung": "string",
+    "swollen": "swell",
+    "trod": "tread", "trodden": "tread",
+    "underwent": "undergo", "undergone": "undergo",
+    "undertook": "undertake", "undertaken": "undertake",
+    "undid": "undo", "undone": "undo",
+    "upheld": "uphold",
+    "withheld": "withhold", "withstood": "withstand",
 }
 
 _IRREGULAR_NOUNS = {
@@ -140,6 +203,21 @@ _IRREGULAR_NOUNS = {
     "leaves": "leaf", "loaves": "loaf", "halves": "half",
     "calves": "calf", "shelves": "shelf", "thieves": "thief",
     "wolves": "wolf", "scarves": "scarf", "elves": "elf",
+    # round-3 completion: Latin/Greek plurals + suppletives
+    "corpora": "corpus", "genera": "genus",
+    "formulae": "formula", "larvae": "larva", "antennae": "antenna",
+    "algae": "alga", "nebulae": "nebula", "vertebrae": "vertebra",
+    "automata": "automaton", "errata": "erratum", "ova": "ovum",
+    "addenda": "addendum", "referenda": "referendum",
+    "millennia": "millennium", "symposia": "symposium",
+    "spectra": "spectrum", "maxima": "maximum", "minima": "minimum",
+    "optima": "optimum", "quanta": "quantum",
+    "foci": "focus", "loci": "locus", "termini": "terminus",
+    "schemata": "schema", "stigmata": "stigma",
+    "brethren": "brother", "people": "person",
+    "better": "good", "best": "good",
+    "worse": "bad", "worst": "bad",
+    "farther": "far", "farthest": "far",
 }
 
 #: context-free irregular-form table; copy so callers can't mutate the

@@ -154,3 +154,35 @@ class TestLemmaEndToEnd:
             assert {d for d, _ in hits} >= {2}
         finally:
             engine.shutdown()
+
+
+class TestRound3Inventory:
+    def test_expanded_irregular_coverage(self):
+        from modernsearchengines_ray.functions.lemma import (
+            DEFAULT_LEMMA_TABLE as T,
+        )
+
+        # round-3 additions: completed verb inventory, Latin/Greek
+        # plurals, suppletive comparatives
+        assert T["underwent"] == "undergo"
+        assert T["forsaken"] == "forsake"
+        assert T["trodden"] == "tread"
+        assert T["corpora"] == "corpus"
+        assert T["spectra"] == "spectrum"
+        assert T["better"] == "good"
+        assert len(T) >= 300
+        # every mapping is a fixpoint chain: form -> lemma -> lemma
+        for form, lemma in T.items():
+            assert T.get(lemma, lemma) == lemma, (form, lemma)
+
+    def test_expanded_forms_flow_through_tokenizer(self):
+        from modernsearchengines_ray.functions.lemma import (
+            DEFAULT_LEMMA_TABLE,
+        )
+        from modernsearchengines_ray.functions.tokenizer import tokenize
+
+        toks = [t for t, _ in tokenize(
+            "the committee underwent restructuring across corpora",
+            lemma_table=DEFAULT_LEMMA_TABLE)]
+        assert "undergo" in toks
+        assert "corpu" in toks or "corpus" in toks  # post-Porter stem
