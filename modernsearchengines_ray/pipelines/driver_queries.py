@@ -270,12 +270,12 @@ LIMIT 20
 # dedup family
 # ---------------------------------------------------------------------------
 
-def q_dedup_exact(sf_dir: str):
+def q_dedup_exact(sf_dir: str, reduce: str = "driver"):
     """Exact dedup: min doc_id per md5(text) group (D4 generalized)."""
     from ..stages.dedup import dedup_exact_hash
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    kept = dedup_exact_hash(ds, keep_key="doc_id")
+    kept = dedup_exact_hash(ds, keep_key="doc_id", reduce=reduce)
     return kept.select_columns(["doc_id"])
 
 
@@ -1065,13 +1065,13 @@ FROM r WHERE rn <= 10
 """
 
 
-def q_embedding_dedup(sf_dir: str):
+def q_embedding_dedup(sf_dir: str, reduce: str = "driver"):
     """Embedding-cosine near-dup collapse (dominance rule: keep rows with
     no lower-id row at cosine >= 0.95) — SQL-checkable NOT EXISTS."""
     from ..stages.dedup import dedup_embedding_cosine
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dedup_embedding_cosine(ds, threshold=0.95) \
+    return dedup_embedding_cosine(ds, threshold=0.95, reduce=reduce) \
         .select_columns(["vec_id"])
 
 
@@ -1127,7 +1127,7 @@ def q_simhash_near_dedup(sf_dir: str):
     return dedup_simhash_near(ds).select_columns(["doc_id"])
 
 
-def q_jaccard_pairs(sf_dir: str):
+def q_jaccard_pairs(sf_dir: str, reduce: str = "driver"):
     """LSH candidate pairs verified by true 3-gram Jaccard >= 0.8,
     SQL-checked against the full shared-gram cross join (the oracle is
     exhaustive; equality holds because banded-MinHash recall over
@@ -1137,7 +1137,7 @@ def q_jaccard_pairs(sf_dir: str):
     from ..stages.dedup import jaccard_candidate_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return jaccard_candidate_pairs(ds, threshold=0.8)
+    return jaccard_candidate_pairs(ds, threshold=0.8, reduce=reduce)
 
 
 SQL_JACCARD_PAIRS = """
@@ -1317,25 +1317,7 @@ def _stitch_sessions(users: np.ndarray, starts: np.ndarray,
     })
 
 
-class _hash_shuffle_context:
-    """Temporarily flip ``DataContext.shuffle_strategy`` to
-    HASH_SHUFFLE so ``repartition(keys=...)`` hash-co-locates group
-    keys.  The context is SNAPSHOT into each dataset at creation, so
-    datasets built inside the block keep hash shuffling however late
-    they execute, and datasets built outside are untouched."""
-
-    def __enter__(self):
-        from ray.data import DataContext
-        from ray.data.context import ShuffleStrategy
-
-        self.ctx = DataContext.get_current()
-        self.old = self.ctx.shuffle_strategy
-        self.ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        return self
-
-    def __exit__(self, *exc):
-        self.ctx.shuffle_strategy = self.old
-        return False
+from ..stages.dedup import hash_shuffle_context as _hash_shuffle_context
 
 
 def q_sessionize(sf_dir: str, reduce: str = "driver"):
@@ -1769,6 +1751,8 @@ QUERY_FUNCS = {
     "df_idf": q_df_idf,
     "bm25_topk": q_bm25_topk,
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_partitioned":
+        lambda sf_dir: q_dedup_exact(sf_dir, reduce="partitioned"),
     "simhash_dedup": q_simhash_dedup,
     "simhash_md5_invariant": q_simhash_md5_invariant,
     "minhash_dedup": q_minhash_dedup,
@@ -1792,9 +1776,13 @@ QUERY_FUNCS = {
     "ann_topk_multi": q_ann_topk_multi,
     "ann_ivf": q_ann_ivf,
     "embedding_dedup": q_embedding_dedup,
+    "embedding_dedup_partitioned":
+        lambda sf_dir: q_embedding_dedup(sf_dir, reduce="partitioned"),
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "simhash_near_dedup": q_simhash_near_dedup,
     "jaccard_pairs": q_jaccard_pairs,
+    "jaccard_pairs_partitioned":
+        lambda sf_dir: q_jaccard_pairs(sf_dir, reduce="partitioned"),
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "frame_samples": q_frame_samples,
@@ -1821,11 +1809,13 @@ ORACLE_SQL = {
     "df_idf": SQL_DF_IDF,
     "bm25_topk": SQL_BM25_TOPK,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_exact_partitioned": SQL_DEDUP_EXACT,
     "quality": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
     "decontaminate": SQL_DECONTAMINATE,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "jaccard_pairs_partitioned": SQL_JACCARD_PAIRS,
     "curate": SQL_CURATE,
     "simhash_md5_invariant": SQL_SIMHASH_MD5_INVARIANT,
     "minhash_md5_invariant": SQL_MINHASH_MD5_INVARIANT,
@@ -1839,6 +1829,7 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_topk_multi": SQL_ANN_TOPK_MULTI,
     "embedding_dedup": SQL_EMBEDDING_DEDUP,
+    "embedding_dedup_partitioned": SQL_EMBEDDING_DEDUP,
     "frame_samples": SQL_FRAME_SAMPLES,
     "sessionize": SQL_SESSIONIZE,
     "sessionize_partitioned": SQL_SESSIONIZE,

@@ -303,8 +303,10 @@ def rank_postings_distributed(
     import pyarrow as pa
     import ray.data as rd
 
-    from ..stages.dedup import default_join_partitions
-    from ..pipelines.driver_queries import _hash_shuffle_context
+    from ..stages.dedup import (
+        default_join_partitions,
+        hash_shuffle_context as _hash_shuffle_context,
+    )
 
     present = [t for t, _ in tokenized_query if t in fetched]
     if not present:

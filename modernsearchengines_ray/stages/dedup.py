@@ -129,6 +129,27 @@ def ensure_schema(ds, schema: pa.Schema, num_blocks: int = 2):
         .repartition(num_blocks)
 
 
+class hash_shuffle_context:
+    """Temporarily flip ``DataContext.shuffle_strategy`` to
+    HASH_SHUFFLE so ``repartition(keys=...)`` hash-co-locates group
+    keys.  The context is SNAPSHOT into each dataset at creation, so
+    datasets built inside the block keep hash shuffling however late
+    they execute, and datasets built outside are untouched."""
+
+    def __enter__(self):
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        self.ctx = DataContext.get_current()
+        self.old = self.ctx.shuffle_strategy
+        self.ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        return self
+
+    def __exit__(self, *exc):
+        self.ctx.shuffle_strategy = self.old
+        return False
+
+
 def drop_sentinels(ds, col: str):
     """Remove :func:`ensure_schema` sentinel rows by key column."""
     def fix(batch: pa.Table) -> pa.Table:
