@@ -32,7 +32,7 @@ def main() -> None:
     parser.add_argument("--pages", required=True,
                         help="pages parquet path/dir (url, warc_ts, html, ...)")
     parser.add_argument("--format", default="parquet",
-                        choices=["parquet", "jsonl", "csv"])
+                        choices=["parquet", "jsonl", "csv", "warc"])
     parser.add_argument("--workdir", required=True,
                         help="output root: extracted/ + index/ land here")
     parser.add_argument("--num-shards", type=int, default=64)
@@ -54,15 +54,28 @@ def main() -> None:
     from modernsearchengines_ray.pipelines.corpus_prep import (
         prepare_corpus_streaming,
     )
-    from modernsearchengines_ray.sources.readers import read_pages
+    from modernsearchengines_ray.sources.readers import (
+        read_pages,
+        read_pages_warc,
+    )
 
     nblocks = args.num_blocks
     if nblocks is None:
         nblocks = int(ray.cluster_resources().get("CPU", 8)) * 4
 
     t0 = time.perf_counter()
-    pages = read_pages(args.pages, format=args.format,
-                       override_num_blocks=nblocks)
+    if args.format == "warc":
+        # one task per segment file; a dir of .warc/.warc.gz segments is
+        # the Common Crawl layout
+        import glob
+
+        paths = sorted(
+            glob.glob(os.path.join(args.pages, "*.warc*"))
+            if os.path.isdir(args.pages) else [args.pages])
+        pages = read_pages_warc(paths)
+    else:
+        pages = read_pages(args.pages, format=args.format,
+                           override_num_blocks=nblocks)
     corpus = prepare_corpus_streaming(pages, args.workdir,
                                       doc_id_mode=args.doc_id_mode,
                                       num_blocks=nblocks)
