@@ -55,6 +55,12 @@ class IndexConfig:
     #: loader for the published spacy-lookups-data English table.
     #: Must match the table the query side uses (QueryEngine).
     lemma_table: dict[str, str] | None = field(default=None, hash=False)
+    #: parquet row-group size for shard files.  None (default) keeps
+    #: pyarrow's whole-table grouping — byte-stable output, right for
+    #: eager scorers.  Set (e.g. 256) when serving with
+    #: ``ShardScorer(lazy_shards=True)`` so a query touches only the
+    #: row groups of its terms instead of paging the whole shard in.
+    shard_row_group_size: int | None = None
 
 
 @dataclass(frozen=True)

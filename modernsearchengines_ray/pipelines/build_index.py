@@ -185,7 +185,9 @@ def _finalize_task(
         table, n_postings = finalize_shard_table(
             partials, num_documents, cfg
         )
-        nbytes = atomic_write_parquet(table, shard_path(index_dir, shard_id))
+        nbytes = atomic_write_parquet(
+            table, shard_path(index_dir, shard_id),
+            row_group_size=cfg.shard_row_group_size)
         wall_ms = (time.perf_counter() - t0) * 1000.0
         write_shard_manifest(
             index_dir,
@@ -231,7 +233,9 @@ def _merge_task(
         table, n_postings = build_shard_table(
             group, num_documents, avg_doc_len, cfg
         )
-        nbytes = atomic_write_parquet(table, shard_path(index_dir, shard_id))
+        nbytes = atomic_write_parquet(
+            table, shard_path(index_dir, shard_id),
+            row_group_size=cfg.shard_row_group_size)
         wall_ms = (time.perf_counter() - t0) * 1000.0
         write_shard_manifest(
             index_dir,

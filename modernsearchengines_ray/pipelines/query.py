@@ -58,27 +58,72 @@ class ShardScorer:
                    "positions", "max_bm25", "min_bm25", "block_first_doc",
                    "block_max_bm25")
 
-    def __init__(self, index_dir: str, shard_ids: list[int]):
+    def __init__(self, index_dir: str, shard_ids: list[int],
+                 lazy_shards: bool = False, rg_cache_groups: int = 256):
+        """``lazy_shards=False`` (default): each assigned shard parquet
+        loads fully into the actor — right while shards fit memory.
+        ``lazy_shards=True`` (the 10^12-doc serving path): only the
+        narrow ``term`` column loads eagerly (the locator); posting
+        rows read per ROW GROUP on demand through an LRU — actor
+        footprint = locator + touched row groups, not the shard.
+        Build the index with ``IndexConfig(shard_row_group_size=...)``
+        so groups are small; with the default whole-table grouping,
+        lazy mode still works but the first touch pages the shard in."""
         import pyarrow.parquet as pq
 
-        self._tables: list = []
+        self._tables: list = []       # eager: whole shard tables
+        self._files: list = []        # lazy: (ParquetFile, rg_offsets)
+        self._lazy = lazy_shards
         self._loc: dict[str, tuple[int, int]] = {}
         self._decoded: dict[str, dict] = {}
+        self._rg_cache: "OrderedDict[tuple[int, int], object]" = \
+            OrderedDict()
+        self._rg_cache_groups = rg_cache_groups
         self.block_size = read_meta(index_dir).get("block_size", 128)
         for shard_id in shard_ids:
-            table = pq.read_table(shard_path(index_dir, shard_id))
-            ti = len(self._tables)
-            self._tables.append(table)
-            for ri, term in enumerate(table["term"].to_pylist()):
+            path = shard_path(index_dir, shard_id)
+            if lazy_shards:
+                pf = pq.ParquetFile(path)
+                offsets = np.zeros(pf.num_row_groups + 1, dtype=np.int64)
+                for rg in range(pf.num_row_groups):
+                    offsets[rg + 1] = (offsets[rg]
+                                       + pf.metadata.row_group(rg).num_rows)
+                ti = len(self._files)
+                self._files.append((pf, offsets))
+                terms = pf.read(columns=["term"])["term"].to_pylist()
+            else:
+                table = pq.read_table(path)
+                ti = len(self._tables)
+                self._tables.append(table)
+                terms = table["term"].to_pylist()
+            for ri, term in enumerate(terms):
                 self._loc[term] = (ti, ri)
+
+    def _row_table(self, ti: int, ri: int):
+        """(table, local row index) holding row ``ri`` of shard ``ti``."""
+        if not self._lazy:
+            return self._tables[ti], ri
+        pf, offsets = self._files[ti]
+        rg = int(np.searchsorted(offsets, ri, side="right") - 1)
+        key = (ti, rg)
+        cached = self._rg_cache.get(key)
+        if cached is None:
+            cached = pf.read_row_group(rg)
+            self._rg_cache[key] = cached
+            while len(self._rg_cache) > self._rg_cache_groups:
+                self._rg_cache.popitem(last=False)
+        else:
+            self._rg_cache.move_to_end(key)
+        return cached, ri - int(offsets[rg])
 
     def _raw(self, term: str, fields=None) -> dict | None:
         loc = self._loc.get(term)
         if loc is None:
             return None
         ti, ri = loc
-        table = self._tables[ti]
-        return {k: table[k][ri].as_py() for k in (fields or self._RAW_FIELDS)}
+        table, local_ri = self._row_table(ti, ri)
+        return {k: table[k][local_ri].as_py()
+                for k in (fields or self._RAW_FIELDS)}
 
     def _decode(self, term: str) -> dict | None:
         cached = self._decoded.get(term)
@@ -446,6 +491,7 @@ class QueryEngine:
         synonyms_table: dict[str, list[str]] | None = None,
         lemma_table: dict[str, str] | None = None,
         term_cache_size: int = 512,
+        lazy_shards: bool = False,
     ):
         self.index_dir = index_dir
         self.meta = read_meta(index_dir)
@@ -473,7 +519,8 @@ class QueryEngine:
             self._shard_owner[shard_id] = i % num_scorers
         self.num_shards = self.meta["num_shards"]
         self.scorers = [
-            ShardScorer.remote(index_dir, assigned) for assigned in assignments
+            ShardScorer.remote(index_dir, assigned, lazy_shards=lazy_shards)
+            for assigned in assignments
         ]
 
     def _owner(self, term: str) -> int | None:

@@ -77,12 +77,20 @@ def completed_shards(index_dir: str, input_fingerprint: str) -> set[int]:
     return done
 
 
-def atomic_write_parquet(table, path: str) -> int:
-    """Write parquet via tmp + rename; returns bytes written."""
+def atomic_write_parquet(table, path: str,
+                         row_group_size: int | None = None) -> int:
+    """Write parquet via tmp + rename; returns bytes written.
+
+    ``row_group_size=None`` keeps pyarrow's default whole-table
+    grouping (byte-stable across rounds); a value enables row-group
+    granular lazy reads (IndexConfig.shard_row_group_size)."""
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
+    if row_group_size is None:
+        pq.write_table(table, tmp)
+    else:
+        pq.write_table(table, tmp, row_group_size=row_group_size)
     os.replace(tmp, path)
     return os.path.getsize(path)

@@ -327,3 +327,46 @@ class TestDistributedRankMerge:
                 engine.search("tuebingen castle", merge="bogus")
         finally:
             engine.shutdown()
+
+
+class TestLazyShardScorer:
+    def test_lazy_results_identical_and_row_groups_split(
+            self, ray_session, pages_parquet, tmp_path):
+        """lazy_shards=True over a row-group-granular index must return
+        the exact same rankings as the eager scorer, touching row
+        groups instead of whole shards."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from fixtures import QUERIES
+
+        from modernsearchengines_ray.config import IndexConfig
+        from modernsearchengines_ray.pipelines.build_index import build_index
+        from modernsearchengines_ray.pipelines.corpus_prep import (
+            prepare_corpus,
+        )
+        from modernsearchengines_ray.pipelines.query import QueryEngine
+        from modernsearchengines_ray.state.manifest import shard_path
+
+        corpus_df = prepare_corpus(
+            rd.read_parquet(pages_parquet)).to_pandas()
+        index_dir = str(tmp_path / "rg_idx")
+        build_index(
+            rd.from_pandas(corpus_df[["doc_id", "url", "text"]]),
+            index_dir,
+            cfg=IndexConfig(num_shards=4, shard_row_group_size=16),
+            corpus_id="rg",
+        )
+        # the config actually split the shard files into row groups
+        n_groups = pq.ParquetFile(shard_path(index_dir, 0)).num_row_groups
+        assert n_groups > 1, "shard_row_group_size had no effect"
+
+        eager = QueryEngine(index_dir, num_scorers=2)
+        lazy = QueryEngine(index_dir, num_scorers=2, lazy_shards=True)
+        try:
+            for _qid, q in QUERIES[:4]:
+                assert eager.search(q) == lazy.search(q), q
+                assert eager.search_bm25(q, k=10) == \
+                    lazy.search_bm25(q, k=10), q
+        finally:
+            eager.shutdown()
+            lazy.shutdown()
