@@ -30,6 +30,10 @@ def main() -> None:
     parser.add_argument("--out", required=True)
     parser.add_argument("--docstore", default=None)
     parser.add_argument("--num-scorers", type=int, default=4)
+    parser.add_argument("--lazy-shards", action="store_true",
+                        help="row-group-lazy shard loading: actor memory "
+                             "= term locator + touched row groups (build "
+                             "the index with shard_row_group_size set)")
     args = parser.parse_args()
 
     import ray
@@ -45,7 +49,8 @@ def main() -> None:
     t0 = time.perf_counter()
     out = run_batched_queries(args.queries, args.index, args.out,
                               docstore=docstore,
-                              num_scorers=args.num_scorers)
+                              num_scorers=args.num_scorers,
+                              lazy_shards=args.lazy_shards)
     lines = sum(1 for _ in open(out))
     print(json.dumps({
         "out": out,

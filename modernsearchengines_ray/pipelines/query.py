@@ -732,6 +732,7 @@ def run_batched_queries(
     docstore=None,
     num_scorers: int = 4,
     top_k: int = 100,
+    lazy_shards: bool = False,
 ) -> str:
     """queries.txt -> TREC-style ``qn\\trank\\turl\\tscore:.3f`` file,
     top-100 per query (retrieval.py:305-331; the batch path applies no
@@ -744,7 +745,8 @@ def run_batched_queries(
     are identical to the sequential loop."""
     from concurrent.futures import ThreadPoolExecutor
 
-    engine = QueryEngine(index_dir, num_scorers=num_scorers)
+    engine = QueryEngine(index_dir, num_scorers=num_scorers,
+                         lazy_shards=lazy_shards)
 
     def run_one(item: tuple[int, str]) -> list[str]:
         qnum, qtext = item
