@@ -292,7 +292,7 @@ def q_simhash_dedup(sf_dir: str):
     return dedup_exact_simhash(ds, keep_key="doc_id").select_columns(["doc_id"])
 
 
-def q_simhash_md5_invariant(sf_dir: str):
+def q_simhash_md5_invariant(sf_dir: str, reduce: str = "driver"):
     """Derived invariant giving ``simhash_dedup`` driver-gate teeth:
     identical texts hash identically, so simhash partitions the corpus
     COARSER-or-equal than md5 — the keep-min(doc_id) survivors of the
@@ -304,10 +304,10 @@ def q_simhash_md5_invariant(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     simhash_kept = set(
-        dedup_exact_simhash(ds, keep_key="doc_id")
+        dedup_exact_simhash(ds, keep_key="doc_id", reduce=reduce)
         .select_columns(["doc_id"]).to_pandas()["doc_id"])
     md5_kept = set(
-        dedup_exact_hash(ds, keep_key="doc_id")
+        dedup_exact_hash(ds, keep_key="doc_id", reduce=reduce)
         .select_columns(["doc_id"]).to_pandas()["doc_id"])
     return pd.DataFrame({
         "n_md5_groups": pd.array([len(md5_kept)], dtype="int64"),
@@ -335,7 +335,7 @@ def q_minhash_dedup(sf_dir: str):
 # text analysis
 # ---------------------------------------------------------------------------
 
-def q_minhash_md5_invariant(sf_dir: str):
+def q_minhash_md5_invariant(sf_dir: str, reduce: str = "driver"):
     """Derived invariant for ``minhash_dedup``: identical texts share
     every band, so they land in one component and only the group's min
     id can survive — the minhash survivors must be a subset of the md5
@@ -344,9 +344,9 @@ def q_minhash_md5_invariant(sf_dir: str):
     from ..stages.dedup import dedup_exact_hash, dedup_minhash
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    mh_kept = set(dedup_minhash(ds, concurrency=2)
+    mh_kept = set(dedup_minhash(ds, concurrency=2, reduce=reduce)
                   .select_columns(["doc_id"]).to_pandas()["doc_id"])
-    md5_kept = set(dedup_exact_hash(ds, keep_key="doc_id")
+    md5_kept = set(dedup_exact_hash(ds, keep_key="doc_id", reduce=reduce)
                    .select_columns(["doc_id"]).to_pandas()["doc_id"])
     return pd.DataFrame({
         "n_md5_groups": pd.array([len(md5_kept)], dtype="int64"),
@@ -1755,8 +1755,12 @@ QUERY_FUNCS = {
         lambda sf_dir: q_dedup_exact(sf_dir, reduce="partitioned"),
     "simhash_dedup": q_simhash_dedup,
     "simhash_md5_invariant": q_simhash_md5_invariant,
+    "simhash_md5_invariant_partitioned":
+        lambda sf_dir: q_simhash_md5_invariant(sf_dir, reduce="partitioned"),
     "minhash_dedup": q_minhash_dedup,
     "minhash_md5_invariant": q_minhash_md5_invariant,
+    "minhash_md5_invariant_partitioned":
+        lambda sf_dir: q_minhash_md5_invariant(sf_dir, reduce="partitioned"),
     "quality": q_quality,
     "quality_signals": q_quality_signals,
     "rolling_fp": q_rolling_fp,
@@ -1818,7 +1822,9 @@ ORACLE_SQL = {
     "jaccard_pairs_partitioned": SQL_JACCARD_PAIRS,
     "curate": SQL_CURATE,
     "simhash_md5_invariant": SQL_SIMHASH_MD5_INVARIANT,
+    "simhash_md5_invariant_partitioned": SQL_SIMHASH_MD5_INVARIANT,
     "minhash_md5_invariant": SQL_MINHASH_MD5_INVARIANT,
+    "minhash_md5_invariant_partitioned": SQL_MINHASH_MD5_INVARIANT,
     "topic_assign_check": SQL_TOPIC_ASSIGN_CHECK,
     "lang_hist": SQL_LANG_HIST,
     "top_customers": SQL_TOP_CUSTOMERS,

@@ -76,7 +76,8 @@ def test_oracle_keys_subset_of_queries(contract):
         "topic_assign_check", "jaccard_pairs",
         "sessionize_partitioned", "top_events_per_user_partitioned",
         "dedup_exact_partitioned", "embedding_dedup_partitioned",
-        "jaccard_pairs_partitioned",
+        "jaccard_pairs_partitioned", "simhash_md5_invariant_partitioned",
+        "minhash_md5_invariant_partitioned",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):
