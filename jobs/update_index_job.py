@@ -1,19 +1,23 @@
 #!/usr/bin/env python
-"""Index-build job — the `ray job submit` entry point.
+"""Incremental index update job — the `ray job submit` entry point.
 
     ray job submit --working-dir . -- \
-        python jobs/build_index_job.py \
-            --pages /data/pages_parquet --workdir /data/work \
-            --num-shards 256 [--merge-salts 4] [--doc-id-mode hash]
+        python jobs/update_index_job.py \
+            --pages /data/new_pages --workdir /data/work \
+            --delta-id crawl-2026-08 [--merge-salts 4]
 
-Runs the full pages→index pipeline (extract → dedup → tokenize/spill →
-shard merge) with streaming execution; rerunning after a failure
-resumes from the spill / shard manifests.  On a cluster the job driver
-connects to the existing Ray (RAY_ADDRESS); standalone it starts a
-local session.
+Adds a new batch of pages to an index previously built by
+build_index_job.py with --keep-runs: extract/dedup/tokenize/spill run
+over the DELTA only, then every shard re-merges from the union of run
+files (BM25 depends on the global corpus stats, recomputed exactly).
+Rerunning with the same --delta-id resumes/no-ops; a new --delta-id
+appends more documents.
 
-Prints one JSON line with the build metrics (docs, postings, bytes,
-wall seconds, shards built/skipped).
+Doc ids are url hashes (doc_id_mode="hash"), so delta ids never
+collide with base ids as long as urls are new — this job is ADD-only
+(see pipelines.build_index.update_index).
+
+Prints one JSON line with the update metrics.
 """
 
 from __future__ import annotations
@@ -30,20 +34,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--pages", required=True,
-                        help="pages parquet path/dir (url, warc_ts, html, ...)")
+                        help="DELTA pages parquet path/dir (url, html, ...)")
     parser.add_argument("--format", default="parquet",
                         choices=["parquet", "jsonl", "csv", "warc"])
     parser.add_argument("--workdir", required=True,
-                        help="output root: extracted/ + index/ land here")
-    parser.add_argument("--num-shards", type=int, default=64)
+                        help="the build job's workdir (holds index/)")
+    parser.add_argument("--delta-id", required=True,
+                        help="stable name for this batch of additions")
+    parser.add_argument("--num-shards", type=int, default=64,
+                        help="must match the base index")
     parser.add_argument("--merge-salts", type=int, default=1)
-    parser.add_argument("--doc-id-mode", default="hash",
-                        choices=["hash", "dense_rank"])
     parser.add_argument("--num-blocks", type=int, default=None,
                         help="override read parallelism (default: 4x CPUs)")
-    parser.add_argument("--keep-runs", action="store_true",
-                        help="retain the spill runs (required for later "
-                             "incremental updates via update_index_job)")
     args = parser.parse_args()
 
     import ray
@@ -53,7 +55,7 @@ def main() -> None:
                  include_dashboard=False, logging_level="ERROR")
 
     from modernsearchengines_ray.config import IndexConfig
-    from modernsearchengines_ray.pipelines.build_index import build_index
+    from modernsearchengines_ray.pipelines.build_index import update_index
     from modernsearchengines_ray.pipelines.corpus_prep import (
         prepare_corpus_streaming,
     )
@@ -68,8 +70,6 @@ def main() -> None:
 
     t0 = time.perf_counter()
     if args.format == "warc":
-        # one task per segment file; a dir of .warc/.warc.gz segments is
-        # the Common Crawl layout
         import glob
 
         paths = sorted(
@@ -79,29 +79,30 @@ def main() -> None:
     else:
         pages = read_pages(args.pages, format=args.format,
                            override_num_blocks=nblocks)
-    corpus = prepare_corpus_streaming(pages, args.workdir,
-                                      doc_id_mode=args.doc_id_mode,
+    # delta prep gets its own scratch dir; hash doc ids so delta ids
+    # never collide with base ids for new urls
+    delta_work = os.path.join(args.workdir, f"delta-{args.delta_id}")
+    corpus = prepare_corpus_streaming(pages, delta_work,
+                                      doc_id_mode="hash",
                                       num_blocks=nblocks)
-    result = build_index(
+    result = update_index(
         corpus,
         os.path.join(args.workdir, "index"),
+        delta_id=args.delta_id,
         cfg=IndexConfig(num_shards=args.num_shards),
-        corpus_id=args.pages,
         merge_salts=args.merge_salts,
-        keep_runs=args.keep_runs,
     )
     wall = time.perf_counter() - t0
     print(json.dumps({
         "index_dir": result.index_dir,
-        "docs": result.stats.num_documents,
-        "indexed": result.stats.num_indexed,
+        "docs_total": result.stats.num_documents,
+        "indexed_total": result.stats.num_indexed,
         "terms": result.terms,
         "postings": result.postings,
         "index_bytes": result.bytes,
         "shards_built": result.shards_built,
         "shards_skipped": result.shards_skipped,
         "wall_sec": round(wall, 2),
-        "docs_per_sec": round(result.stats.num_documents / wall, 1),
     }))
     ray.shutdown()
 

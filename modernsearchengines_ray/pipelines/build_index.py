@@ -28,7 +28,13 @@ import pyarrow as pa
 
 from ..config import DEFAULT_INDEX_CONFIG, IndexConfig
 from ..stages.postings import build_shard_table, finalize_shard_table
-from ..stages.spill import spill_runs, spilled_files, read_shard_runs
+from ..stages.spill import (
+    SPILL_MANIFEST,
+    read_shard_runs,
+    spill_manifest,
+    spill_runs,
+    spilled_files,
+)
 from ..stages.stats import CorpusStats
 from ..state.manifest import (
     ShardManifest,
@@ -74,7 +80,8 @@ def _fingerprint(stats: CorpusStats, cfg: IndexConfig, corpus_id: str) -> str:
 
 
 def write_meta(index_dir: str, stats: CorpusStats, cfg: IndexConfig,
-               fingerprint: str) -> None:
+               fingerprint: str, corpus_id: str = "",
+               char_sum: int | None = None) -> None:
     meta = {
         "num_documents": stats.num_documents,
         "avg_doc_len": stats.avg_doc_len,
@@ -86,6 +93,8 @@ def write_meta(index_dir: str, stats: CorpusStats, cfg: IndexConfig,
         "block_size": cfg.block_size,
         "prepend_url_words": cfg.prepend_url_words,
         "fingerprint": fingerprint,
+        "corpus_id": corpus_id,
+        "char_sum": char_sum,
     }
     tmp = os.path.join(index_dir, META_FILE + ".tmp")
     with open(tmp, "w") as f:
@@ -262,6 +271,74 @@ def _merge_task(
     })
 
 
+def _merge_shards(
+    todo: list[int],
+    runs_dir: str,
+    files: dict,
+    index_dir: str,
+    stats: CorpusStats,
+    cfg: IndexConfig,
+    fingerprint: str,
+    merge_salts: int,
+) -> None:
+    """Stage 2 (shared by build and update): one independent merge task
+    per missing shard over the given run-file read plan."""
+    import ray.data as rd
+
+    if not todo:
+        return
+    if merge_salts > 1:
+        slices = _split_slices(files, merge_salts)
+        sub = rd.from_items(
+            [{"shard": k, "salt": j}
+             for k in todo for j in range(len(slices))],
+            override_num_blocks=len(todo) * len(slices),
+        ).map_batches(
+            _submerge_task,
+            batch_format="pyarrow",
+            fn_kwargs={
+                "runs_dir": runs_dir,
+                "slices": slices,
+                "avg_doc_len": stats.avg_doc_len,
+                "cfg": cfg,
+            },
+        ).to_pandas()
+        assert len(sub) == len(todo) * len(slices)
+        summary = rd.from_items(
+            [{"shard": k} for k in todo],
+            override_num_blocks=len(todo),
+        ).map_batches(
+            _finalize_task,
+            batch_format="pyarrow",
+            fn_kwargs={
+                "runs_dir": runs_dir,
+                "num_salts": len(slices),
+                "index_dir": index_dir,
+                "num_documents": stats.num_documents,
+                "cfg": cfg,
+                "input_fingerprint": fingerprint,
+            },
+        ).to_pandas()
+    else:
+        summary = rd.from_items(
+            [{"shard": k} for k in todo],
+            override_num_blocks=len(todo),
+        ).map_batches(
+            _merge_task,
+            batch_format="pyarrow",
+            fn_kwargs={
+                "runs_dir": runs_dir,
+                "files": files,
+                "index_dir": index_dir,
+                "num_documents": stats.num_documents,
+                "avg_doc_len": stats.avg_doc_len,
+                "cfg": cfg,
+                "input_fingerprint": fingerprint,
+            },
+        ).to_pandas()
+    assert len(summary) == len(todo)
+
+
 def build_index(
     corpus_ds,
     index_dir: str,
@@ -279,8 +356,6 @@ def build_index(
     in parallel — a pathologically hot shard's byte work splits S ways
     — and level 2 sums dfs, applies idf + the df prune, and writes the
     shard.  Output is bit-identical to the single-level merge."""
-    import ray.data as rd
-
     os.makedirs(index_dir, exist_ok=True)
     runs_dir = os.path.join(index_dir, "_runs")
 
@@ -321,62 +396,137 @@ def build_index(
     todo = [k for k in range(cfg.num_shards) if k not in done]
 
     # stage 2: merge — one independent task per missing shard
-    if todo:
-        files = spilled_files(runs_dir)
-        if merge_salts > 1:
-            slices = _split_slices(files, merge_salts)
-            sub = rd.from_items(
-                [{"shard": k, "salt": j}
-                 for k in todo for j in range(len(slices))],
-                override_num_blocks=len(todo) * len(slices),
-            ).map_batches(
-                _submerge_task,
-                batch_format="pyarrow",
-                fn_kwargs={
-                    "runs_dir": runs_dir,
-                    "slices": slices,
-                    "avg_doc_len": stats.avg_doc_len,
-                    "cfg": cfg,
-                },
-            ).to_pandas()
-            assert len(sub) == len(todo) * len(slices)
-            summary = rd.from_items(
-                [{"shard": k} for k in todo],
-                override_num_blocks=len(todo),
-            ).map_batches(
-                _finalize_task,
-                batch_format="pyarrow",
-                fn_kwargs={
-                    "runs_dir": runs_dir,
-                    "num_salts": len(slices),
-                    "index_dir": index_dir,
-                    "num_documents": stats.num_documents,
-                    "cfg": cfg,
-                    "input_fingerprint": fingerprint,
-                },
-            ).to_pandas()
-        else:
-            summary = rd.from_items(
-                [{"shard": k} for k in todo],
-                override_num_blocks=len(todo),
-            ).map_batches(
-                _merge_task,
-                batch_format="pyarrow",
-                fn_kwargs={
-                    "runs_dir": runs_dir,
-                    "files": files,
-                    "index_dir": index_dir,
-                    "num_documents": stats.num_documents,
-                    "avg_doc_len": stats.avg_doc_len,
-                    "cfg": cfg,
-                    "input_fingerprint": fingerprint,
-                },
-            ).to_pandas()
-        assert len(summary) == len(todo)
+    _merge_shards(todo, runs_dir, spilled_files(runs_dir), index_dir,
+                  stats, cfg, fingerprint, merge_salts)
 
-    write_meta(index_dir, stats, cfg, fingerprint)
+    write_meta(index_dir, stats, cfg, fingerprint, corpus_id=corpus_id,
+               char_sum=spill_manifest(runs_dir).get("char_sum"))
     if not keep_runs:
         shutil.rmtree(runs_dir, ignore_errors=True)
+
+    manifests = read_manifests(index_dir)
+    return BuildResult(
+        index_dir=index_dir,
+        stats=stats,
+        fingerprint=fingerprint,
+        shards_built=len(todo),
+        shards_skipped=len(done),
+        terms=sum(m.row_count for m in manifests.values()),
+        postings=sum(m.postings_count for m in manifests.values()),
+        bytes=sum(m.bytes for m in manifests.values()),
+    )
+
+
+def _delta_dirs(runs_dir: str) -> list[str]:
+    """Spilled delta subdirs (``delta=<key>``), sorted for determinism."""
+    if not os.path.isdir(runs_dir):
+        return []
+    return sorted(
+        d for d in os.listdir(runs_dir)
+        if d.startswith("delta=")
+        and os.path.exists(os.path.join(runs_dir, d, SPILL_MANIFEST))
+    )
+
+
+def update_index(
+    delta_ds,
+    index_dir: str,
+    delta_id: str,
+    cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
+    tokenizer_batch_size: int | None = None,
+    merge_salts: int = 1,
+) -> BuildResult:
+    """Incrementally ADD documents to an existing index.
+
+    The storage-shuffle layout makes this cheap: the expensive pass
+    (tokenize + spill, linear in corpus bytes) runs over the DELTA
+    only; the merge stage then rebuilds each shard from the union of
+    base + delta run files.  Every shard is re-merged because the BM25
+    per-posting scores depend on the global corpus stats (N, avg doc
+    length — reference ``indexing.py:162-171``), which the update
+    recomputes EXACTLY (integer char sums from the spill manifests),
+    so the result is logically identical — same terms, df, idf,
+    per-posting scores and positions — to a from-scratch build over
+    the union corpus.  (Shard parquet bytes may differ: posting-list
+    SEGMENT order follows run-file order, which is doc-order-free by
+    design — see stages/postings.py.)
+
+    Requirements / semantics:
+    - the base index must have been built with ``keep_runs=True`` (the
+      retained runs ARE the tokenized corpus representation; at scale
+      they live on shared storage next to the shards),
+    - ``delta_id`` names this batch of additions; re-running with the
+      same (delta_id, delta) is idempotent (spill manifest + shard
+      fingerprints short-circuit), a new delta_id appends more docs,
+    - ADD-only: delta doc_ids/urls must be new — upserting an existing
+      url needs a delete/tombstone pass the reference also lacks (its
+      crawler-side upsert, WebCrawler_basis.py:246-252, happens before
+      indexing; run exact-url dedup against the docstore upstream),
+    - resumable exactly like ``build_index``: a crash re-uses the
+      delta spill and skips already-merged shards.
+    """
+    if not delta_id:
+        raise ValueError("update_index needs a non-empty delta_id "
+                         "(it keys the delta's spill for resume)")
+    meta_path = os.path.join(index_dir, META_FILE)
+    if not os.path.exists(meta_path):
+        raise ValueError(f"no index at {index_dir} (missing {META_FILE}); "
+                         "build_index first")
+    meta = read_meta(index_dir)
+    if meta["num_shards"] != cfg.num_shards:
+        raise ValueError(
+            f"cfg.num_shards={cfg.num_shards} != indexed "
+            f"{meta['num_shards']}: shard routing would change")
+    runs_dir = os.path.join(index_dir, "_runs")
+    if not os.path.exists(os.path.join(runs_dir, SPILL_MANIFEST)):
+        raise ValueError(
+            "base spill runs not found — build_index(..., keep_runs=True) "
+            "is required for incremental updates")
+
+    # stage 1: spill the delta only (its own subdir + spill manifest)
+    delta_key = _spill_key(cfg, f"delta:{delta_id}")
+    delta_sub = f"delta={delta_key[:12]}"
+    spill_runs(
+        delta_ds, os.path.join(runs_dir, delta_sub), cfg,
+        spill_key=delta_key, batch_size=tokenizer_batch_size,
+    )
+
+    # union read plan + EXACT union stats over base + all deltas
+    count = char_sum = indexed = 0
+    files: dict[str, dict] = {}
+    for sub in [""] + _delta_dirs(runs_dir):
+        sub_dir = os.path.join(runs_dir, sub) if sub else runs_dir
+        m = spill_manifest(sub_dir)
+        st = m["stats"]
+        count += st["num_documents"]
+        indexed += st["num_indexed"]
+        char_sum += m.get(
+            "char_sum",  # pre-update manifests: closest reconstruction
+            round(st["avg_doc_len"] * st["num_documents"]))
+        for name, segs in spilled_files(sub_dir).items():
+            files[f"{sub}/{name}" if sub else name] = segs
+    stats = CorpusStats(
+        num_documents=count,
+        avg_doc_len=(char_sum / count) if count else 0.0,
+        num_indexed=indexed,
+    )
+
+    # corpus identity = base id + the set of applied deltas, derived
+    # from the runs tree so re-runs and chained updates are stable
+    base_corpus_id = meta.get("corpus_id", "")
+    combined_id = "+".join([base_corpus_id, *_delta_dirs(runs_dir)])
+    fingerprint = _fingerprint(stats, cfg, combined_id)
+    done = completed_shards(index_dir, fingerprint)
+    todo = [k for k in range(cfg.num_shards) if k not in done]
+
+    # stage 2: re-merge shards over the union of run files
+    _merge_shards(todo, runs_dir, files, index_dir, stats, cfg,
+                  fingerprint, merge_salts)
+
+    # meta keeps the BASE corpus_id: the combined id is always derived
+    # from base + the delta dirs present, so further updates chain
+    write_meta(index_dir, stats, cfg, fingerprint,
+               corpus_id=base_corpus_id, char_sum=char_sum)
 
     manifests = read_manifests(index_dir)
     return BuildResult(

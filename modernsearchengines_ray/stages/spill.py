@@ -165,6 +165,10 @@ def spill_runs(
         json.dump({
             "spill_key": spill_key,
             "stats": stats.__dict__,
+            # exact integer char sum: incremental updates recompute the
+            # union avg_doc_len as sum(char_sum)/sum(n) — bit-identical
+            # to what a from-scratch build over the union would divide
+            "char_sum": int(summary["char_sum"].sum()),
             "file_segments": file_segments,
             "runs": int(summary["runs"].sum()),
             "bytes": int(summary["bytes"].sum()),
@@ -173,10 +177,15 @@ def spill_runs(
     return stats
 
 
+def spill_manifest(runs_dir: str) -> dict:
+    """The raw spill manifest (stats + char_sum + read plan)."""
+    with open(os.path.join(runs_dir, SPILL_MANIFEST)) as f:
+        return json.load(f)
+
+
 def spilled_files(runs_dir: str) -> dict[str, dict]:
     """file -> {shard: [offset, length]} (the manifest read plan)."""
-    with open(os.path.join(runs_dir, SPILL_MANIFEST)) as f:
-        segs = json.load(f)["file_segments"]
+    segs = spill_manifest(runs_dir)["file_segments"]
     # JSON object keys are strings; shard ids are ints
     return {f: {int(k): v for k, v in m.items()} for f, m in segs.items()}
 
