@@ -22,11 +22,11 @@ class _Cursor:
     """One sorted posting segment with block-max metadata."""
 
     __slots__ = ("doc_ids", "scores", "block_first", "block_max",
-                 "block_size", "pos", "max_score")
+                 "block_size", "pos", "max_score", "order")
 
     def __init__(self, doc_ids: np.ndarray, scores: np.ndarray,
                  block_first: np.ndarray, block_max: np.ndarray,
-                 block_size: int):
+                 block_size: int, order: int = 0):
         self.doc_ids = doc_ids
         self.scores = scores
         self.block_first = block_first
@@ -34,6 +34,7 @@ class _Cursor:
         self.block_size = block_size
         self.pos = 0
         self.max_score = float(block_max.max()) if len(block_max) else 0.0
+        self.order = order
 
     def doc(self) -> int:
         return int(self.doc_ids[self.pos]) if self.pos < len(self.doc_ids) \
@@ -115,12 +116,22 @@ def wand_topk(
                     if c.doc() <= pivot_doc:
                         c.seek(target)
                 continue
-            score = 0.0
+            # sum contributions in input-row (term) order, NOT live-list
+            # order: ties in the doc-sorted live list resolve by advance
+            # history, so the FP addition order would depend on the
+            # physical segment layout.  Canonical term order keeps the
+            # per-doc sum bit-identical across layouts (e.g. before vs
+            # after compaction) and matches _accumulate's term-major sum.
+            matched = []
             for c in live:
                 if c.doc() != pivot_doc:
                     break
-                score += float(c.scores[c.pos])
+                matched.append((c.order, float(c.scores[c.pos])))
                 c.pos += 1
+            matched.sort()
+            score = 0.0
+            for _, s in matched:
+                score += s
             stats["scored"] += 1
             entry = (score, -pivot_doc)
             if len(heap) < k:
@@ -148,7 +159,7 @@ def make_cursors(
     scores (both flat, per-segment sorted), seg_lens, block_first_doc,
     block_max_bm25 (blocks never span segments)."""
     cursors = []
-    for row in term_rows:
+    for row_idx, row in enumerate(term_rows):
         seg_lens = np.asarray(row["seg_lens"], dtype=np.int64)
         doc_ids = row["doc_ids"]
         scores = row["bm25"]
@@ -165,6 +176,7 @@ def make_cursors(
                 block_first[boff : boff + nb],
                 block_max[boff : boff + nb],
                 block_size,
+                order=row_idx,
             ))
             off += sl
             boff += nb

@@ -159,3 +159,62 @@ class TestUpdateIndex:
             a = pq.read_table(os.path.join(plain, f"shard={k}.parquet"))
             b = pq.read_table(os.path.join(salted, f"shard={k}.parquet"))
             assert a.equals(b), k
+
+
+class TestCompactIndex:
+    def test_compact_preserves_ranking_and_merges_segments(
+            self, ray_session, pages_parquet, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from modernsearchengines_ray.functions.varint import (
+            decode_grouped_deltas_np,
+        )
+        from modernsearchengines_ray.pipelines.compact import compact_index
+        from modernsearchengines_ray.pipelines.query import QueryEngine
+        from modernsearchengines_ray.state.shards import (
+            list_shard_files,
+            load_index_postings,
+        )
+
+        both, base, delta = _split_corpus(pages_parquet)
+        idx = str(tmp_path / "idx")
+        _build(base, idx, "base", keep_runs=True)
+        _update(delta, idx, "d1")
+
+        before = load_index_postings(idx)
+        multi_seg = 0
+        for path in list_shard_files(idx):
+            t = pq.read_table(path)
+            multi_seg += sum(
+                1 for i in range(t.num_rows)
+                if len(t["seg_lens"][i].as_py()) > 1)
+        assert multi_seg > 0  # update actually produced segmented terms
+
+        eng = QueryEngine(idx, num_scorers=2)
+        queries = ["castle river", "tübingen museum", "market old town"]
+        want_full = {q: eng.search(q) for q in queries}
+        want_topk = {q: eng.search_bm25(q, k=10) for q in queries}
+
+        result = compact_index(idx)
+        assert result["shards"] == 8
+
+        after = load_index_postings(idx)
+        assert set(after) == set(before)
+        for term in before:
+            assert after[term] == before[term], term
+
+        for path in list_shard_files(idx):
+            t = pq.read_table(path)
+            for i in range(t.num_rows):
+                seg_lens = t["seg_lens"][i].as_py()
+                assert seg_lens == [t["df"][i].as_py()]
+                doc_ids = decode_grouped_deltas_np(
+                    t["doc_ids"][i].as_py(),
+                    np.asarray(seg_lens, dtype=np.int64))
+                assert (np.diff(doc_ids) > 0).all()
+
+        eng2 = QueryEngine(idx, num_scorers=2)
+        for q in queries:
+            assert eng2.search(q) == want_full[q], q
+            assert eng2.search_bm25(q, k=10) == want_topk[q], q
