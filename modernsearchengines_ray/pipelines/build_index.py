@@ -81,7 +81,8 @@ def _fingerprint(stats: CorpusStats, cfg: IndexConfig, corpus_id: str) -> str:
 
 def write_meta(index_dir: str, stats: CorpusStats, cfg: IndexConfig,
                fingerprint: str, corpus_id: str = "",
-               char_sum: int | None = None) -> None:
+               char_sum: int | None = None,
+               extra: dict | None = None) -> None:
     meta = {
         "num_documents": stats.num_documents,
         "avg_doc_len": stats.avg_doc_len,
@@ -95,6 +96,7 @@ def write_meta(index_dir: str, stats: CorpusStats, cfg: IndexConfig,
         "fingerprint": fingerprint,
         "corpus_id": corpus_id,
         "char_sum": char_sum,
+        **(extra or {}),
     }
     tmp = os.path.join(index_dir, META_FILE + ".tmp")
     with open(tmp, "w") as f:
@@ -428,6 +430,45 @@ def _delta_dirs(runs_dir: str) -> list[str]:
     )
 
 
+def union_plan(runs_dir: str) -> tuple[CorpusStats, int, dict]:
+    """EXACT union stats + run-file read plan over base + all deltas.
+
+    Shared by :func:`update_index` and :func:`~.delete.purge_deletes`:
+    integer char sums from the spill manifests make the recomputed
+    ``avg_doc_len`` bit-identical to a from-scratch build's division.
+    Returns ``(stats, char_sum, files)`` with delta files prefixed
+    ``<delta_dir>/``.
+    """
+    count = char_sum = indexed = 0
+    files: dict[str, dict] = {}
+    for sub in [""] + _delta_dirs(runs_dir):
+        sub_dir = os.path.join(runs_dir, sub) if sub else runs_dir
+        m = spill_manifest(sub_dir)
+        st = m["stats"]
+        count += st["num_documents"]
+        indexed += st["num_indexed"]
+        char_sum += m.get(
+            "char_sum",  # pre-update manifests: closest reconstruction
+            round(st["avg_doc_len"] * st["num_documents"]))
+        for name, segs in spilled_files(sub_dir).items():
+            files[f"{sub}/{name}" if sub else name] = segs
+    stats = CorpusStats(
+        num_documents=count,
+        avg_doc_len=(char_sum / count) if count else 0.0,
+        num_indexed=indexed,
+    )
+    return stats, char_sum, files
+
+
+def combined_corpus_id(meta: dict, runs_dir: str) -> str:
+    """Corpus identity = base id + applied deltas + purge history,
+    derived from the runs tree + meta so re-runs and chained
+    updates/purges fingerprint stably."""
+    base = "+".join([meta.get("corpus_id", ""), *_delta_dirs(runs_dir)])
+    purges = meta.get("purge_history") or []
+    return base + "".join(f"~purge:{t}" for t in purges)
+
+
 def update_index(
     delta_ds,
     index_dir: str,
@@ -459,9 +500,10 @@ def update_index(
       same (delta_id, delta) is idempotent (spill manifest + shard
       fingerprints short-circuit), a new delta_id appends more docs,
     - ADD-only: delta doc_ids/urls must be new — upserting an existing
-      url needs a delete/tombstone pass the reference also lacks (its
-      crawler-side upsert, WebCrawler_basis.py:246-252, happens before
-      indexing; run exact-url dedup against the docstore upstream),
+      url is ``pipelines/delete.delete_docs`` (tombstone the old ids)
+      + this update with the new versions + ``purge_deletes`` (the
+      reference has no delete path at all; its crawler-side upsert,
+      WebCrawler_basis.py:246-252, happens before indexing),
     - resumable exactly like ``build_index``: a crash re-uses the
       delta spill and skips already-merged shards.
     """
@@ -492,29 +534,10 @@ def update_index(
     )
 
     # union read plan + EXACT union stats over base + all deltas
-    count = char_sum = indexed = 0
-    files: dict[str, dict] = {}
-    for sub in [""] + _delta_dirs(runs_dir):
-        sub_dir = os.path.join(runs_dir, sub) if sub else runs_dir
-        m = spill_manifest(sub_dir)
-        st = m["stats"]
-        count += st["num_documents"]
-        indexed += st["num_indexed"]
-        char_sum += m.get(
-            "char_sum",  # pre-update manifests: closest reconstruction
-            round(st["avg_doc_len"] * st["num_documents"]))
-        for name, segs in spilled_files(sub_dir).items():
-            files[f"{sub}/{name}" if sub else name] = segs
-    stats = CorpusStats(
-        num_documents=count,
-        avg_doc_len=(char_sum / count) if count else 0.0,
-        num_indexed=indexed,
-    )
+    stats, char_sum, files = union_plan(runs_dir)
 
-    # corpus identity = base id + the set of applied deltas, derived
-    # from the runs tree so re-runs and chained updates are stable
     base_corpus_id = meta.get("corpus_id", "")
-    combined_id = "+".join([base_corpus_id, *_delta_dirs(runs_dir)])
+    combined_id = combined_corpus_id(meta, runs_dir)
     fingerprint = _fingerprint(stats, cfg, combined_id)
     done = completed_shards(index_dir, fingerprint)
     todo = [k for k in range(cfg.num_shards) if k not in done]
@@ -525,8 +548,13 @@ def update_index(
 
     # meta keeps the BASE corpus_id: the combined id is always derived
     # from base + the delta dirs present, so further updates chain
+    # (purge_history carries through so post-purge updates fingerprint
+    # distinctly from a never-purged path)
+    extra = {}
+    if meta.get("purge_history"):
+        extra["purge_history"] = meta["purge_history"]
     write_meta(index_dir, stats, cfg, fingerprint,
-               corpus_id=base_corpus_id, char_sum=char_sum)
+               corpus_id=base_corpus_id, char_sum=char_sum, extra=extra)
 
     manifests = read_manifests(index_dir)
     return BuildResult(

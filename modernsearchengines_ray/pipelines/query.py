@@ -40,7 +40,42 @@ from ..functions.proximity import calculate_proximity_score
 from ..functions.varint import decode_grouped_deltas_np, decode_varints_np
 from ..oracle.ref_oracle import oracle_query_processing
 from ..state.manifest import read_manifests, shard_path
+from ..state.tombstones import is_deleted, read_tombstones
 from .build_index import read_meta
+
+
+def _take_groups(flat: np.ndarray, counts: np.ndarray,
+                 keep: np.ndarray) -> np.ndarray:
+    """Keep the groups of a flat grouped array (group i spans
+    ``counts[i]`` values) whose ``keep[i]`` is True — vectorized."""
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    lens = counts[keep].astype(np.int64)
+    total = int(lens.sum())
+    if not total:
+        return flat[:0]
+    inner = np.arange(total, dtype=np.int64)
+    group_of = np.repeat(np.arange(len(lens)), lens)
+    group_base = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=group_base[1:])
+    return flat[np.repeat(starts[keep], lens) + inner - group_base[group_of]]
+
+
+def _block_meta(doc_ids: np.ndarray, scores: np.ndarray,
+                seg_lens, block_size: int) -> tuple[list, list]:
+    """Recompute per-segment block-max metadata (blocks never span
+    segments — same layout stages/postings.py writes)."""
+    first: list[int] = []
+    bmax: list[float] = []
+    off = 0
+    for sl in seg_lens:
+        sl = int(sl)
+        for lo in range(0, sl, block_size):
+            hi = min(sl, lo + block_size)
+            first.append(int(doc_ids[off + lo]))
+            bmax.append(float(scores[off + lo:off + hi].max()))
+        off += sl
+    return first, bmax
 
 
 @ray.remote
@@ -80,6 +115,12 @@ class ShardScorer:
             OrderedDict()
         self._rg_cache_groups = rg_cache_groups
         self.block_size = read_meta(index_dir).get("block_size", 128)
+        self._index_dir = index_dir
+        #: live-docs filter (Lucene semantics): tombstoned docs are
+        #: dropped from every decoded posting list, so they never
+        #: enter scoring; survivors keep their exact scores (global
+        #: stats stay stale until pipelines/delete.purge_deletes)
+        self._deleted = read_tombstones(index_dir)
         for shard_id in shard_ids:
             path = shard_path(index_dir, shard_id)
             if lazy_shards:
@@ -98,6 +139,14 @@ class ShardScorer:
                 terms = table["term"].to_pylist()
             for ri, term in enumerate(terms):
                 self._loc[term] = (ti, ri)
+
+    def reload_tombstones(self) -> int:
+        """Re-read the delete ledger (after new ``delete_docs``
+        batches) and invalidate the decode cache; returns the
+        tombstone count now in effect."""
+        self._deleted = read_tombstones(self._index_dir)
+        self._decoded.clear()
+        return len(self._deleted)
 
     def _row_table(self, ti: int, ri: int):
         """(table, local row index) holding row ``ri`` of shard ``ti``."""
@@ -134,9 +183,8 @@ class ShardScorer:
         if row is None:
             return None
         df = row["df"]
-        doc_ids = decode_grouped_deltas_np(
-            row["doc_ids"], np.asarray(row["seg_lens"], dtype=np.int64)
-        )
+        seg_lens = np.asarray(row["seg_lens"], dtype=np.int64)
+        doc_ids = decode_grouped_deltas_np(row["doc_ids"], seg_lens)
         counts = decode_varints_np(row["counts"]).astype(np.int64)
         bm25 = np.frombuffer(row["bm25"], dtype="<f8")
         decoded = {
@@ -146,6 +194,25 @@ class ShardScorer:
             "bm25": bm25,
             "positions_raw": row["positions"],
         }
+        if len(self._deleted):
+            keep = ~is_deleted(doc_ids, self._deleted)
+            if not keep.all():
+                if not keep.any():
+                    return None  # every posting tombstoned: term gone
+                seg_starts = np.zeros(len(seg_lens), dtype=np.int64)
+                np.cumsum(seg_lens[:-1], out=seg_starts[1:])
+                live_seg = np.add.reduceat(keep, seg_starts)
+                decoded = {
+                    "df": df,  # stored df/idf stay stale until purge
+                    "doc_ids": doc_ids[keep],
+                    "counts": counts[keep],
+                    "bm25": bm25[keep],
+                    "positions_raw": row["positions"],
+                    # decode params for the unfiltered blob + the mask
+                    "orig_counts": counts,
+                    "pos_keep": keep,
+                    "live_seg_lens": live_seg[live_seg > 0],
+                }
         self._decoded[term] = decoded
         return decoded
 
@@ -159,9 +226,17 @@ class ShardScorer:
                 continue
             flat_positions = None
             if term in want_positions:
+                # decode the blob with the ORIGINAL group lengths,
+                # then drop the tombstoned docs' position groups
                 flat_positions = decode_grouped_deltas_np(
-                    decoded["positions_raw"], decoded["counts"]
+                    decoded["positions_raw"],
+                    decoded.get("orig_counts", decoded["counts"]),
                 )
+                if "pos_keep" in decoded:
+                    flat_positions = _take_groups(
+                        flat_positions, decoded["orig_counts"],
+                        decoded["pos_keep"],
+                    )
             out[term] = (
                 decoded["doc_ids"],
                 decoded["bm25"],
@@ -187,14 +262,28 @@ class ShardScorer:
             decoded = self._decode(term)
             if decoded is None:
                 continue
-            raw = self._raw(term, fields=("seg_lens", "block_first_doc",
-                                          "block_max_bm25"))
+            if "live_seg_lens" in decoded:
+                # tombstones shortened the segments: the stored block
+                # metadata no longer aligns — rebuild it over the live
+                # postings (still exact upper bounds, tighter even)
+                seg_lens = [int(s) for s in decoded["live_seg_lens"]]
+                block_first, block_max = _block_meta(
+                    decoded["doc_ids"], decoded["bm25"], seg_lens,
+                    self.block_size,
+                )
+            else:
+                raw = self._raw(term, fields=("seg_lens",
+                                              "block_first_doc",
+                                              "block_max_bm25"))
+                seg_lens = raw["seg_lens"]
+                block_first = raw["block_first_doc"]
+                block_max = raw["block_max_bm25"]
             rows.append({
                 "doc_ids": decoded["doc_ids"],
                 "bm25": decoded["bm25"],
-                "seg_lens": raw["seg_lens"],
-                "block_first_doc": raw["block_first_doc"],
-                "block_max_bm25": raw["block_max_bm25"],
+                "seg_lens": seg_lens,
+                "block_first_doc": block_first,
+                "block_max_bm25": block_max,
             })
         return rows
 
@@ -522,6 +611,18 @@ class QueryEngine:
             ShardScorer.remote(index_dir, assigned, lazy_shards=lazy_shards)
             for assigned in assignments
         ]
+
+    def refresh_deletes(self) -> int:
+        """Pick up tombstone batches written after engine construction:
+        every scorer re-reads the ledger and drops its decode cache;
+        the driver-side term cache drops too (it holds pre-delete
+        vectors).  Returns the tombstone count now in effect."""
+        counts = ray.get(
+            [s.reload_tombstones.remote() for s in self.scorers]
+        )
+        with self._cache_lock:
+            self._term_cache.clear()
+        return max(counts) if counts else 0
 
     def _owner(self, term: str) -> int | None:
         from ..functions.hashing import term_shard

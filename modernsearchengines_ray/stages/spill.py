@@ -61,9 +61,60 @@ SPILL_MANIFEST = "_spill.json"
 _IPC_OPTIONS = pa.ipc.IpcWriteOptions(compression="lz4")
 
 
+def _ipc_bytes(table: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema,
+                           options=_IPC_OPTIONS) as writer:
+        writer.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def write_run_file(table: pa.Table, docstats: pa.Table,
+                   path: str) -> dict:
+    """Write one run file: per-shard IPC run segments, then one
+    trailing docstats segment (stages/tokenize.DOCSTATS_SCHEMA — the
+    purge's exact-stat ledger).  ``table`` must already be sorted by
+    (shard, term).  Atomic via pid-suffixed tmp + rename: a task
+    retry racing its dead predecessor (or two attempts of the same
+    batch) never clobbers a tmp mid-write; the final rename is
+    last-wins, idempotent for identical inputs.
+
+    Returns the manifest entry pieces: shards / seg_offsets /
+    seg_lengths (parallel lists), doc_segment [offset, length], bytes.
+    """
+    shards = table["shard"].to_numpy() if table.num_rows \
+        else np.empty(0, np.int32)
+    bounds = np.concatenate(
+        ([0], np.flatnonzero(np.diff(shards)) + 1, [len(shards)])
+    ) if table.num_rows else np.array([0])
+    file_shards = [int(s) for s in shards[bounds[:-1]]]
+    seg_offsets: list[int] = []
+    seg_lengths: list[int] = []
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        offset = 0
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            buf = _ipc_bytes(table.slice(lo, hi - lo))
+            f.write(buf)
+            seg_offsets.append(offset)
+            seg_lengths.append(len(buf))
+            offset += len(buf)
+        doc_buf = _ipc_bytes(docstats)
+        f.write(doc_buf)
+        doc_segment = [offset, len(doc_buf)]
+    os.replace(tmp, path)
+    return {
+        "shards": file_shards,
+        "seg_offsets": seg_offsets,
+        "seg_lengths": seg_lengths,
+        "doc_segment": doc_segment,
+        "bytes": os.path.getsize(path),
+    }
+
+
 def spill_task(batch: pa.Table, cfg: IndexConfig, runs_dir: str) -> pa.Table:
     """Tokenize one corpus batch and spill its runs partitioned by shard."""
-    table, (count, char_sum, indexed) = build_runs(batch, cfg)
+    table, (count, char_sum, indexed), docstats = build_runs(batch, cfg)
 
     name = f"run-{min(batch['doc_id'].to_pylist(), default=0)}.arrow"
     path = os.path.join(runs_dir, name)
@@ -71,37 +122,21 @@ def spill_task(batch: pa.Table, cfg: IndexConfig, runs_dir: str) -> pa.Table:
     file_shards: list[int] = []
     seg_offsets: list[int] = []
     seg_lengths: list[int] = []
-    if table.num_rows:
+    doc_segment: list[int] = []
+    if batch.num_rows:
         order = pa.compute.sort_indices(
             table, sort_keys=[("shard", "ascending"), ("term", "ascending")]
         )
         table = table.take(order).combine_chunks()
-        shards = table["shard"].to_numpy()
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(np.diff(shards)) + 1, [len(shards)])
-        )
-        file_shards = [int(s) for s in shards[bounds[:-1]]]
-        # pid-suffixed tmp: a task retry racing its dead predecessor (or
-        # two attempts of the same batch) never clobbers a tmp mid-write;
-        # the final rename is last-wins, idempotent for identical batches
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            offset = 0
-            for lo, hi in zip(bounds[:-1], bounds[1:]):
-                sink = pa.BufferOutputStream()
-                with pa.ipc.new_stream(sink, table.schema,
-                                       options=_IPC_OPTIONS) as writer:
-                    writer.write_table(table.slice(lo, hi - lo))
-                buf = sink.getvalue()
-                f.write(buf)
-                seg_offsets.append(offset)
-                seg_lengths.append(len(buf))
-                offset += len(buf)
-        os.replace(tmp, path)
-        nbytes = os.path.getsize(path)
+        entry = write_run_file(table, docstats, path)
+        file_shards = entry["shards"]
+        seg_offsets = entry["seg_offsets"]
+        seg_lengths = entry["seg_lengths"]
+        doc_segment = entry["doc_segment"]
+        nbytes = entry["bytes"]
 
     return pa.table({
-        "file": pa.array([name if table.num_rows else ""], pa.string()),
+        "file": pa.array([name if batch.num_rows else ""], pa.string()),
         "count": pa.array([count], pa.int64()),
         "char_sum": pa.array([char_sum], pa.int64()),
         "indexed": pa.array([indexed], pa.int64()),
@@ -110,6 +145,7 @@ def spill_task(batch: pa.Table, cfg: IndexConfig, runs_dir: str) -> pa.Table:
         "shards": pa.array([file_shards], pa.list_(pa.int32())),
         "seg_offsets": pa.array([seg_offsets], pa.list_(pa.int64())),
         "seg_lengths": pa.array([seg_lengths], pa.list_(pa.int64())),
+        "doc_segment": pa.array([doc_segment], pa.list_(pa.int64())),
     })
 
 
@@ -160,6 +196,13 @@ def spill_runs(
             summary["seg_offsets"], summary["seg_lengths"],
         ) if f
     }
+    # per file: [offset, length] of the trailing docstats segment —
+    # the purge's exact-stat ledger (pipelines/delete.py)
+    doc_segments = {
+        f: [int(seg[0]), int(seg[1])]
+        for f, seg in zip(summary["file"], summary["doc_segment"])
+        if f and len(seg)
+    }
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({
@@ -170,6 +213,7 @@ def spill_runs(
             # to what a from-scratch build over the union would divide
             "char_sum": int(summary["char_sum"].sum()),
             "file_segments": file_segments,
+            "doc_segments": doc_segments,
             "runs": int(summary["runs"].sum()),
             "bytes": int(summary["bytes"].sum()),
         }, f)
@@ -188,6 +232,16 @@ def spilled_files(runs_dir: str) -> dict[str, dict]:
     segs = spill_manifest(runs_dir)["file_segments"]
     # JSON object keys are strings; shard ids are ints
     return {f: {int(k): v for k, v in m.items()} for f, m in segs.items()}
+
+
+def read_segment(runs_dir: str, name: str, segment: list[int]) -> pa.Table:
+    """One IPC segment of one run file — a seek + exact-range read."""
+    offset, length = segment
+    with open(os.path.join(runs_dir, name), "rb") as f:
+        f.seek(offset)
+        buf = f.read(length)
+    with pa.ipc.open_stream(pa.py_buffer(buf)) as reader:
+        return reader.read_all()
 
 
 def read_shard_runs(

@@ -46,6 +46,16 @@ RUN_SCHEMA = pa.schema([
     ("positions", pa.binary()),
 ])
 
+#: per-doc corpus-stat contributions (spilled next to the runs so a
+#: later purge can subtract a deleted doc's EXACT integer stats —
+#: chars is 0 for over-cap skipped docs, which count only in
+#: num_documents; see pipelines/delete.py)
+DOCSTATS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("chars", pa.int64()),
+    ("indexed", pa.int8()),
+])
+
 
 def _encode_positions(positions: list[int], out: bytearray) -> None:
     """Append the delta+varint stream of a (short, ascending) list.
@@ -93,13 +103,18 @@ def _shard_of(term: str, num_shards: int) -> int:
     return s
 
 
-def build_runs(batch: pa.Table, cfg: IndexConfig) -> tuple[pa.Table, tuple[int, int, int]]:
+def build_runs(
+    batch: pa.Table, cfg: IndexConfig
+) -> tuple[pa.Table, tuple[int, int, int], pa.Table]:
     """One pass over a corpus batch: posting runs + corpus-stat partials.
 
-    Returns ``(runs_table, (count, char_sum, indexed))`` — the stat
-    partial replicates reference indexing.py:183,193-200: every row
-    counts in ``count``; only docs at/under the char cap contribute
-    ``len(url_words + " " + text)`` chars and count as indexed.
+    Returns ``(runs_table, (count, char_sum, indexed), docstats)`` —
+    the stat partial replicates reference indexing.py:183,193-200:
+    every row counts in ``count``; only docs at/under the char cap
+    contribute ``len(url_words + " " + text)`` chars and count as
+    indexed.  ``docstats`` (DOCSTATS_SCHEMA) carries the same sums
+    per document, so deleting a doc later can subtract its exact
+    integer contribution.
     """
     # ascending doc order => every run is a sorted posting-list segment
     batch = batch.sort_by([("doc_id", "ascending")])
@@ -113,14 +128,20 @@ def build_runs(batch: pa.Table, cfg: IndexConfig) -> tuple[pa.Table, tuple[int, 
 
     char_sum = 0
     indexed = 0
+    doc_chars: list[int] = []
+    doc_indexed: list[int] = []
     runs: dict[str, _Run] = {}
     for doc_id, url, text in zip(doc_ids, urls, texts):
         if len(text) > cfg.max_doc_chars:
-            continue  # skipped docs still count in num_documents
+            doc_chars.append(0)  # counts in num_documents only
+            doc_indexed.append(0)
+            continue
         if cfg.prepend_url_words and url:
             text = url_to_comma_separated_words(url) + " " + text
         char_sum += len(text)
         indexed += 1
+        doc_chars.append(len(text))
+        doc_indexed.append(1)
         tokens = tokenize(text, chunk_chars=cfg.chunk_chars,
                           lemma_table=cfg.lemma_table)
         doc_len = len(tokens)
@@ -158,7 +179,15 @@ def build_runs(batch: pa.Table, cfg: IndexConfig) -> tuple[pa.Table, tuple[int, 
         },
         schema=RUN_SCHEMA,
     )
-    return table, (len(doc_ids), char_sum, indexed)
+    docstats = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "chars": pa.array(doc_chars, pa.int64()),
+            "indexed": pa.array(doc_indexed, pa.int8()),
+        },
+        schema=DOCSTATS_SCHEMA,
+    )
+    return table, (len(doc_ids), char_sum, indexed), docstats
 
 
 class TokenizePostings:
@@ -169,12 +198,12 @@ class TokenizePostings:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        table, _ = build_runs(batch, self.cfg)
+        table, _, _ = build_runs(batch, self.cfg)
         return table
 
 
 def _tokenize_task(batch: pa.Table, cfg: IndexConfig) -> pa.Table:
-    table, _ = build_runs(batch, cfg)
+    table, _, _ = build_runs(batch, cfg)
     return table
 
 
