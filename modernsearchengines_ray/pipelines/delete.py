@@ -401,8 +401,12 @@ def purge_deletes(
         clear_tombstones(index_dir)
         return {"purged": 0, "shards_built": 0, "files_rewritten": 0}
 
+    # reached only when this run purged docs OR a crashed prior run
+    # with the SAME ledger (same tag) left the manifests ahead of
+    # meta — either way the tag belongs in the history, and keeping
+    # it identical across the re-run lets completed shards resume
     history = list(meta.get("purge_history") or [])
-    if purged and tag not in history:
+    if tag not in history:
         history.append(tag)
     meta_for_id = {**meta, "purge_history": history}
     combined_id = combined_corpus_id(meta_for_id, runs_dir)

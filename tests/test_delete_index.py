@@ -12,6 +12,7 @@ Two gates:
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from tests.test_update_index import (
     _assert_same_logical_index,
@@ -206,6 +207,41 @@ class TestPurge:
         meta_after = read_meta(idx)
         assert meta_after["num_documents"] == meta_before["num_documents"]
         assert meta_after["char_sum"] == meta_before["char_sum"]
+
+    def test_purge_crash_recovery(self, ray_session, pages_parquet,
+                                  tmp_path, monkeypatch):
+        """Crash between the spill-manifest swap and the shard
+        re-merge: the re-run detects the manifests are ahead of meta
+        (zero new deltas, same deterministic tag) and completes —
+        still equal to the fresh rebuild."""
+        from modernsearchengines_ray.pipelines import delete as delete_mod
+        from modernsearchengines_ray.pipelines.delete import (
+            delete_docs,
+            purge_deletes,
+        )
+
+        corpus, _, _ = _split_corpus(pages_parquet)
+        idx = str(tmp_path / "idx")
+        _build(corpus, idx, "c", keep_runs=True)
+        victims = sorted(corpus["doc_id"].iloc[::9].tolist())
+        delete_docs(idx, victims, batch_id="b1")
+
+        def boom(*a, **k):
+            raise RuntimeError("injected crash before merge")
+
+        monkeypatch.setattr(delete_mod, "_merge_shards", boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            purge_deletes(idx)
+        monkeypatch.undo()
+
+        result = purge_deletes(idx)  # run files already purged
+        assert result["purged"] == 0
+        assert result["shards_built"] == 8
+
+        remaining = corpus[~corpus["doc_id"].isin(victims)]
+        fresh = str(tmp_path / "fresh")
+        _build(remaining, fresh, "fresh")
+        _assert_same_logical_index(idx, fresh)
 
     def test_upsert_flow(self, ray_session, pages_parquet, tmp_path):
         """Re-crawled URL: delete the old doc, update with the new
