@@ -48,6 +48,9 @@ def main() -> None:
 
     p_purge = sub.add_parser("purge", help="apply tombstones physically")
     p_purge.add_argument("--merge-salts", type=int, default=1)
+    p_purge.add_argument("--docstore",
+                         help="also drop the docs from this docstore dir")
+    p_purge.add_argument("--docstore-partitions", type=int, default=32)
 
     sub.add_parser("compact", help="merge posting segments per term")
 
@@ -77,10 +80,24 @@ def main() -> None:
         result = {"op": "delete", "tombstoned": n}
     elif args.op == "purge":
         from modernsearchengines_ray.pipelines.delete import purge_deletes
+        from modernsearchengines_ray.state.tombstones import (
+            read_tombstones,
+        )
 
+        # snapshot the ledger first: purge clears it on success, and
+        # the docstore drop below wants the same id set
+        ledger = read_tombstones(index_dir)
         result = {"op": "purge",
                   **purge_deletes(index_dir,
                                   merge_salts=args.merge_salts)}
+        if args.docstore and len(ledger):
+            from modernsearchengines_ray.state.docstore import (
+                compact_docstore,
+            )
+
+            result["docstore_dropped"] = compact_docstore(
+                args.docstore, ledger,
+                num_partitions=args.docstore_partitions)
     else:
         from modernsearchengines_ray.pipelines.compact import compact_index
 

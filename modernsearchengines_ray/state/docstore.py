@@ -70,3 +70,70 @@ class DocStore:
         table = self.lookup(doc_ids, columns)
         rows = table.to_pylist()
         return {r["doc_id"]: r for r in rows}
+
+
+def _drop_task(batch: pa.Table, store_dir: str, dead_ref) -> pa.Table:
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from .tombstones import is_deleted
+
+    dead = ray.get(dead_ref) if hasattr(dead_ref, "hex") else dead_ref
+    out = {"part": [], "dropped": []}
+    for part in batch["part"].to_pylist():
+        dropped = 0
+        for path in sorted(
+                glob.glob(os.path.join(store_dir, f"part={part}", "*"))):
+            t = pq.read_table(path)
+            mask = is_deleted(
+                t["doc_id"].to_numpy().astype(np.int64), dead)
+            if mask.any():
+                kept = t.filter(pa.array(~mask))
+                tmp = f"{path}.tmp.{os.getpid()}"
+                pq.write_table(kept, tmp)
+                os.replace(tmp, path)
+                dropped += int(mask.sum())
+        out["part"].append(part)
+        out["dropped"].append(dropped)
+    return pa.table({"part": pa.array(out["part"], pa.int32()),
+                     "dropped": pa.array(out["dropped"], pa.int64())})
+
+
+def compact_docstore(store_dir: str, doc_ids,
+                     num_partitions: int = 32) -> int:
+    """Physically drop documents from the store — the metadata-side
+    companion of ``pipelines/delete.purge_deletes``.
+
+    Partition-pruned: only the hash partitions owning the given ids
+    are rewritten, one independent Ray task each (atomic per file, so
+    a crashed run re-runs safely — dropping an absent id is a no-op).
+    Tombstoned docs never rank, so running this lazily/batched is
+    fine; it reclaims storage and keeps point lookups honest.
+
+    Returns the number of rows dropped.
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from .tombstones import is_deleted  # noqa: F401 (task import path)
+
+    dead = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if not len(dead):
+        return 0
+    parts = sorted({_partition_of(int(d), num_partitions) for d in dead})
+    parts = [p for p in parts
+             if os.path.isdir(os.path.join(store_dir, f"part={p}"))]
+    if not parts:
+        return 0
+    summary = rd.from_items(
+        [{"part": p} for p in parts], override_num_blocks=len(parts),
+    ).map_batches(
+        _drop_task,
+        batch_format="pyarrow",
+        fn_kwargs={"store_dir": store_dir, "dead_ref": ray.put(dead)},
+    ).to_pandas()
+    return int(summary["dropped"].sum())

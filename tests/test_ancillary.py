@@ -189,6 +189,34 @@ class TestDocStore:
         assert got[42]["url"] == "https://x42.example.com"
         assert got[42]["text"] == "text 42"
 
+    def test_compact_docstore_drops_deleted(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from modernsearchengines_ray.state.docstore import (
+            DocStore,
+            compact_docstore,
+            write_docstore,
+        )
+
+        df = pd.DataFrame({
+            "doc_id": range(100),
+            "url": [f"https://x{i}.example.com" for i in range(100)],
+            "text": [f"text {i}" for i in range(100)],
+        })
+        store = str(tmp_path / "store")
+        write_docstore(rd.from_pandas(df), store, num_partitions=8)
+
+        dropped = compact_docstore(store, [3, 42, 97, 12345],
+                                   num_partitions=8)
+        assert dropped == 3  # the ghost id is a no-op
+        ds = DocStore(store, num_partitions=8)
+        assert ds.lookup_map([3, 42, 97], columns=["url"]) == {}
+        survivors = ds.lookup_map([2, 43, 96], columns=["url"])
+        assert set(survivors) == {2, 43, 96}
+        # idempotent re-run
+        assert compact_docstore(store, [3, 42, 97],
+                                num_partitions=8) == 0
+
     def test_empty_lookup(self, ray_session, tmp_path):
         import ray.data as rd
 
