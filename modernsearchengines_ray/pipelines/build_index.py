@@ -93,6 +93,7 @@ def write_meta(index_dir: str, stats: CorpusStats, cfg: IndexConfig,
         "min_df_exclusive": cfg.min_df_exclusive,
         "block_size": cfg.block_size,
         "prepend_url_words": cfg.prepend_url_words,
+        "shard_row_group_size": cfg.shard_row_group_size,
         "fingerprint": fingerprint,
         "corpus_id": corpus_id,
         "char_sum": char_sum,

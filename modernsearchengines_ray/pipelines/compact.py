@@ -158,7 +158,10 @@ def compact_index(index_dir: str) -> dict:
             fn_kwargs={
                 "index_dir": index_dir,
                 "block_size": meta["block_size"],
-                "row_group_size": _shard_row_group_size(index_dir),
+                # honor the build's row-group granularity so lazy
+                # serving (ShardScorer(lazy_shards=True)) keeps its
+                # per-row-group read economics after a compaction
+                "row_group_size": meta.get("shard_row_group_size"),
                 "fingerprint": meta["fingerprint"],
             },
         ).to_pandas()
@@ -168,9 +171,3 @@ def compact_index(index_dir: str) -> dict:
         "shards": len(shard_ids),
         "bytes": sum(m.bytes for m in manifests.values()),
     }
-
-
-def _shard_row_group_size(index_dir: str) -> int:
-    from ..config import DEFAULT_INDEX_CONFIG
-
-    return DEFAULT_INDEX_CONFIG.shard_row_group_size

@@ -329,6 +329,7 @@ def purge_deletes(
             num_shards=meta["num_shards"],
             block_size=meta["block_size"],
             prepend_url_words=meta["prepend_url_words"],
+            shard_row_group_size=meta.get("shard_row_group_size"),
         )
     if meta["num_shards"] != cfg.num_shards:
         raise ValueError(

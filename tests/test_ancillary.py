@@ -395,6 +395,21 @@ class TestLazyShardScorer:
                 assert eager.search(q) == lazy.search(q), q
                 assert eager.search_bm25(q, k=10) == \
                     lazy.search_bm25(q, k=10), q
+            want = {q: lazy.search_bm25(q, k=10) for _x, q in QUERIES[:4]}
         finally:
             eager.shutdown()
             lazy.shutdown()
+
+        # compaction honors the build's row-group granularity (reads
+        # it from meta), so lazy serving economics survive and the
+        # rankings stay identical
+        from modernsearchengines_ray.pipelines.compact import compact_index
+
+        compact_index(index_dir)
+        assert pq.ParquetFile(shard_path(index_dir, 0)).num_row_groups > 1
+        lazy2 = QueryEngine(index_dir, num_scorers=2, lazy_shards=True)
+        try:
+            for _qid, q in QUERIES[:4]:
+                assert lazy2.search_bm25(q, k=10) == want[q], q
+        finally:
+            lazy2.shutdown()
