@@ -1711,6 +1711,71 @@ def q_wand_search(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_index_lifecycle_check(sf_dir: str):
+    """Derived invariant gating the index LIFECYCLE in the driver gate
+    (pipelines/delete.py, pipelines/compact.py): build the real index
+    over the documents table keeping its runs, tombstone every
+    ``doc_id % 7 == 3``, physically purge, then force-merge-compact —
+    and verify engine-side that the decoded result (terms, df, idf,
+    bit-equal per-posting BM25 floats, positions) equals a
+    from-scratch build over the filtered corpus.  SQL independently
+    supplies the surviving/purged doc counts; ``n_purged`` comes from
+    the purge's own accounting and the equality bool flips on any
+    divergence, so either failure breaks the hash compare."""
+    import shutil
+    import tempfile
+
+    from ..config import IndexConfig
+    from ..pipelines.build_index import build_index, read_meta
+    from ..pipelines.compact import compact_index
+    from ..pipelines.delete import delete_docs, purge_deletes
+    from ..state.shards import load_index_postings
+
+    cfg = IndexConfig(prepend_url_words=False, num_shards=8)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    all_ids = ds.select_columns(["doc_id"]).to_pandas()["doc_id"]
+    victims = sorted(int(d) for d in all_ids if d % 7 == 3)
+
+    def keep_live(batch: pa.Table) -> pa.Table:
+        mask = batch["doc_id"].to_numpy() % 7 != 3
+        return batch.filter(pa.array(mask))
+
+    tmp_a = tempfile.mkdtemp(prefix="msr_lc_purged_")
+    tmp_b = tempfile.mkdtemp(prefix="msr_lc_fresh_")
+    try:
+        build_index(ds, tmp_a, cfg=cfg, corpus_id=f"{sf_dir}:lc",
+                    keep_runs=True)
+        delete_docs(tmp_a, victims, batch_id="gate")
+        purged = purge_deletes(tmp_a)["purged"]
+        compact_index(tmp_a)
+        build_index(ds.map_batches(keep_live, batch_format="pyarrow"),
+                    tmp_b, cfg=cfg, corpus_id=f"{sf_dir}:lc-fresh")
+        meta_a, meta_b = read_meta(tmp_a), read_meta(tmp_b)
+        same = (
+            load_index_postings(tmp_a) == load_index_postings(tmp_b)
+            and meta_a["num_documents"] == meta_b["num_documents"]
+            and meta_a["char_sum"] == meta_b["char_sum"]
+            and meta_a["avg_doc_len"] == meta_b["avg_doc_len"]
+        )
+        return pd.DataFrame({
+            "n_docs_remaining": pd.array([meta_a["num_documents"]],
+                                         dtype="int64"),
+            "n_purged": pd.array([purged], dtype="int64"),
+            "purge_equals_rebuild": pd.array([same], dtype="boolean"),
+        })
+    finally:
+        shutil.rmtree(tmp_a, ignore_errors=True)
+        shutil.rmtree(tmp_b, ignore_errors=True)
+
+
+SQL_INDEX_LIFECYCLE_CHECK = """
+SELECT count(*) FILTER (WHERE doc_id % 7 <> 3)::BIGINT AS n_docs_remaining,
+       count(*) FILTER (WHERE doc_id % 7 = 3)::BIGINT AS n_purged,
+       TRUE AS purge_equals_rebuild
+FROM documents
+"""
+
+
 def q_ref_search(sf_dir: str):
     """End-to-end: build the sharded index over documents, serve one query
     through the shard-scorer actor pool (T6/A6-A11) — rows-only check."""
@@ -1804,6 +1869,7 @@ QUERY_FUNCS = {
     "ref_doc_lens": q_ref_doc_lens,
     "ref_search": q_ref_search,
     "wand_search": q_wand_search,
+    "index_lifecycle_check": q_index_lifecycle_check,
     "distinct_users_hll_check": q_distinct_users_hll_check,
 }
 
@@ -1849,6 +1915,7 @@ ORACLE_SQL = {
     "image_features": _sql_image_features(),
     "audio_features": _sql_audio_features(),
     "ref_doc_lens": _sql_ref_doc_lens(),
+    "index_lifecycle_check": SQL_INDEX_LIFECYCLE_CHECK,
     "distinct_users_hll_check": SQL_DISTINCT_USERS_HLL_CHECK,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels

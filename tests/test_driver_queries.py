@@ -77,7 +77,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "sessionize_partitioned", "top_events_per_user_partitioned",
         "dedup_exact_partitioned", "embedding_dedup_partitioned",
         "jaccard_pairs_partitioned", "simhash_md5_invariant_partitioned",
-        "minhash_md5_invariant_partitioned",
+        "minhash_md5_invariant_partitioned", "index_lifecycle_check",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):
