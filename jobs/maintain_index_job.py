@@ -53,6 +53,7 @@ def main() -> None:
     p_purge.add_argument("--docstore-partitions", type=int, default=32)
 
     sub.add_parser("compact", help="merge posting segments per term")
+    sub.add_parser("check", help="verify index integrity (CheckIndex)")
 
     args = parser.parse_args()
     index_dir = os.path.join(args.workdir, "index")
@@ -98,10 +99,14 @@ def main() -> None:
             result["docstore_dropped"] = compact_docstore(
                 args.docstore, ledger,
                 num_partitions=args.docstore_partitions)
-    else:
+    elif args.op == "compact":
         from modernsearchengines_ray.pipelines.compact import compact_index
 
         result = {"op": "compact", **compact_index(index_dir)}
+    else:
+        from modernsearchengines_ray.pipelines.check import check_index
+
+        result = {"op": "check", **check_index(index_dir)}
 
     result["wall_s"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(result))
