@@ -190,7 +190,8 @@ def _purge_file_task(batch: pa.Table, runs_dir: str, tomb_ref,
     deleted = ray.get(tomb_ref) if hasattr(tomb_ref, "hex") else tomb_ref
     out = {k: [] for k in ("sub", "file", "new_file", "shards",
                            "seg_offsets", "seg_lengths", "doc_segment",
-                           "bytes", "n_del", "chars_del", "indexed_del")}
+                           "doc_range", "bytes", "n_del", "chars_del",
+                           "indexed_del")}
     for i in range(batch.num_rows):
         sub = batch["sub"][i].as_py()
         name = batch["file"][i].as_py()
@@ -206,6 +207,7 @@ def _purge_file_task(batch: pa.Table, runs_dir: str, tomb_ref,
             out["seg_offsets"].append([])
             out["seg_lengths"].append([])
             out["doc_segment"].append([])
+            out["doc_range"].append([])
             out["bytes"].append(0)
             out["n_del"].append(0)
             out["chars_del"].append(0)
@@ -234,6 +236,10 @@ def _purge_file_task(batch: pa.Table, runs_dir: str, tomb_ref,
         out["seg_offsets"].append(entry["seg_offsets"])
         out["seg_lengths"].append(entry["seg_lengths"])
         out["doc_segment"].append(entry["doc_segment"])
+        live_ids = live_stats["doc_id"]
+        out["doc_range"].append(
+            [int(pc.min(live_ids).as_py()), int(pc.max(live_ids).as_py())]
+            if live_stats.num_rows else [])
         out["bytes"].append(entry["bytes"])
         out["n_del"].append(int(dead.sum()))
         out["chars_del"].append(
@@ -250,6 +256,7 @@ def _purge_file_task(batch: pa.Table, runs_dir: str, tomb_ref,
         "seg_offsets": pa.array(out["seg_offsets"], pa.list_(pa.int64())),
         "seg_lengths": pa.array(out["seg_lengths"], pa.list_(pa.int64())),
         "doc_segment": pa.array(out["doc_segment"], pa.list_(pa.int64())),
+        "doc_range": pa.array(out["doc_range"], pa.list_(pa.int64())),
         "bytes": pa.array(out["bytes"], pa.int64()),
         "n_del": pa.array(out["n_del"], pa.int64()),
         "chars_del": pa.array(out["chars_del"], pa.int64()),
@@ -268,6 +275,7 @@ def _rewrite_spill_manifest(sub_dir: str, rows: list[dict],
             continue
         del m["file_segments"][r["file"]]
         del m["doc_segments"][r["file"]]
+        m.get("doc_ranges", {}).pop(r["file"], None)
         m["file_segments"][r["new_file"]] = {
             int(s): [int(o), int(ln)]
             for s, o, ln in zip(r["shards"], r["seg_offsets"],
@@ -275,6 +283,9 @@ def _rewrite_spill_manifest(sub_dir: str, rows: list[dict],
         }
         m["doc_segments"][r["new_file"]] = [int(x)
                                             for x in r["doc_segment"]]
+        if len(r["doc_range"]):
+            m.setdefault("doc_ranges", {})[r["new_file"]] = [
+                int(x) for x in r["doc_range"]]
         replaced.append(r["file"])
 
     n_del = sum(r["n_del"] for r in rows)
@@ -353,7 +364,13 @@ def purge_deletes(
             raise ValueError(
                 f"{sub_dir} predates delete support (no docstats "
                 "ledger in the spill) — rebuild the index to purge")
+        ranges = m.get("doc_ranges", {})
         for name, seg in m["doc_segments"].items():
+            r = ranges.get(name)
+            if r and int(np.searchsorted(deleted, r[1], side="right")
+                         - np.searchsorted(deleted, r[0], side="left")) \
+                    == 0:
+                continue  # no tombstoned id falls in this file's range
             shard_segs = m["file_segments"].get(name, {})
             items.append({
                 "sub": sub,
@@ -425,5 +442,6 @@ def purge_deletes(
         "purged": purged,
         "shards_built": len(todo),
         "files_rewritten": rewritten,
+        "files_scanned": len(items),  # post-range-prune task count
         "fingerprint": fingerprint,
     }

@@ -135,6 +135,7 @@ def spill_task(batch: pa.Table, cfg: IndexConfig, runs_dir: str) -> pa.Table:
         doc_segment = entry["doc_segment"]
         nbytes = entry["bytes"]
 
+    ids = batch["doc_id"].to_pylist() if batch.num_rows else []
     return pa.table({
         "file": pa.array([name if batch.num_rows else ""], pa.string()),
         "count": pa.array([count], pa.int64()),
@@ -146,6 +147,9 @@ def spill_task(batch: pa.Table, cfg: IndexConfig, runs_dir: str) -> pa.Table:
         "seg_offsets": pa.array([seg_offsets], pa.list_(pa.int64())),
         "seg_lengths": pa.array([seg_lengths], pa.list_(pa.int64())),
         "doc_segment": pa.array([doc_segment], pa.list_(pa.int64())),
+        # [min, max] doc id in this file — the purge's range-prune key
+        "doc_range": pa.array(
+            [[min(ids), max(ids)] if ids else []], pa.list_(pa.int64())),
     })
 
 
@@ -203,6 +207,13 @@ def spill_runs(
         for f, seg in zip(summary["file"], summary["doc_segment"])
         if f and len(seg)
     }
+    # per file: [min_doc, max_doc] — lets a purge skip files whose id
+    # range can't contain any tombstoned doc (takedowns are localized)
+    doc_ranges = {
+        f: [int(r[0]), int(r[1])]
+        for f, r in zip(summary["file"], summary["doc_range"])
+        if f and len(r)
+    }
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({
@@ -214,6 +225,7 @@ def spill_runs(
             "char_sum": int(summary["char_sum"].sum()),
             "file_segments": file_segments,
             "doc_segments": doc_segments,
+            "doc_ranges": doc_ranges,
             "runs": int(summary["runs"].sum()),
             "bytes": int(summary["bytes"].sum()),
         }, f)

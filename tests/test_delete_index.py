@@ -208,6 +208,56 @@ class TestPurge:
         assert meta_after["num_documents"] == meta_before["num_documents"]
         assert meta_after["char_sum"] == meta_before["char_sum"]
 
+    def test_range_pruned_purge_touches_only_owning_files(
+            self, ray_session, pages_parquet, tmp_path):
+        """Deletes localized to one run file's doc range rewrite ONLY
+        that file (the doc_ranges manifest prune) — and stay exact."""
+        import os
+
+        from modernsearchengines_ray.pipelines.delete import (
+            delete_docs,
+            purge_deletes,
+        )
+        from modernsearchengines_ray.stages.spill import (
+            read_segment,
+            spill_manifest,
+        )
+
+        corpus, _, _ = _split_corpus(pages_parquet)
+        # id-sorted ingest => disjoint per-file doc ranges (the layout
+        # a crawler writing sequential ids produces)
+        corpus = corpus.sort_values("doc_id").reset_index(drop=True)
+        idx = str(tmp_path / "idx")
+        _build(corpus, idx, "c", keep_runs=True,
+               tokenizer_batch_size=50)
+        runs_dir = os.path.join(idx, "_runs")
+        m = spill_manifest(runs_dir)
+        n_files = len(m["doc_segments"])
+        assert n_files > 2, "need multiple run files for this test"
+
+        # victims physically inside ONE file (its docstats ledger);
+        # ranges of other files may still overlap, so the expected
+        # rewrite count is exactly 1 regardless of range overlap
+        name, seg = sorted(m["doc_segments"].items())[0]
+        victims = sorted(
+            read_segment(runs_dir, name, seg)["doc_id"].to_pylist())[:5]
+        assert victims
+        delete_docs(idx, victims, batch_id="b1")
+        expect_scanned = sum(
+            1 for lo, hi in m["doc_ranges"].values()
+            if any(lo <= v <= hi for v in victims))
+        result = purge_deletes(idx)
+        assert result["purged"] == len(victims)
+        assert result["files_rewritten"] == 1
+        # the doc_ranges prune skipped every file whose range can't
+        # hold a victim
+        assert result["files_scanned"] == expect_scanned < n_files
+
+        remaining = corpus[~corpus["doc_id"].isin(victims)]
+        fresh = str(tmp_path / "fresh")
+        _build(remaining, fresh, "fresh", tokenizer_batch_size=50)
+        _assert_same_logical_index(idx, fresh)
+
     def test_purge_crash_recovery(self, ray_session, pages_parquet,
                                   tmp_path, monkeypatch):
         """Crash between the spill-manifest swap and the shard
