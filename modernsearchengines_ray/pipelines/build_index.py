@@ -92,6 +92,7 @@ def write_meta(index_dir: str, stats: CorpusStats, cfg: IndexConfig,
         "b": cfg.b,
         "min_df_exclusive": cfg.min_df_exclusive,
         "block_size": cfg.block_size,
+        "chunk_chars": cfg.chunk_chars,
         "prepend_url_words": cfg.prepend_url_words,
         "shard_row_group_size": cfg.shard_row_group_size,
         "fingerprint": fingerprint,

@@ -758,6 +758,131 @@ class QueryEngine:
         order = np.lexsort((candidates, -totals))[:k]
         return [(int(candidates[i]), float(totals[i])) for i in order]
 
+    def _clause_stems(self, clause: str) -> list[str]:
+        """Index-tokenizer stems of a clause string, phrase order kept
+        (stopwords drop and stems compare — the index's own stream).
+        Uses the build's chunk size so retokenizing a full document for
+        phrase verification reproduces the indexed stream."""
+        from ..functions.tokenizer import tokenize
+
+        return [t for t, _ in tokenize(
+            clause.lower(),
+            chunk_chars=self.meta.get("chunk_chars", 800_000),
+            lemma_table=self.lemma_table)]
+
+    def search_boolean(
+        self,
+        must: tuple[str, ...] | list[str] = (),
+        should: tuple[str, ...] | list[str] = (),
+        must_not: tuple[str, ...] | list[str] = (),
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Lucene-style occurs-clause retrieval over the posting lists.
+
+        Candidates must contain every stem of every ``must`` clause and
+        no stem of any ``must_not`` clause; with no ``must`` clauses
+        they are the union of the ``should`` stems' postings.  Score =
+        sum of the index-time BM25 contributions of the (distinct)
+        must+should stems present, ranked by (-score, doc_id).  Exact —
+        pure set algebra over posting doc-id arrays, no positions
+        needed; tombstoned docs are already dropped at decode time.
+        A clause whose stems are all stopwords is ignored (it
+        constrains nothing the index can see)."""
+        from ..functions.phrase import boolean_doc_ids, sum_scores_for_docs
+
+        must_stems = [self._clause_stems(c) for c in must]
+        must_stems = [g for g in must_stems if g]
+        should_stems = [s for c in should for s in self._clause_stems(c)]
+        not_stems = [s for c in must_not for s in self._clause_stems(c)]
+        all_terms = sorted({s for g in must_stems for s in g}
+                           | set(should_stems) | set(not_stems))
+        if not all_terms:
+            return []
+        fetched = self.fetch(all_terms, position_terms=[])
+
+        def docs(stem: str) -> np.ndarray:
+            hit = fetched.get(stem)
+            return hit[0] if hit is not None else np.empty(0, np.int64)
+
+        cands = boolean_doc_ids(
+            [[docs(s) for s in g] for g in must_stems],
+            [docs(s) for s in should_stems],
+            [docs(s) for s in not_stems],
+        )
+        if not cands.size:
+            return []
+        score_stems = list(dict.fromkeys(
+            [s for g in must_stems for s in g] + should_stems))
+        totals = sum_scores_for_docs(
+            cands,
+            [(fetched[s][0], fetched[s][1]) for s in score_stems
+             if s in fetched],
+        )
+        order = np.lexsort((cands, -totals))[:k]
+        return [(int(cands[i]), float(totals[i])) for i in order]
+
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int = 10,
+        docstore=None,
+        max_gap: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Phrase retrieval: the phrase's stems consecutive in the
+        document's token stream (stopwords gap out, exactly as the
+        index tokenized the document — Lucene analyzer+PhraseQuery
+        semantics).
+
+        Stages (functions/phrase.py module docstring has the design
+        rationale): posting-list conjunction over the phrase stems ->
+        ordered-chain prefilter over the stored char offsets (strictly
+        increasing, optionally ``max_gap``-bounded — a real match
+        always passes within one tokenizer chunk) -> with ``docstore``,
+        exact verification by retokenizing only the surviving
+        candidates.  Without a docstore the chain-filtered result is
+        returned (a superset of the exact matches; order-only, so no
+        false negatives under the default ``max_gap=None``).  Ranked
+        by (-sum of the distinct stems' BM25 contributions, doc_id)."""
+        from ..functions.phrase import (contains_consecutive,
+                                        intersect_doc_ids,
+                                        ordered_chain_docs,
+                                        positions_by_doc,
+                                        sum_scores_for_docs)
+
+        slots = self._clause_stems(phrase)
+        if not slots:
+            return []
+        distinct = sorted(set(slots))
+        fetched = self.fetch(distinct, position_terms=distinct)
+        if any(s not in fetched for s in distinct):
+            return []
+        cands = intersect_doc_ids([fetched[s][0] for s in distinct])
+        if cands.size and len(slots) > 1:
+            per_stem = {
+                s: positions_by_doc(fetched[s][0], fetched[s][2],
+                                    fetched[s][3], cands)
+                for s in distinct
+            }
+            cands = ordered_chain_docs(
+                cands, [per_stem[s] for s in slots], max_gap)
+            if cands.size and docstore is not None:
+                texts = docstore.lookup_map(
+                    [int(d) for d in cands], columns=["text"])
+                keep = [
+                    contains_consecutive(
+                        self._clause_stems(texts.get(int(d), {})
+                                           .get("text", "")),
+                        slots)
+                    for d in cands
+                ]
+                cands = cands[np.asarray(keep, dtype=bool)]
+        if not cands.size:
+            return []
+        totals = sum_scores_for_docs(
+            cands, [(fetched[s][0], fetched[s][1]) for s in distinct])
+        order = np.lexsort((cands, -totals))[:k]
+        return [(int(cands[i]), float(totals[i])) for i in order]
+
     def search_full(
         self,
         query: str,
