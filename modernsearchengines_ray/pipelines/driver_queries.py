@@ -157,17 +157,33 @@ FROM d, n
 """
 
 
-def q_bm25_topk(sf_dir: str):
+def q_bm25_topk(sf_dir: str, lang: str | None = None):
     """Standard BM25 top-20 for the fixed query (K2 family, SQL-checkable).
 
     doc_len = token count, avgdl = mean token count over docs with >=1
     token — the *standard* formulation (the reference's chars/tokens
     quirk lives in the rank-identity pytest path, not here, because SQL
     should stay readable).
+
+    ``lang`` restricts the corpus (filtered search): every statistic —
+    N, avgdl, df — is computed over the filtered subset, i.e. the
+    filter defines the collection, the scale-correct semantics (filter
+    pushed to the read, no post-hoc rescore).
     """
     import ray
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    if lang is None:
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    else:
+        def keep_lang(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.equal(batch["lang"], lang)) \
+                        .select(["doc_id", "text"])
+
+        ds = _read(sf_dir, "documents",
+                   columns=["doc_id", "text", "lang"]) \
+            .map_batches(keep_lang, batch_format="pyarrow")
     n_docs = ds.count()
     query = set(BM25_QUERY_TERMS)
 
@@ -263,6 +279,185 @@ FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats, n
 GROUP BY tf.doc_id
 ORDER BY score DESC, doc_id
 LIMIT 20
+"""
+
+
+SQL_BM25_TOPK_EN = SQL_BM25_TOPK.replace(
+    "FROM documents", "FROM documents WHERE lang = 'en'")
+
+
+PHRASE_QUERY = ("data", "stream")
+BOOL_MUST = ("data", "join")
+BOOL_MUST_NOT = ("spark",)
+
+
+def q_phrase_match(sf_dir: str):
+    """Positional phrase match: docs whose simple-token stream contains
+    'data stream' as consecutive tokens — one streaming map, no
+    shuffle.  This SQL-gates the phrase *semantics* (adjacency in the
+    token stream == the regex oracle); the index-serving phrase path
+    (posting conjunction -> char-offset chain -> docstore verify,
+    pipelines/query.py:search_phrase) is gated by
+    ``index_phrase_boolean_check`` and pytest."""
+    from ..functions.phrase import contains_consecutive
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    phrase = list(PHRASE_QUERY)
+
+    def match(batch: pa.Table) -> pa.Table:
+        keep = [contains_consecutive(simple_tokens(t), phrase)
+                for t in batch["text"].to_pylist()]
+        return batch.filter(pa.array(keep)).select(["doc_id"])
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+SQL_PHRASE_MATCH = """
+SELECT doc_id FROM documents
+WHERE regexp_matches(
+  lower(text), '(^|[^a-z0-9])data[^a-z0-9]+stream($|[^a-z0-9])')
+"""
+
+
+def q_boolean_retrieval(sf_dir: str):
+    """Boolean occurs-clause retrieval over the corpus scan: docs
+    containing every MUST token and no MUST-NOT token (simple-token
+    membership) — one streaming map, no shuffle.  Index-level
+    equivalent: QueryEngine.search_boolean (posting set algebra),
+    gated by ``index_phrase_boolean_check`` and pytest."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    must, must_not = set(BOOL_MUST), set(BOOL_MUST_NOT)
+
+    def match(batch: pa.Table) -> pa.Table:
+        keep = []
+        for t in batch["text"].to_pylist():
+            toks = set(simple_tokens(t))
+            keep.append(must <= toks and not (must_not & toks))
+        return batch.filter(pa.array(keep)).select(["doc_id"])
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+def _sql_word(term: str) -> str:
+    return (f"regexp_matches(lower(text), "
+            f"'(^|[^a-z0-9]){term}($|[^a-z0-9])')")
+
+
+SQL_BOOLEAN_RETRIEVAL = f"""
+SELECT doc_id FROM documents
+WHERE {' AND '.join(_sql_word(t) for t in BOOL_MUST)}
+  AND NOT ({' OR '.join(_sql_word(t) for t in BOOL_MUST_NOT)})
+"""
+
+
+def q_index_phrase_boolean_check(sf_dir: str):
+    """Derived invariant gating the INDEX-LEVEL phrase + boolean
+    serving paths in the driver gate: build the real index (Porter
+    stems, stopword drop, df<=5 prune) plus a hash-partitioned
+    docstore over the documents table, then verify that
+
+    - ``QueryEngine.search_phrase('data stream', docstore=...)``
+      equals a full-corpus scan for "the stems occur consecutively in
+      the tokenize() stream" (restricted to stems surviving the df
+      prune — unservable otherwise by construction), and
+    - ``QueryEngine.search_boolean(must=..., must_not=...)`` equals
+      the same scan's posting-set algebra with the prune modeled.
+
+    SQL supplies the corpus size; the equality/nonvacuity bools flip
+    on any divergence and break the hash compare.  The scan's per-doc
+    flags are computed distributed (one map); only #docs booleans
+    reach the driver."""
+    import shutil
+    import tempfile
+
+    from ..config import IndexConfig
+    from ..functions.phrase import contains_consecutive
+    from ..functions.tokenizer import tokenize
+    from ..pipelines.build_index import build_index
+    from ..pipelines.query import QueryEngine
+    from ..state.docstore import DocStore, write_docstore
+
+    cfg = IndexConfig(prepend_url_words=False, num_shards=8)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    phrase_slots = [s for s, _ in tokenize(" ".join(PHRASE_QUERY))]
+    must_stems = [s for t in BOOL_MUST for s, _ in tokenize(t)]
+    not_stems = [s for t in BOOL_MUST_NOT for s, _ in tokenize(t)]
+    watch = sorted(set(phrase_slots) | set(must_stems) | set(not_stems))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": batch["doc_id"]}
+        flags = {w: [] for w in watch}
+        has_phrase = []
+        for text in batch["text"].to_pylist():
+            stream = [s for s, _ in tokenize(text)]
+            present = set(stream)
+            for w in watch:
+                flags[w].append(w in present)
+            has_phrase.append(contains_consecutive(stream, phrase_slots))
+        out["has_phrase"] = pa.array(has_phrase, pa.bool_())
+        for w in watch:
+            out[f"has_{w}"] = pa.array(flags[w], pa.bool_())
+        return pa.table(out)
+
+    flags_df = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    df_of = {w: int(flags_df[f"has_{w}"].sum()) for w in watch}
+    surv = {w for w in watch if df_of[w] > cfg.min_df_exclusive}
+
+    def docs_of(stem: str) -> set[int]:
+        if stem not in surv:
+            return set()
+        return set(flags_df.loc[flags_df[f"has_{stem}"], "doc_id"]
+                   .astype(int))
+
+    want_phrase = (set(flags_df.loc[flags_df["has_phrase"], "doc_id"]
+                       .astype(int))
+                   if all(s in surv for s in phrase_slots) else set())
+    want_bool: set[int] | None = None
+    for s in must_stems:
+        d = docs_of(s)
+        want_bool = d if want_bool is None else want_bool & d
+    want_bool = want_bool or set()
+    for s in not_stems:
+        want_bool -= docs_of(s)
+
+    tmp = tempfile.mkdtemp(prefix="msr_pb_")
+    try:
+        idx, store = f"{tmp}/idx", f"{tmp}/store"
+        build_index(ds, idx, cfg=cfg, corpus_id=f"{sf_dir}:pb")
+        write_docstore(ds, store, num_partitions=8)
+        engine = QueryEngine(idx, num_scorers=2)
+        try:
+            got_phrase = {d for d, _ in engine.search_phrase(
+                " ".join(PHRASE_QUERY), k=n_docs,
+                docstore=DocStore(store, num_partitions=8))}
+            got_bool = {d for d, _ in engine.search_boolean(
+                must=BOOL_MUST, must_not=BOOL_MUST_NOT, k=n_docs)}
+        finally:
+            engine.shutdown()
+        return pd.DataFrame({
+            "n_docs": pd.array([n_docs], dtype="int64"),
+            "phrase_engine_equals_scan": pd.array(
+                [got_phrase == want_phrase], dtype="boolean"),
+            "boolean_engine_equals_scan": pd.array(
+                [got_bool == want_bool], dtype="boolean"),
+            "phrase_nonvacuous": pd.array(
+                [0 < len(want_phrase) < n_docs], dtype="boolean"),
+            "boolean_nonvacuous": pd.array(
+                [0 < len(want_bool) < n_docs], dtype="boolean"),
+        })
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_INDEX_PHRASE_BOOLEAN_CHECK = """
+SELECT count(*)::BIGINT AS n_docs,
+       TRUE AS phrase_engine_equals_scan,
+       TRUE AS boolean_engine_equals_scan,
+       TRUE AS phrase_nonvacuous,
+       TRUE AS boolean_nonvacuous
+FROM documents
 """
 
 
@@ -1815,6 +2010,10 @@ QUERY_FUNCS = {
     "postings_tf": q_postings_tf,
     "df_idf": q_df_idf,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_filtered": lambda sf_dir: q_bm25_topk(sf_dir, lang="en"),
+    "phrase_match": q_phrase_match,
+    "boolean_retrieval": q_boolean_retrieval,
+    "index_phrase_boolean_check": q_index_phrase_boolean_check,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_partitioned":
         lambda sf_dir: q_dedup_exact(sf_dir, reduce="partitioned"),
@@ -1878,6 +2077,10 @@ ORACLE_SQL = {
     "postings_tf": SQL_POSTINGS_TF,
     "df_idf": SQL_DF_IDF,
     "bm25_topk": SQL_BM25_TOPK,
+    "bm25_topk_filtered": SQL_BM25_TOPK_EN,
+    "phrase_match": SQL_PHRASE_MATCH,
+    "boolean_retrieval": SQL_BOOLEAN_RETRIEVAL,
+    "index_phrase_boolean_check": SQL_INDEX_PHRASE_BOOLEAN_CHECK,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_exact_partitioned": SQL_DEDUP_EXACT,
     "quality": SQL_QUALITY,
