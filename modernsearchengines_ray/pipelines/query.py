@@ -704,10 +704,13 @@ class QueryEngine:
            scores filled in.
 
         Single-scorer queries finish in round 1 (pure WAND)."""
-        from ..functions.tokenizer import tokenize
+        return self._bm25_terms(sorted(set(self._clause_stems(query))), k)
 
-        terms = sorted({t for t, _ in tokenize(query.lower(),
-                                               lemma_table=self.lemma_table)})
+    def _bm25_terms(self, terms: list[str],
+                    k: int) -> list[tuple[int, float]]:
+        """WAND+TPUT BM25 top-k over already-stemmed index terms
+        (search_bm25 minus the tokenization — callers that hold stems,
+        like more_like_this, must not re-stem)."""
         by_scorer: dict[int, list[str]] = defaultdict(list)
         for term in terms:
             owner = self._owner(term)
@@ -882,6 +885,55 @@ class QueryEngine:
             cands, [(fetched[s][0], fetched[s][1]) for s in distinct])
         order = np.lexsort((cands, -totals))[:k]
         return [(int(cands[i]), float(totals[i])) for i in order]
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        docstore,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_doc_freq: int = 0,
+    ) -> list[tuple[int, float]]:
+        """Lucene MoreLikeThis analogue: find documents similar to
+        ``doc_id`` by mining its text for the ``max_query_terms``
+        highest tf*idf stems (idf read from the index's stored term
+        stats — one metadata round to the owning scorers, no posting
+        decode) and running the WAND+TPUT BM25 top-k over them.  The
+        source document itself is excluded from the result.
+
+        ``min_doc_freq`` drops mined stems with df below it (rare
+        stems are usually typos/ids that select nothing useful); the
+        index's built-in df<=5 prune already floors this."""
+        doc_id = int(doc_id)
+        meta = docstore.lookup_map([doc_id], columns=["text"])
+        text = meta.get(doc_id, {}).get("text", "")
+        stems = self._clause_stems(text)
+        if not stems:
+            return []
+        from collections import Counter
+
+        counts = Counter(stems)
+        by_scorer: dict[int, list[str]] = defaultdict(list)
+        for term in sorted(counts):
+            owner = self._owner(term)
+            if owner is not None:
+                by_scorer[owner].append(term)
+        stats: dict[str, tuple] = {}
+        for result in ray.get([
+            self.scorers[i].term_stats.remote(ts)
+            for i, ts in by_scorer.items()
+        ]):
+            stats.update(result)
+        mined = sorted(
+            ((counts[t] * st[1], t) for t, st in stats.items()
+             if st[0] >= min_doc_freq),
+            key=lambda x: (-x[0], x[1]),
+        )
+        terms = [t for _, t in mined[:max_query_terms]]
+        if not terms:
+            return []
+        hits = self._bm25_terms(terms, k + 1)
+        return [h for h in hits if h[0] != doc_id][:k]
 
     def search_full(
         self,

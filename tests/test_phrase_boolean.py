@@ -237,6 +237,51 @@ class TestBooleanEngine:
         assert engine.search_boolean(should=(t[0],), k=3) == full[:3]
 
 
+class TestMoreLikeThis:
+    def _truth(self, corpus_df, oracle_index, doc_id, k=5,
+               max_query_terms=25):
+        from modernsearchengines_ray.functions.bm25 import idf as idf_fn
+
+        text = corpus_df.set_index("doc_id").loc[doc_id, "text"]
+        counts = Counter(stems(text))
+        mined = sorted(
+            ((counts[t] * idf_fn(oracle_index.num_documents,
+                                 len(oracle_index.index[t])), t)
+             for t in counts if t in oracle_index.index),
+            key=lambda x: (-x[0], x[1]),
+        )
+        terms = [t for _, t in mined[:max_query_terms]]
+        scored: dict[int, float] = {}
+        for t in terms:
+            for d, (bm25, _) in oracle_index.index[t].items():
+                scored[d] = scored.get(d, 0.0) + bm25
+        ranked = sorted(scored.items(), key=lambda x: (-x[1], x[0]))
+        return [h for h in ranked if h[0] != doc_id][:k]
+
+    def test_matches_oracle_mining(self, engine, prepared, docstore):
+        corpus_df, _, _, oracle_index = prepared
+        for doc_id in corpus_df["doc_id"].iloc[[0, 7, 42]]:
+            got = engine.more_like_this(int(doc_id), docstore, k=5)
+            want = self._truth(corpus_df, oracle_index, int(doc_id), k=5)
+            assert [d for d, _ in got] == [d for d, _ in want]
+            for (_, gs), (_, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, rel=1e-9)
+            assert all(d != int(doc_id) for d, _ in got)
+            assert got, "MLT should find neighbours in the fixture"
+
+    def test_max_query_terms_narrows(self, engine, prepared, docstore):
+        corpus_df, _, _, oracle_index = prepared
+        doc_id = int(corpus_df["doc_id"].iloc[3])
+        got = engine.more_like_this(doc_id, docstore, k=5,
+                                    max_query_terms=3)
+        want = self._truth(corpus_df, oracle_index, doc_id, k=5,
+                           max_query_terms=3)
+        assert [d for d, _ in got] == [d for d, _ in want]
+
+    def test_missing_doc_returns_empty(self, engine, docstore):
+        assert engine.more_like_this(10**9, docstore, k=5) == []
+
+
 def text_stream_matches(corpus_df, slots) -> set[int]:
     out = set()
     for r in corpus_df.itertuples():
