@@ -535,28 +535,37 @@ def update_index(
         spill_key=delta_key, batch_size=tokenizer_batch_size,
     )
 
-    # union read plan + EXACT union stats over base + all deltas
-    stats, char_sum, files = union_plan(runs_dir)
+    # stage 2: re-merge shards over the union of run files
+    return _remerge_union(index_dir, cfg, merge_salts)
 
-    base_corpus_id = meta.get("corpus_id", "")
+
+def _remerge_union(index_dir: str, cfg: IndexConfig,
+                   merge_salts: int = 1) -> BuildResult:
+    """Re-merge every shard over the union of ALL run files currently
+    in the index's runs tree (base + deltas), recomputing the global
+    corpus stats exactly from the integer char sums.  Shared tail of
+    :func:`update_index` and :func:`merge_indexes`.
+
+    Meta keeps the BASE corpus_id: the combined id is always derived
+    from base + the delta dirs present, so further updates chain
+    (purge_history carries through so post-purge updates fingerprint
+    distinctly from a never-purged path)."""
+    runs_dir = os.path.join(index_dir, "_runs")
+    meta = read_meta(index_dir)
+    stats, char_sum, files = union_plan(runs_dir)
     combined_id = combined_corpus_id(meta, runs_dir)
     fingerprint = _fingerprint(stats, cfg, combined_id)
     done = completed_shards(index_dir, fingerprint)
     todo = [k for k in range(cfg.num_shards) if k not in done]
-
-    # stage 2: re-merge shards over the union of run files
     _merge_shards(todo, runs_dir, files, index_dir, stats, cfg,
                   fingerprint, merge_salts)
 
-    # meta keeps the BASE corpus_id: the combined id is always derived
-    # from base + the delta dirs present, so further updates chain
-    # (purge_history carries through so post-purge updates fingerprint
-    # distinctly from a never-purged path)
     extra = {}
     if meta.get("purge_history"):
         extra["purge_history"] = meta["purge_history"]
     write_meta(index_dir, stats, cfg, fingerprint,
-               corpus_id=base_corpus_id, char_sum=char_sum, extra=extra)
+               corpus_id=meta.get("corpus_id", ""), char_sum=char_sum,
+               extra=extra)
 
     manifests = read_manifests(index_dir)
     return BuildResult(
@@ -569,3 +578,177 @@ def update_index(
         postings=sum(m.postings_count for m in manifests.values()),
         bytes=sum(m.bytes for m in manifests.values()),
     )
+
+
+#: meta fields that must agree for two indexes' run files to be
+#: mergeable — they parameterize the spill (tokenize + shard routing),
+#: i.e. the run files themselves.  k1/b/min_df are merge-time knobs
+#: and come from ``cfg``.
+_SPILL_META_FIELDS = ("num_shards", "chunk_chars", "prepend_url_words")
+
+
+def merge_indexes(
+    base_dir: str,
+    other_dirs,
+    cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
+    merge_salts: int = 1,
+    id_check: str = "range",
+) -> BuildResult:
+    """Merge independently built indexes INTO ``base_dir`` — the
+    Lucene ``IndexWriter.addIndexes`` analogue (the reference, like
+    most single-process engines, only rebuilds from scratch:
+    indexing.py:186-188).
+
+    Scale rationale: the expensive pass (tokenize + spill, linear in
+    corpus bytes) already ran inside each source index.  Merging
+    grafts the sources' RETAINED RUN FILES into the base's runs tree
+    as delta dirs — hardlinked when the filesystem allows (on a real
+    cluster the runs live on shared storage and the graft is a
+    metadata move), copied otherwise — then re-merges each shard over
+    the union, recomputing the global BM25 stats EXACTLY from the
+    integer char sums.  The result is logically identical (same
+    terms, df, idf, per-posting scores and positions) to a
+    from-scratch build over the concatenated corpora, so per-partition
+    index builds can run as fully independent jobs and be combined
+    afterwards.
+
+    Requirements / semantics:
+    - every participating index was built with ``keep_runs=True``,
+    - identical spill-affecting config everywhere (num_shards,
+      chunk_chars, prepend_url_words — checked against each meta),
+    - doc_ids globally disjoint across sources, verified per
+      ``id_check``: ``"range"`` (default) compares the spill
+      manifests' [min, max] doc-id ranges — free, and exact for the
+      common contiguous-range partitioning; ``"exact"`` reads the
+      per-doc docstats segments (the purge's exact-stat ledger, one
+      int64 row per doc — a metadata-scale pass) and intersects the
+      actual id sets, the right mode for url-HASH doc ids whose ranges
+      always interleave; ``"off"`` skips the check (the caller owns
+      the guarantee),
+    - idempotent: the grafted delta is keyed by the source's spill
+      identity, so re-merging the same source (or crashing and
+      re-running) reuses the graft and the shard fingerprints
+      short-circuit the merge.
+    """
+    meta = read_meta(base_dir)
+    if meta["num_shards"] != cfg.num_shards:
+        raise ValueError(
+            f"cfg.num_shards={cfg.num_shards} != indexed "
+            f"{meta['num_shards']}: shard routing would change")
+    runs_dir = os.path.join(base_dir, "_runs")
+    if not os.path.exists(os.path.join(runs_dir, SPILL_MANIFEST)):
+        raise ValueError(
+            "base spill runs not found — build_index(..., keep_runs=True) "
+            "is required for index merging")
+
+    def source_subs(idx_dir: str) -> list[tuple[str, dict]]:
+        """(src_dir, spill manifest) for the base runs + every delta."""
+        rdir = os.path.join(idx_dir, "_runs")
+        out = []
+        for sub in [""] + _delta_dirs(rdir):
+            sdir = os.path.join(rdir, sub) if sub else rdir
+            out.append((sdir, spill_manifest(sdir)))
+        return out
+
+    others = []
+    for other in other_dirs:
+        ometa = read_meta(other)
+        for fld in _SPILL_META_FIELDS:
+            if ometa.get(fld) != meta.get(fld):
+                raise ValueError(
+                    f"{other}: {fld}={ometa.get(fld)!r} != base "
+                    f"{meta.get(fld)!r}: run files are not mergeable")
+        oruns = os.path.join(other, "_runs")
+        if not os.path.exists(os.path.join(oruns, SPILL_MANIFEST)):
+            raise ValueError(
+                f"{other}: spill runs not found — build_index(..., "
+                "keep_runs=True) is required for index merging")
+        others.append(other)
+
+    if id_check not in ("range", "exact", "off"):
+        raise ValueError(f"id_check={id_check!r}: expected "
+                         "'range', 'exact' or 'off'")
+    if id_check != "off":
+        # one entry per spill sub, deduplicated by spill key: a source
+        # already grafted into the base tree (replay/idempotent re-run)
+        # is the SAME corpus, not an overlap
+        seen: set[str] = set()
+        subs = []
+        for idx_dir in [base_dir, *others]:
+            for sdir, m in source_subs(idx_dir):
+                if m["spill_key"] in seen:
+                    continue
+                seen.add(m["spill_key"])
+                subs.append((sdir, m))
+        if id_check == "range":
+            spans = []
+            for sdir, m in subs:
+                ranges = list(m.get("doc_ranges", {}).values())
+                if ranges:
+                    spans.append((sdir, min(r[0] for r in ranges),
+                                  max(r[1] for r in ranges)))
+            spans.sort(key=lambda s: s[1])
+            for (da, _, hi_a), (db, lo_b, _) in zip(spans, spans[1:]):
+                if lo_b <= hi_a:
+                    raise ValueError(
+                        f"doc-id ranges of {da} and {db} overlap "
+                        f"([..,{hi_a}] vs [{lo_b},..]); merged indexes "
+                        "need disjoint doc_ids — use id_check='exact' "
+                        "for interleaved id spaces (url-hash doc ids), "
+                        "or 'off' if the caller owns the guarantee")
+        else:  # exact: intersect the actual docstats id sets
+            import numpy as np
+
+            from ..stages.spill import read_segment
+
+            union = np.empty(0, np.int64)
+            for sdir, m in subs:
+                parts = [
+                    read_segment(sdir, name, seg)["doc_id"].to_numpy()
+                    for name, seg in m.get("doc_segments", {}).items()
+                ]
+                ids = (np.unique(np.concatenate(parts)) if parts
+                       else np.empty(0, np.int64))
+                dup = np.intersect1d(union, ids, assume_unique=True)
+                if dup.size:
+                    raise ValueError(
+                        f"{sdir} shares {dup.size} doc_id(s) with the "
+                        f"other sources (e.g. {dup[:3].tolist()}); "
+                        "merged indexes need disjoint doc_ids")
+                union = np.union1d(union, ids)
+
+    # graft: copy/link each source sub (its runs + manifest) into the
+    # base runs tree as a delta dir keyed by the source's spill key
+    for other in others:
+        for src_dir, m in source_subs(other):
+            key = m["spill_key"]
+            dst_sub = f"delta={hashlib.md5(f'graft:{key}'.encode()).hexdigest()[:12]}"
+            dst_dir = os.path.join(runs_dir, dst_sub)
+            dst_manifest = os.path.join(dst_dir, SPILL_MANIFEST)
+            if os.path.exists(dst_manifest):
+                with open(dst_manifest) as f:
+                    if json.load(f).get("spill_key") == key:
+                        continue  # already grafted (idempotent re-run)
+                raise ValueError(
+                    f"delta dir {dst_sub} exists with a different "
+                    f"spill key — runs tree of {base_dir} is inconsistent")
+            os.makedirs(dst_dir, exist_ok=True)
+            names = set(m["file_segments"]) | set(m.get("doc_segments", {}))
+            for name in sorted(names):
+                dst = os.path.join(dst_dir, name)
+                if os.path.exists(dst):
+                    continue
+                tmp = f"{dst}.tmp.{os.getpid()}"
+                try:
+                    os.link(os.path.join(src_dir, name), tmp)
+                except OSError:
+                    shutil.copy2(os.path.join(src_dir, name), tmp)
+                os.replace(tmp, dst)
+            # manifest LAST: its presence marks the graft complete
+            # (_delta_dirs ignores manifest-less dirs, so a crashed
+            # graft is invisible and simply redone)
+            tmp = f"{dst_manifest}.tmp.{os.getpid()}"
+            shutil.copy2(os.path.join(src_dir, SPILL_MANIFEST), tmp)
+            os.replace(tmp, dst_manifest)
+
+    return _remerge_union(base_dir, cfg, merge_salts)

@@ -218,3 +218,100 @@ class TestCompactIndex:
         for q in queries:
             assert eng2.search(q) == want_full[q], q
             assert eng2.search_bm25(q, k=10) == want_topk[q], q
+
+
+def _split_by_doc_id(pages_parquet, parts=2):
+    """Contiguous doc_id-range splits — the partitioning shape
+    merge_indexes' range check targets (iloc splits interleave ids)."""
+    both, _, _ = _split_corpus(pages_parquet)
+    both = both.sort_values("doc_id").reset_index(drop=True)
+    cut = len(both) // parts
+    return both, [both.iloc[i * cut: (i + 1) * cut if i < parts - 1
+                            else len(both)] for i in range(parts)]
+
+
+def _merge(base_dir, others, **kw):
+    from modernsearchengines_ray.config import IndexConfig
+    from modernsearchengines_ray.pipelines.build_index import merge_indexes
+
+    return merge_indexes(base_dir, others, cfg=IndexConfig(num_shards=8),
+                         **kw)
+
+
+class TestMergeIndexes:
+    def test_merge_equals_rebuild(self, ray_session, pages_parquet,
+                                  tmp_path):
+        both, (base, delta) = _split_by_doc_id(pages_parquet)
+
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        _build(base, a, "base", keep_runs=True)
+        _build(delta, b, "delta", keep_runs=True)
+        result = _merge(a, [b])
+        assert result.stats.num_documents == len(both)
+        assert result.shards_built == 8
+
+        full = str(tmp_path / "full")
+        _build(both, full, "full")
+        _assert_same_logical_index(a, full)
+
+        # re-merging the same source is a no-op (graft + fingerprints)
+        replay = _merge(a, [b])
+        assert replay.shards_built == 0
+        assert replay.stats.num_documents == len(both)
+        _assert_same_logical_index(a, full)
+
+    def test_three_way_merge_then_update(self, ray_session, pages_parquet,
+                                         tmp_path):
+        """Per-partition parallel builds merged, then incrementally
+        updated — the full composability chain — equals one build."""
+        both, parts = _split_by_doc_id(pages_parquet, parts=3)
+        upd_cut = len(parts[2]) // 2
+        p3, extra = parts[2].iloc[:upd_cut], parts[2].iloc[upd_cut:]
+
+        dirs = [str(tmp_path / f"p{i}") for i in range(3)]
+        _build(parts[0], dirs[0], "p0", keep_runs=True)
+        _build(parts[1], dirs[1], "p1", keep_runs=True)
+        _build(p3, dirs[2], "p2", keep_runs=True)
+        # exact id check reads the docstats ledger — must accept truly
+        # disjoint sources (the range check is exercised elsewhere)
+        merged = _merge(dirs[0], dirs[1:], merge_salts=2,
+                        id_check="exact")
+        assert merged.stats.num_documents == len(both) - len(extra)
+        _update(extra, dirs[0], "extra")
+
+        full = str(tmp_path / "full")
+        _build(both, full, "full")
+        _assert_same_logical_index(dirs[0], full)
+
+    def test_merge_guards(self, ray_session, pages_parquet, tmp_path):
+        import ray.data as rd
+
+        from modernsearchengines_ray.config import IndexConfig
+        from modernsearchengines_ray.pipelines.build_index import \
+            merge_indexes
+
+        _, base, delta = _split_corpus(pages_parquet)
+        a = str(tmp_path / "a")
+        _build(base, a, "base", keep_runs=True)
+
+        # shard-routing mismatch
+        with pytest.raises(ValueError, match="num_shards"):
+            merge_indexes(a, [], cfg=IndexConfig(num_shards=4))
+
+        # source without retained runs
+        noruns = str(tmp_path / "noruns")
+        _build(delta, noruns, "delta")
+        with pytest.raises(ValueError, match="keep_runs"):
+            _merge(a, [noruns])
+
+        # overlapping doc-id ranges (same corpus twice)
+        dup = str(tmp_path / "dup")
+        _build(base, dup, "base2", keep_runs=True)
+        with pytest.raises(ValueError, match="overlap"):
+            _merge(a, [dup])
+        # exact mode pinpoints the real collision, not just the span
+        with pytest.raises(ValueError, match="shares"):
+            _merge(a, [dup], id_check="exact")
+        with pytest.raises(ValueError, match="id_check"):
+            _merge(a, [dup], id_check="bogus")
