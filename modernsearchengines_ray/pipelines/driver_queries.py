@@ -487,6 +487,41 @@ WHERE {' AND '.join(_sql_word(t) for t in BOOL_MUST)}
 """
 
 
+def q_facet_counts(sf_dir: str):
+    """Faceted retrieval (Lucene facets analogue): language facet
+    counts over the boolean match set — per-batch ``value_counts``
+    partials (facet-cardinality rows, never doc rows) summed by a tiny
+    groupby, the map-side-combiner shape of
+    ``DocStore.facet_counts``.  The index-serving facet path
+    (``QueryEngine.facet_counts``: posting algebra match set broadcast
+    into the partitioned docstore) is pytest-gated."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    must, must_not = set(BOOL_MUST), set(BOOL_MUST_NOT)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = []
+        for t in batch["text"].to_pylist():
+            toks = set(simple_tokens(t))
+            keep.append(must <= toks and not (must_not & toks))
+        vc = pc.value_counts(pc.filter(batch["lang"], pa.array(keep)))
+        return pa.table({"lang": vc.field("values"),
+                         "n": vc.field("counts")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("n", alias_name="n_docs")))
+
+
+SQL_FACET_COUNTS = f"""
+SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+WHERE {' AND '.join(_sql_word(t) for t in BOOL_MUST)}
+  AND NOT ({' OR '.join(_sql_word(t) for t in BOOL_MUST_NOT)})
+GROUP BY lang
+"""
+
+
 def q_index_phrase_boolean_check(sf_dir: str):
     """Derived invariant gating the INDEX-LEVEL phrase + boolean
     serving paths in the driver gate: build the real index (Porter
@@ -2151,6 +2186,7 @@ QUERY_FUNCS = {
     "more_like_this": q_more_like_this,
     "phrase_match": q_phrase_match,
     "boolean_retrieval": q_boolean_retrieval,
+    "facet_counts": q_facet_counts,
     "index_phrase_boolean_check": q_index_phrase_boolean_check,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_partitioned":
@@ -2219,6 +2255,7 @@ ORACLE_SQL = {
     "more_like_this": SQL_MORE_LIKE_THIS,
     "phrase_match": SQL_PHRASE_MATCH,
     "boolean_retrieval": SQL_BOOLEAN_RETRIEVAL,
+    "facet_counts": SQL_FACET_COUNTS,
     "index_phrase_boolean_check": SQL_INDEX_PHRASE_BOOLEAN_CHECK,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_exact_partitioned": SQL_DEDUP_EXACT,

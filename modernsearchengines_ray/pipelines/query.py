@@ -824,6 +824,31 @@ class QueryEngine:
         order = np.lexsort((cands, -totals))[:k]
         return [(int(cands[i]), float(totals[i])) for i in order]
 
+    def facet_counts(
+        self,
+        docstore,
+        field: str,
+        must=(),
+        should=(),
+        must_not=(),
+    ):
+        """Faceted search (Lucene facets analogue): count the docs
+        matching a boolean query per value of a docstore metadata
+        column.  The match set comes from pure posting-list algebra
+        (``search_boolean`` over ALL matches — no scoring cut); the
+        counting is ``DocStore.facet_counts``'s distributed map-side
+        combiner with the match set broadcast once.  With no clauses,
+        facets the whole store (one streaming pass, no index round).
+
+        Returns a pandas DataFrame ``[field, count]`` sorted by
+        (-count, value)."""
+        if not (must or should or must_not):
+            return docstore.facet_counts(field)
+        hits = self.search_boolean(
+            must=must, should=should, must_not=must_not,
+            k=self.meta["num_documents"])
+        return docstore.facet_counts(field, doc_ids=[d for d, _ in hits])
+
     def search_phrase(
         self,
         phrase: str,

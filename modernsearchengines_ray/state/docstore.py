@@ -71,6 +71,57 @@ class DocStore:
         rows = table.to_pylist()
         return {r["doc_id"]: r for r in rows}
 
+    def facet_counts(self, field: str, doc_ids=None):
+        """Distributed facet counting over a metadata column (Lucene
+        facets analogue): docs-per-value of ``field``, optionally
+        restricted to a match set.
+
+        Scale shape: one streaming ``map_batches`` pass over the store
+        emits per-batch ``value_counts`` PARTIALS (facet-cardinality
+        rows, not doc rows), summed by a tiny groupby — the classic
+        map-side combiner.  A match set (query hits) is broadcast once
+        via ``ray.put`` and applied per batch with a vectorized
+        ``np.isin``; at 10^12 docs the set of ids matching a query is
+        the small side by construction.
+
+        Returns a pandas DataFrame ``[field, count]`` sorted by
+        (-count, value)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.compute as pc
+        import ray
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        if doc_ids is not None:
+            ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+            if not ids.size:
+                return pd.DataFrame({field: pd.Series([], dtype=object),
+                                     "count": pd.Series([], dtype="int64")})
+            ids_ref = ray.put(ids)
+        else:
+            ids_ref = None
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vals = batch[field]
+            if ids_ref is not None:
+                mask = np.isin(batch["doc_id"].to_numpy(),
+                               ray.get(ids_ref))
+                vals = pc.filter(vals, pa.array(mask))
+            vc = pc.value_counts(vals)
+            return pa.table({field: vc.field("values"),
+                             "n": vc.field("counts")})
+
+        out = (
+            rd.read_parquet(self.store_dir, columns=["doc_id", field])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(field)
+            .aggregate(Sum("n", alias_name="count"))
+            .to_pandas()
+        )
+        return out.sort_values(["count", field],
+                               ascending=[False, True]).reset_index(drop=True)
+
 
 def _drop_task(batch: pa.Table, store_dir: str, dead_ref) -> pa.Table:
     import glob

@@ -79,7 +79,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "jaccard_pairs_partitioned", "simhash_md5_invariant_partitioned",
         "minhash_md5_invariant_partitioned", "index_lifecycle_check",
         "bm25_topk_filtered", "phrase_match", "boolean_retrieval",
-        "index_phrase_boolean_check", "more_like_this",
+        "index_phrase_boolean_check", "more_like_this", "facet_counts",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):

@@ -237,6 +237,48 @@ class TestBooleanEngine:
         assert engine.search_boolean(should=(t[0],), k=3) == full[:3]
 
 
+class TestFacetCounts:
+    @pytest.fixture(scope="class")
+    def meta_store(self, prepared, ray_session, tmp_path_factory):
+        import ray.data as rd
+
+        from modernsearchengines_ray.state.docstore import (DocStore,
+                                                            write_docstore)
+
+        corpus_df, _, _, _ = prepared
+        store = str(tmp_path_factory.mktemp("facets") / "meta")
+        write_docstore(rd.from_pandas(corpus_df[["doc_id", "lang", "site"]]),
+                       store, num_partitions=8)
+        return DocStore(store, num_partitions=8), corpus_df
+
+    def test_query_facets_match_pandas(self, engine, meta_store):
+        store, corpus_df = meta_store
+        n = len(corpus_df)
+        hits = engine.search_boolean(must=("castle",), k=n)
+        ids = {d for d, _ in hits}
+        assert 0 < len(ids) < n, "facet fixture query must discriminate"
+        got = engine.facet_counts(store, "site", must=("castle",))
+        want = (corpus_df[corpus_df["doc_id"].isin(ids)]["site"]
+                .value_counts())
+        assert dict(zip(got["site"], got["count"])) == want.to_dict()
+        # sorted by (-count, value)
+        assert got["count"].is_monotonic_decreasing or len(got) <= 1
+
+    def test_whole_store_facets(self, engine, meta_store):
+        store, corpus_df = meta_store
+        got = engine.facet_counts(store, "lang")
+        assert dict(zip(got["lang"], got["count"])) == \
+            corpus_df["lang"].value_counts().to_dict()
+        assert int(got["count"].sum()) == len(corpus_df)
+
+    def test_no_match_facets_empty(self, engine, meta_store):
+        store, _ = meta_store
+        got = engine.facet_counts(store, "site",
+                                  must=("zzzzunindexedzzzz",))
+        assert list(got.columns) == ["site", "count"]
+        assert len(got) == 0
+
+
 class TestMoreLikeThis:
     def _truth(self, corpus_df, oracle_index, doc_id, k=5,
                max_query_terms=25):
