@@ -2143,6 +2143,73 @@ FROM documents
 """
 
 
+def q_index_merge_check(sf_dir: str):
+    """Derived invariant gating INDEX MERGING in the driver gate
+    (pipelines/build_index.merge_indexes): build two independent
+    indexes over the doc_id-median split of the documents table, merge
+    the high half into the low half (exact docstats id check), and
+    verify engine-side that the decoded result (terms, df, idf,
+    bit-equal per-posting BM25 floats, positions) equals a
+    from-scratch build over the whole table.  SQL independently
+    supplies the split sizes; the equality bool flips on any
+    divergence and breaks the hash compare."""
+    import shutil
+    import tempfile
+
+    from ..config import IndexConfig
+    from ..pipelines.build_index import (build_index, merge_indexes,
+                                         read_meta)
+    from ..state.shards import load_index_postings
+
+    cfg = IndexConfig(prepend_url_words=False, num_shards=8)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    cut = n_docs // 2  # doc_ids are 0..n-1: doc_id < cut is the low half
+
+    def half(lo: bool):
+        def pick(batch: pa.Table) -> pa.Table:
+            mask = batch["doc_id"].to_numpy() < cut
+            return batch.filter(pa.array(mask if lo else ~mask))
+
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    tmp_a = tempfile.mkdtemp(prefix="msr_mg_lo_")
+    tmp_b = tempfile.mkdtemp(prefix="msr_mg_hi_")
+    tmp_f = tempfile.mkdtemp(prefix="msr_mg_full_")
+    try:
+        build_index(half(True), tmp_a, cfg=cfg,
+                    corpus_id=f"{sf_dir}:mg-lo", keep_runs=True)
+        build_index(half(False), tmp_b, cfg=cfg,
+                    corpus_id=f"{sf_dir}:mg-hi", keep_runs=True)
+        merged = merge_indexes(tmp_a, [tmp_b], cfg=cfg, id_check="exact")
+        build_index(ds, tmp_f, cfg=cfg, corpus_id=f"{sf_dir}:mg-full")
+        meta_a, meta_f = read_meta(tmp_a), read_meta(tmp_f)
+        same = (
+            load_index_postings(tmp_a) == load_index_postings(tmp_f)
+            and meta_a["num_documents"] == meta_f["num_documents"]
+            and meta_a["char_sum"] == meta_f["char_sum"]
+            and meta_a["avg_doc_len"] == meta_f["avg_doc_len"]
+        )
+        return pd.DataFrame({
+            "n_docs_low": pd.array([cut], dtype="int64"),
+            "n_docs_merged": pd.array([merged.stats.num_documents],
+                                      dtype="int64"),
+            "merge_equals_rebuild": pd.array([same], dtype="boolean"),
+        })
+    finally:
+        shutil.rmtree(tmp_a, ignore_errors=True)
+        shutil.rmtree(tmp_b, ignore_errors=True)
+        shutil.rmtree(tmp_f, ignore_errors=True)
+
+
+SQL_INDEX_MERGE_CHECK = """
+SELECT (count(*) // 2)::BIGINT AS n_docs_low,
+       count(*)::BIGINT AS n_docs_merged,
+       TRUE AS merge_equals_rebuild
+FROM documents
+"""
+
+
 def q_ref_search(sf_dir: str):
     """End-to-end: build the sharded index over documents, serve one query
     through the shard-scorer actor pool (T6/A6-A11) — rows-only check."""
@@ -2243,6 +2310,7 @@ QUERY_FUNCS = {
     "ref_search": q_ref_search,
     "wand_search": q_wand_search,
     "index_lifecycle_check": q_index_lifecycle_check,
+    "index_merge_check": q_index_merge_check,
     "distinct_users_hll_check": q_distinct_users_hll_check,
 }
 
@@ -2295,6 +2363,7 @@ ORACLE_SQL = {
     "audio_features": _sql_audio_features(),
     "ref_doc_lens": _sql_ref_doc_lens(),
     "index_lifecycle_check": SQL_INDEX_LIFECYCLE_CHECK,
+    "index_merge_check": SQL_INDEX_MERGE_CHECK,
     "distinct_users_hll_check": SQL_DISTINCT_USERS_HLL_CHECK,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels

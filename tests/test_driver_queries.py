@@ -78,6 +78,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "dedup_exact_partitioned", "embedding_dedup_partitioned",
         "jaccard_pairs_partitioned", "simhash_md5_invariant_partitioned",
         "minhash_md5_invariant_partitioned", "index_lifecycle_check",
+        "index_merge_check",
         "bm25_topk_filtered", "phrase_match", "boolean_retrieval",
         "index_phrase_boolean_check", "more_like_this", "facet_counts",
     ],
