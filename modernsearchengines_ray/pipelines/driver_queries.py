@@ -2241,6 +2241,280 @@ def q_ref_search(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# curation extensions: PII scrub / stratified sampling / window chunking /
+# unigram-LM scoring
+# ---------------------------------------------------------------------------
+
+#: Deterministic PII plant: the synthetic corpus is word-salad with no
+#: organic emails/IPs/phones, so scrubbing the raw text would be a
+#: vacuous no-op oracle.  Both sides (Arrow kernel and DuckDB SQL)
+#: append the SAME doc_id-derived contact block first; the gate then
+#: verifies the actual redaction work on every row.
+_PII_SUFFIX_TEMPLATE = (
+    " contact user{d}@example.com from 10.1.2.{m} call +49 30 {p}"
+)
+
+
+def q_pii_redact(sf_dir: str):
+    """Scrub emails -> IPv4s -> phone-like runs from text, counting each
+    family at its stage input.  Fully vectorized: three
+    ``pc.count_substring_regex`` + three ``pc.replace_substring_regex``
+    Arrow kernel calls per batch, zero Python per row.  Streams — one
+    narrow map over (doc_id, text), no shuffle at any scale."""
+    from ..functions.pii import (
+        EMAIL_RE, EMAIL_TOKEN, IPV4_RE, IP_TOKEN, PHONE_RE, PHONE_TOKEN,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"]
+        # x % 256 via integer divide/multiply/subtract (no mod kernel
+        # in this pyarrow); doc_id >= 0 so truncation == floor.
+        mod256 = pc.subtract(
+            ids, pc.multiply(pc.divide(ids, 256), 256))
+        planted = pc.binary_join_element_wise(
+            batch["text"],
+            pc.binary_join_element_wise(
+                pa.scalar(" contact user"), pc.cast(ids, pa.string()),
+                pa.scalar("@example.com from 10.1.2."),
+                pc.cast(mod256, pa.string()),
+                pa.scalar(" call +49 30 "),
+                pc.cast(pc.add(ids, 1000000), pa.string()),
+                pa.scalar(""),
+            ),
+            pa.scalar(""),
+        )
+        n_emails = pc.count_substring_regex(planted, EMAIL_RE)
+        t1 = pc.replace_substring_regex(planted, EMAIL_RE, EMAIL_TOKEN)
+        n_ips = pc.count_substring_regex(t1, IPV4_RE)
+        t2 = pc.replace_substring_regex(t1, IPV4_RE, IP_TOKEN)
+        n_phones = pc.count_substring_regex(t2, PHONE_RE)
+        t3 = pc.replace_substring_regex(t2, PHONE_RE, PHONE_TOKEN)
+        return pa.table({
+            "doc_id": ids,
+            "redacted": t3,
+            "n_emails": pc.cast(n_emails, pa.int64()),
+            "n_ips": pc.cast(n_ips, pa.int64()),
+            "n_phones": pc.cast(n_phones, pa.int64()),
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def _sql_pii_redact() -> str:
+    from ..functions.pii import (
+        EMAIL_RE, EMAIL_TOKEN, IPV4_RE, IP_TOKEN, PHONE_RE, PHONE_TOKEN,
+    )
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com from 10.1.2.' || CAST(doc_id % 256 AS VARCHAR)
+         || ' call +49 30 ' || CAST(doc_id + 1000000 AS VARCHAR) AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t0, '{esc(EMAIL_RE)}'))::BIGINT AS n_emails,
+    regexp_replace(t0, '{esc(EMAIL_RE)}', '{EMAIL_TOKEN}', 'g') AS t1
+  FROM planted
+), s2 AS (
+  SELECT doc_id, n_emails,
+    len(regexp_extract_all(t1, '{esc(IPV4_RE)}'))::BIGINT AS n_ips,
+    regexp_replace(t1, '{esc(IPV4_RE)}', '{IP_TOKEN}', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+  regexp_replace(t2, '{esc(PHONE_RE)}', '{PHONE_TOKEN}', 'g') AS redacted,
+  n_emails, n_ips,
+  len(regexp_extract_all(t2, '{esc(PHONE_RE)}'))::BIGINT AS n_phones
+FROM s2
+"""
+
+
+#: Knuth multiplicative hash — doc_id * 2654435761 mod 2^32.  Chosen
+#: over md5/splitmix because BOTH sides can compute it exactly: numpy
+#: uint64 (vectorized, no per-row Python) and DuckDB BIGINT arithmetic
+#: (the product fits: doc_id < 2^32 by the synth generator's contract).
+_SAMPLE_HASH_MULT = 2654435761
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-source stratified sampling — the training-data
+    mixing primitive (keep X% of crawl, Y% of wiki, ...).  The keep
+    decision is a pure hash of doc_id, so it is reproducible across
+    runs, cluster sizes and block orders, and needs NO coordination:
+    one streaming filter map, no shuffle, no RNG state.  Rate per
+    source k ('src<k>') is k*50 permille — spanning drop-all (src0)
+    to keep-95% (src19), so the gate sees every regime."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(_SAMPLE_HASH_MULT)) & np.uint64(0xFFFFFFFF)
+        bucket = h % np.uint64(1000)
+        srcs = batch["source"].to_pylist()
+        permille = np.array([int(s[3:]) * 50 for s in srcs], dtype=np.uint64)
+        return batch.filter(pa.array(bucket < permille))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source
+FROM documents
+WHERE ((doc_id * {_SAMPLE_HASH_MULT}) % 4294967296) % 1000
+      < CAST(substr(source, 4) AS BIGINT) * 50
+"""
+
+
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+def q_chunk_windows(sf_dir: str):
+    """Fixed token-window chunking (W=64, stride=48, 16-token overlap)
+    — the deterministic, shard-local form of LLM sequence packing.
+    Greedy bin-packing is order-dependent and needs global state;
+    fixed windows keyed by (doc_id, chunk_id) produce the identical
+    chunk set on any cluster at any block order, so the op is a pure
+    ``flat_map``: no shuffle, resumable per input shard.  Each chunk
+    carries the md5 of its space-joined tokens so the gate verifies
+    CONTENT, not just counts."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        out_ids, out_chunk, out_len, out_md5 = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            toks = simple_tokens(text)
+            n = len(toks)
+            for i in range(0, (n - 1) // _CHUNK_S + 1 if n else 0):
+                off = i * _CHUNK_S
+                piece = toks[off:off + _CHUNK_W]
+                out_ids.append(did)
+                out_chunk.append(i)
+                out_len.append(len(piece))
+                out_md5.append(
+                    hashlib.md5(" ".join(piece).encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "chunk_id": pa.array(out_chunk, pa.int64()),
+            "chunk_tokens": pa.array(out_len, pa.int64()),
+            "chunk_md5": pa.array(out_md5, pa.string()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+SQL_CHUNK_WINDOWS = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, i AS chunk_id,
+  least({_CHUNK_W}, n - i * {_CHUNK_S})::BIGINT AS chunk_tokens,
+  md5(array_to_string(
+    toks[i * {_CHUNK_S} + 1 : least(i * {_CHUNK_S} + {_CHUNK_W}, n)],
+    ' ')) AS chunk_md5
+FROM n, UNNEST(generate_series(0, (n - 1) // {_CHUNK_S})) AS g(i)
+"""
+
+
+def q_lm_score(sf_dir: str, vocab_size: int | None = None):
+    """CCNet-style corpus-LM quality score: mean unigram log-likelihood
+    of each doc under the corpus's own unigram distribution (low score
+    = gibberish / boilerplate outlier; the classic perplexity filter
+    with the n=1 model SQL can also express).
+
+    Two passes, both streaming: (1) fit — map-side Counter partials
+    -> distributed ``groupby(term).sum`` -> the (term, count) vocab is
+    pulled and broadcast once via ``ray.put`` (with ``vocab_size`` set,
+    only the top-V terms ship and the rest score at the OOV floor —
+    the 100 TB path; unset = exact, SQL-parity); (2) score — one
+    vectorized map over docs, np.log on the hit counts.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        tf: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            tf.update(simple_tokens(text))
+        terms = sorted(tf)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "c": pa.array([tf[t] for t in terms], pa.int64()),
+        })
+
+    vocab_tbl = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("c", alias_name="c"))
+        .to_arrow_refs()
+    )
+    vocab_parts = [ray.get(r) for r in vocab_tbl]
+    vocab = pa.concat_tables([t for t in vocab_parts if t.num_columns])
+    terms = vocab["term"].to_pylist()
+    counts = vocab["c"].to_numpy()
+    total = int(counts.sum())
+    if vocab_size is not None and len(terms) > vocab_size:
+        top = np.argsort(-counts, kind="stable")[:vocab_size]
+        keep = set(top.tolist())
+        terms = [t for i, t in enumerate(terms) if i in keep]
+        counts = counts[sorted(keep)]
+    count_map = dict(zip(terms, counts.tolist()))
+    count_ref = ray.put(count_map)
+    oov_lp = float(np.log(0.5 / total)) if total else 0.0
+
+    def score(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(count_ref)
+        ids, scores = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            toks = simple_tokens(text)
+            if not toks:
+                continue
+            c = np.array([cmap.get(t, 0) for t in toks], dtype=np.float64)
+            lp = np.where(c > 0, np.log(np.maximum(c, 1) / total), oov_lp)
+            ids.append(did)
+            scores.append(round(float(lp.mean()), 6))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "lm_logprob": pa.array(scores, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), total AS (
+  SELECT sum(c) AS s FROM counts
+)
+SELECT doc_id,
+  round(avg(ln(c::DOUBLE / (SELECT s FROM total))), 6) AS lm_logprob
+FROM toks JOIN counts USING (tok)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2312,6 +2586,10 @@ QUERY_FUNCS = {
     "index_lifecycle_check": q_index_lifecycle_check,
     "index_merge_check": q_index_merge_check,
     "distinct_users_hll_check": q_distinct_users_hll_check,
+    "pii_redact": q_pii_redact,
+    "stratified_sample": q_stratified_sample,
+    "chunk_windows": q_chunk_windows,
+    "lm_score": q_lm_score,
 }
 
 ORACLE_SQL = {
@@ -2365,6 +2643,10 @@ ORACLE_SQL = {
     "index_lifecycle_check": SQL_INDEX_LIFECYCLE_CHECK,
     "index_merge_check": SQL_INDEX_MERGE_CHECK,
     "distinct_users_hll_check": SQL_DISTINCT_USERS_HLL_CHECK,
+    "pii_redact": _sql_pii_redact(),
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "chunk_windows": SQL_CHUNK_WINDOWS,
+    "lm_score": SQL_LM_SCORE,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels
     # live outside SQL; their *_md5_invariant companions are gated),
