@@ -2241,6 +2241,102 @@ def q_ref_search(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# temporal joins: as-of and interval (range)
+# ---------------------------------------------------------------------------
+
+def q_asof_join(sf_dir: str, reduce: str = "driver"):
+    """Backward as-of join: each click event picks up the latest
+    prior-or-simultaneous purchase by the same user (the kdb /
+    pandas-merge_asof semantics; DuckDB ``ASOF LEFT JOIN`` is the
+    oracle).  Plan in stages/joins.py: one (key, ts, side) range sort
+    + vectorized per-block partials + associative stitch; both reduce
+    tiers bit-identical.  Sentinels (-1 / 0.0) + a ``matched`` flag
+    instead of nulls keep the value-hash encoding-independent."""
+    import contextlib
+
+    from ..stages.joins import asof_join_backward
+
+    # the hash-shuffle context must wrap the ROOT reads: Ray snapshots
+    # DataContext into a dataset at creation, so a repartition(keys=)
+    # chained onto a sort-strategy root still executes sort-based
+    ctx = (_hash_shuffle_context() if reduce == "partitioned"
+           else contextlib.nullcontext())
+    with ctx:
+        ev = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts", "event_type",
+                            "value"])
+        left = ev.filter(expr="event_type == 'click'")
+        right = ev.filter(expr="event_type == 'purchase'")
+        res = asof_join_backward(left, right, key_col="user_id",
+                                 ts_col="ts", left_id_col="event_id",
+                                 right_value_col="value", reduce=reduce)
+    names = {"left_id": "event_id", "key": "user_id"}
+
+    if isinstance(res, pa.Table):
+        return res.rename_columns(
+            [names.get(c, c) for c in res.column_names])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [names.get(c, c) for c in batch.column_names])
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_ASOF_JOIN = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+  r.ts IS NOT NULL AS matched,
+  coalesce(epoch_us(r.ts), -1) AS r_ts_us,
+  coalesce(r.value, 0.0) AS r_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_join(sf_dir: str):
+    """Interval (range) join: events vs 16 OVERLAPPING time windows
+    derived deterministically from the corpus time span (each window
+    is 1.5 steps wide, so rows near a boundary match two windows —
+    a genuine range join, not binning).  The window table is the
+    broadcast small side; the probe is one streaming map."""
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.joins import interval_join
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    agg = ds.aggregate(Min("ts"), Max("ts"))
+    mn = pd.Timestamp(agg["min(ts)"]).value // 1000
+    mx = pd.Timestamp(agg["max(ts)"]).value // 1000
+    step = (mx - mn) // 16 + 1
+    k = np.arange(16, dtype=np.int64)
+    intervals = pa.table({
+        "window_id": pa.array(k, pa.int64()),
+        "lo_us": pa.array(mn + k * step, pa.int64()),
+        "hi_us": pa.array(mn + k * step + step + step // 2, pa.int64()),
+    })
+    return interval_join(ds, intervals, ts_col="ts", id_col="event_id")
+
+
+SQL_RANGE_JOIN = """
+WITH b AS (
+  SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx FROM events
+), p AS (
+  SELECT mn, (mx - mn) // 16 + 1 AS step FROM b
+), w AS (
+  SELECT i AS window_id, mn + i * step AS lo,
+         mn + i * step + step + step // 2 AS hi
+  FROM p, UNNEST(generate_series(0, 15)) AS g(i)
+)
+SELECT e.event_id, w.window_id
+FROM events e JOIN w ON epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) < w.hi
+"""
+
+
+# ---------------------------------------------------------------------------
 # curation extensions: PII scrub / stratified sampling / window chunking /
 # unigram-LM scoring
 # ---------------------------------------------------------------------------
@@ -2590,6 +2686,10 @@ QUERY_FUNCS = {
     "stratified_sample": q_stratified_sample,
     "chunk_windows": q_chunk_windows,
     "lm_score": q_lm_score,
+    "asof_join": q_asof_join,
+    "asof_join_partitioned":
+        lambda sf_dir: q_asof_join(sf_dir, reduce="partitioned"),
+    "range_join": q_range_join,
 }
 
 ORACLE_SQL = {
@@ -2647,6 +2747,9 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "chunk_windows": SQL_CHUNK_WINDOWS,
     "lm_score": SQL_LM_SCORE,
+    "asof_join": SQL_ASOF_JOIN,
+    "asof_join_partitioned": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels
     # live outside SQL; their *_md5_invariant companions are gated),

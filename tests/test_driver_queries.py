@@ -82,6 +82,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "bm25_topk_filtered", "phrase_match", "boolean_retrieval",
         "index_phrase_boolean_check", "more_like_this", "facet_counts",
         "pii_redact", "stratified_sample", "chunk_windows", "lm_score",
+        "asof_join", "asof_join_partitioned", "range_join",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):

@@ -1,0 +1,140 @@
+"""As-of and interval join semantics on hand-built inputs (the SQL
+parity gate runs in test_driver_queries); pins the cases the events
+table never hits: equal-timestamp inclusivity, never-matched keys,
+multi-window overlap, and cross-tier bit-parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from modernsearchengines_ray.stages.joins import (
+    asof_join_backward, interval_join,
+)
+
+US = 1_000_000
+
+
+def _events(rows, value=False):
+    cols = {
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] * US for r in rows], pa.timestamp("us")),
+    }
+    if value:
+        cols["value"] = pa.array([r[3] for r in rows], pa.float64())
+    return pa.table(cols)
+
+
+def _run_asof(left_rows, right_rows, reduce="driver"):
+    import ray.data as rd
+
+    res = asof_join_backward(
+        rd.from_arrow(_events(left_rows)),
+        rd.from_arrow(_events(right_rows, value=True)),
+        key_col="user_id", ts_col="ts", left_id_col="event_id",
+        right_value_col="value", reduce=reduce)
+    df = res.to_pandas()
+    return df.sort_values("left_id", ignore_index=True)
+
+
+class TestAsofJoin:
+    def test_backward_inclusive_at_equal_ts(self, ray_session):
+        # right at EXACTLY the left ts must match (l.ts >= r.ts)
+        out = _run_asof([(1, 7, 100)], [(9, 7, 100, 2.5)])
+        assert out.loc[0, "matched"]
+        assert out.loc[0, "r_ts_us"] == 100 * US
+        assert out.loc[0, "r_value"] == 2.5
+
+    def test_picks_latest_prior_not_first(self, ray_session):
+        out = _run_asof([(1, 7, 100)],
+                        [(8, 7, 50, 1.0), (9, 7, 90, 2.0), (10, 7, 150, 3.0)])
+        assert out.loc[0, "r_ts_us"] == 90 * US
+        assert out.loc[0, "r_value"] == 2.0
+
+    def test_unmatched_and_cross_user_isolation(self, ray_session):
+        # user 7 has only a FUTURE right; user 8's rights must not leak
+        out = _run_asof([(1, 7, 100), (2, 8, 100)],
+                        [(9, 7, 200, 9.0), (10, 8, 40, 4.0)])
+        assert not out.loc[0, "matched"]
+        assert out.loc[0, "r_ts_us"] == -1
+        assert out.loc[1, "matched"]
+        assert out.loc[1, "r_value"] == 4.0
+
+    def test_tier_parity_many_blocks(self, ray_session):
+        # enough rows that the sort produces multiple blocks and the
+        # stitch actually crosses block boundaries
+        rng = np.random.RandomState(7)
+        left = [(i, int(rng.randint(5)), int(rng.randint(1000)))
+                for i in range(300)]
+        right = [(1000 + i, int(rng.randint(5)), int(rng.randint(1000)),
+                  float(i)) for i in range(300)]
+        a = _run_asof(left, right, reduce="driver")
+        b = _run_asof(left, right, reduce="partitioned")
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_driver_matches_pandas_merge_asof(self, ray_session):
+        rng = np.random.RandomState(11)
+        left = [(i, int(rng.randint(3)), int(rng.randint(500)))
+                for i in range(120)]
+        right = sorted(
+            {(int(rng.randint(3)), int(rng.randint(500))) for _ in range(80)})
+        right = [(5000 + i, u, t, float(u * 1000 + t))
+                 for i, (u, t) in enumerate(right)]
+        got = _run_asof(left, right)
+        ldf = pd.DataFrame(left, columns=["event_id", "user_id", "t"]) \
+            .sort_values("t", kind="mergesort")
+        rdf = pd.DataFrame(right,
+                           columns=["rid", "user_id", "t", "value"]) \
+            .sort_values("t", kind="mergesort")
+        want = pd.merge_asof(ldf, rdf, on="t", by="user_id",
+                             direction="backward") \
+            .sort_values("event_id", ignore_index=True)
+        got = got.sort_values("left_id", ignore_index=True)
+        matched = want["value"].notna()
+        assert (got["matched"] == matched.to_numpy()).all()
+        assert np.allclose(got.loc[matched, "r_value"],
+                           want.loc[matched, "value"])
+
+    def test_unknown_reduce_mode_raises(self, ray_session):
+        import ray.data as rd
+
+        with pytest.raises(ValueError):
+            asof_join_backward(
+                rd.from_arrow(_events([(1, 1, 1)])),
+                rd.from_arrow(_events([(2, 1, 1, 0.0)], value=True)),
+                key_col="user_id", ts_col="ts", left_id_col="event_id",
+                right_value_col="value", reduce="bogus")
+
+
+class TestIntervalJoin:
+    def test_overlapping_windows_multi_match(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(_events([(1, 0, 10), (2, 0, 14), (3, 0, 99)]))
+        intervals = pa.table({
+            "window_id": pa.array([0, 1], pa.int64()),
+            "lo_us": pa.array([0, 12 * US], pa.int64()),
+            "hi_us": pa.array([15 * US, 30 * US], pa.int64()),
+        })
+        out = interval_join(ds, intervals, ts_col="ts",
+                            id_col="event_id").to_pandas()
+        got = set(map(tuple, out[["event_id", "window_id"]].to_numpy()))
+        # event 2 (t=14) falls in BOTH windows; event 3 in neither
+        assert got == {(1, 0), (2, 0), (2, 1)}
+
+    def test_half_open_boundaries(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(_events([(1, 0, 5), (2, 0, 9)]))
+        intervals = pa.table({
+            "window_id": pa.array([0], pa.int64()),
+            "lo_us": pa.array([5 * US], pa.int64()),
+            "hi_us": pa.array([9 * US], pa.int64()),
+        })
+        out = interval_join(ds, intervals, ts_col="ts",
+                            id_col="event_id").to_pandas()
+        # lo inclusive, hi exclusive
+        assert out["event_id"].tolist() == [1]
