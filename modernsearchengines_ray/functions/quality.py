@@ -106,3 +106,67 @@ def rolling_fingerprints(text: str, window: int = 8, modulus: int = 1 << 32,
         if i >= window - 1 and h % keep_mod == 0:
             out.append(h)
     return out
+
+
+def repetition_stats(text: str) -> dict[str, float]:
+    """Within-document repetition signals (Gopher §A1.1, the word-gram
+    family — Rae et al. 2021, arXiv:2112.11446).
+
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac``: max over the
+      doc's word n-grams of ``occurrences × gram_chars`` (gram chars =
+      summed word lengths, no separators) divided by total word chars.
+      The product-max form is tie-free, so Ray and SQL agree without a
+      tie-break rule.
+    - ``dup_5gram_char_frac``: fraction of word characters covered by
+      at least one 5-gram that occurs ≥2× in the SAME doc (coverage
+      counts each word position once however many duplicate grams
+      overlap it — the Gopher "characters in duplicate n-grams"
+      measure).
+
+    Words are the SQL-parity kernel (``[a-z0-9]+`` over lower(text)).
+    Gopher's duplicate line/paragraph fractions are deliberately not
+    here: the synthetic corpus has no line structure, so they would be
+    identically zero (vacuous for the oracle gate); the n-gram family
+    carries the same signal on running text.
+    """
+    words = _WORD_RE.findall(text.lower())
+    n = len(words)
+    lens = [len(w) for w in words]
+    word_chars = sum(lens)
+    out = {"top_2gram_char_frac": 0.0, "top_3gram_char_frac": 0.0,
+           "dup_5gram_char_frac": 0.0}
+    if word_chars == 0:
+        return out
+    # prefix sums: gram chars of words[i:i+k] = pref[i+k] - pref[i]
+    pref = [0]
+    for ln in lens:
+        pref.append(pref[-1] + ln)
+
+    for key, k in (("top_2gram_char_frac", 2), ("top_3gram_char_frac", 3)):
+        if n < k:
+            continue
+        counts: dict[tuple[str, ...], int] = {}
+        for i in range(n - k + 1):
+            g = tuple(words[i:i + k])
+            counts[g] = counts.get(g, 0) + 1
+        best = 0
+        for i in range(n - k + 1):
+            g = tuple(words[i:i + k])
+            score = counts[g] * (pref[i + k] - pref[i])
+            if score > best:
+                best = score
+        out[key] = best / word_chars
+
+    k = 5
+    if n >= k:
+        counts5: dict[tuple[str, ...], int] = {}
+        for i in range(n - k + 1):
+            g = tuple(words[i:i + k])
+            counts5[g] = counts5.get(g, 0) + 1
+        covered = bytearray(n)
+        for i in range(n - k + 1):
+            if counts5[tuple(words[i:i + k])] >= 2:
+                covered[i:i + k] = b"\x01" * k
+        dup_chars = sum(ln for ln, c in zip(lens, covered) if c)
+        out["dup_5gram_char_frac"] = dup_chars / word_chars
+    return out

@@ -2337,6 +2337,315 @@ FROM events e JOIN w ON epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) < w.hi
 
 
 # ---------------------------------------------------------------------------
+# repetition / duplicate-span curation signals and distributed selection
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_NGRAM = 8
+
+
+def q_dup_spans(sf_dir: str):
+    """Cross-doc exact-substring duplication (Lee et al. 2021): per
+    doc, how many of its 8-word spans occur verbatim in another doc.
+    Plan in stages/spans.py: map-side per-doc gram counts →
+    groupby(gram) dup mining → inner hash join → one groupby(doc_id)
+    over unioned narrow partials.  No driver state at any size."""
+    from ..stages.spans import dup_span_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_span_stats(ds, n=DUP_SPAN_NGRAM)
+
+
+SQL_DUP_SPANS = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(words, i, i + {DUP_SPAN_NGRAM - 1}),
+                         ' ') AS gram
+  FROM w, unnest(range(1, len(words) - {DUP_SPAN_NGRAM - 2})) AS t(i)
+  WHERE len(words) >= {DUP_SPAN_NGRAM}
+), gc AS (
+  SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY doc_id, gram
+), d AS (
+  SELECT gram FROM gc GROUP BY gram HAVING count(*) >= 2
+), s AS (
+  SELECT gc.doc_id, sum(occ) AS n_spans,
+         sum(CASE WHEN d.gram IS NOT NULL THEN occ ELSE 0 END)
+           AS dup_spans
+  FROM gc LEFT JOIN d USING (gram) GROUP BY gc.doc_id
+)
+SELECT doc_id,
+  coalesce(n_spans, 0)::BIGINT AS n_spans,
+  coalesce(dup_spans, 0)::BIGINT AS dup_spans,
+  CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+       ELSE round(dup_spans::DOUBLE / n_spans, 6) END AS dup_span_ratio
+FROM documents LEFT JOIN s USING (doc_id)
+"""
+
+
+def _round_half_away(v: float, ndigits: int = 6) -> float:
+    """DuckDB-parity rounding: half AWAY from zero (Python's builtin
+    ``round`` banks to even — a value landing exactly on a .5
+    boundary, e.g. the dyadic 17/128, hashes differently under the
+    two rules).  Sign-aware so negative halves also round away."""
+    import math
+
+    scale = 10 ** ndigits
+    return math.copysign(math.floor(abs(v) * scale + 0.5), v) / scale
+
+
+def q_repetition(sf_dir: str):
+    """Gopher §A1.1 within-doc repetition signals (word-gram family);
+    per-doc kernel in functions/quality.py, one streaming map."""
+    from ..functions.quality import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signals(batch: pa.Table) -> pa.Table:
+        rows = [repetition_stats(t) for t in batch["text"].to_pylist()]
+        cols = {"doc_id": batch["doc_id"]}
+        for key in ("top_2gram_char_frac", "top_3gram_char_frac",
+                    "dup_5gram_char_frac"):
+            cols[key] = pa.array(
+                [_round_half_away(r[key]) for r in rows], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(signals, batch_format="pyarrow")
+
+
+def _sql_top_gram(k: int) -> str:
+    """max over k-grams of occurrences × gram chars, per doc."""
+    return f"""
+  SELECT doc_id, max(c * glen) AS top{k}
+  FROM (
+    SELECT doc_id,
+           array_to_string(list_slice(words, i, i + {k - 1}), ' ')
+             AS gram,
+           any_value(len(array_to_string(
+             list_slice(words, i, i + {k - 1}), ''))) AS glen,
+           count(*) AS c
+    FROM w, unnest(range(1, len(words) - {k - 2})) AS t(i)
+    WHERE len(words) >= {k}
+    GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+"""
+
+
+SQL_REPETITION = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM documents
+), wa AS (
+  SELECT doc_id, sum(length(x)) AS word_chars
+  FROM w, unnest(words) AS u(x) GROUP BY doc_id
+), t2 AS ({_sql_top_gram(2)}
+), t3 AS ({_sql_top_gram(3)}
+), g5 AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(words, i, i + 4), ' ') AS gram
+  FROM w, unnest(range(1, len(words) - 3)) AS t(i)
+  WHERE len(words) >= 5
+), g5d AS (
+  SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram
+  HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT g5.doc_id, j
+  FROM g5 JOIN g5d USING (doc_id, gram),
+       unnest(range(g5.i, g5.i + 5)) AS u(j)
+), covc AS (
+  SELECT cov.doc_id, sum(length(w.words[j])) AS dup_chars
+  FROM cov JOIN w USING (doc_id) GROUP BY cov.doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN coalesce(word_chars, 0) = 0 OR t2.top2 IS NULL THEN 0.0
+       ELSE round(t2.top2::DOUBLE / word_chars, 6) END
+    AS top_2gram_char_frac,
+  CASE WHEN coalesce(word_chars, 0) = 0 OR t3.top3 IS NULL THEN 0.0
+       ELSE round(t3.top3::DOUBLE / word_chars, 6) END
+    AS top_3gram_char_frac,
+  CASE WHEN coalesce(word_chars, 0) = 0 OR covc.dup_chars IS NULL
+       THEN 0.0
+       ELSE round(covc.dup_chars::DOUBLE / word_chars, 6) END
+    AS dup_5gram_char_frac
+FROM documents d
+LEFT JOIN wa USING (doc_id) LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id) LEFT JOIN covc USING (doc_id)
+"""
+
+
+PRICE_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_price_quantiles(sf_dir: str):
+    """Exact distributed order-statistic quantiles of
+    lineitem.l_extendedprice via histogram refinement — no full sort,
+    driver state = one 4096-long count vector (stages/quantiles.py)."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice", PRICE_QUANTILES)
+
+
+SQL_PRICE_QUANTILES = f"""
+WITH s AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem
+), n AS (SELECT count(*) AS n FROM lineitem),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in PRICE_QUANTILES)})
+SELECT qs.q::DOUBLE AS q, s.v AS value
+FROM qs, n
+JOIN s ON s.rn = CAST(floor((n.n - 1) * qs.q) AS BIGINT) + 1
+"""
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (the k-means/analysis primitive):
+    each batch collapses to one (label, dim, sum, count) long-format
+    partial per label×dim — labels×dim rows per block, independent of
+    batch size — then one tiny ``groupby(label, dim)`` stitch.  Fully
+    streaming; the driver never holds a vector."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        emb = batch["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // max(len(labels), 1)
+        mat = flat.reshape(len(labels), dim).astype(np.float64)
+        labs, dims, sums, cnts = [], [], [], []
+        for lab in np.unique(labels):
+            rows = mat[labels == lab]
+            s = rows.sum(axis=0)
+            labs.extend([int(lab)] * dim)
+            dims.extend(range(dim))
+            sums.extend(s.tolist())
+            cnts.extend([len(rows)] * dim)
+        return pa.table({
+            "label": pa.array(labs, pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "s": pa.array(sums, pa.float64()),
+            "c": pa.array(cnts, pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "dim"]).aggregate(
+            Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "label": batch["label"].cast(pa.int64()),
+            "dim": batch["dim"].cast(pa.int64()),
+            "mean_val": pa.array(
+                [_round_half_away(v) for v in s / c], pa.float64()),
+            "n_vectors": batch["c"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label::BIGINT AS label, (i - 1)::BIGINT AS dim,
+       round(avg(embedding[i]::DOUBLE), 6) AS mean_val,
+       count(*)::BIGINT AS n_vectors
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY 1, 2
+"""
+
+
+def q_nation_revenue(sf_dir: str):
+    """Revenue by nation (TPC-H Q5-lite): lineitem ⋈ orders ⋈
+    customer ⋈ nation.  The two big sides meet in hash-shuffle joins
+    (customer is NOT broadcastable at 10⁹ rows); the 25-row nation
+    table is the broadcast lookup; revenue partials combine map-side
+    before one 25-group stitch."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import default_join_partitions
+
+    # NOTE: Dataset.join brings its own hash-shuffle machinery; do NOT
+    # also wrap this multi-join DAG in hash_shuffle_context — forcing
+    # the (25-group) groupby to hash mode too makes three concurrent
+    # exchanges' aggregator actors starve a small CPU budget (deadlock
+    # observed at num_cpus=4).  The groupby stays sort-based and tiny.
+    nparts = default_join_partitions()
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    names_ref = ray.put(dict(zip(nation["n_nationkey"],
+                                 nation["n_name"])))
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "revenue": pa.array(price * (1.0 - disc), pa.float64()),
+        })
+
+    o2n = orders.rename_columns({"o_custkey": "c_custkey"}) \
+        .join(cust, "inner", num_partitions=nparts,
+              on=("c_custkey",)) \
+        .select_columns(["o_orderkey", "c_nationkey"])
+    joined = li.map_batches(rev, batch_format="pyarrow") \
+        .join(o2n, "inner", num_partitions=nparts,
+              on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("c_nationkey",
+                                       as_index=False).agg(
+            rev_part=("revenue", "sum"),
+            n_part=("revenue", "size"))
+        return pa.table({
+            "c_nationkey": pa.array(df["c_nationkey"], pa.int64()),
+            "rev_part": pa.array(df["rev_part"], pa.float64()),
+            "n_part": pa.array(df["n_part"], pa.int64()),
+        })
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_nationkey").aggregate(
+            Sum("rev_part", alias_name="revenue"),
+            Sum("n_part", alias_name="n_items"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        keys = batch["c_nationkey"].to_pylist()
+        return pa.table({
+            "nation": pa.array([names[k] for k in keys], pa.string()),
+            "revenue": pa.array(
+                np.round(batch["revenue"].to_numpy(), 4), pa.float64()),
+            "n_items": batch["n_items"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_NATION_REVENUE = """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+         AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY nation
+"""
+
+
+# ---------------------------------------------------------------------------
 # curation extensions: PII scrub / stratified sampling / window chunking /
 # unigram-LM scoring
 # ---------------------------------------------------------------------------
@@ -2690,6 +2999,11 @@ QUERY_FUNCS = {
     "asof_join_partitioned":
         lambda sf_dir: q_asof_join(sf_dir, reduce="partitioned"),
     "range_join": q_range_join,
+    "dup_spans": q_dup_spans,
+    "repetition": q_repetition,
+    "price_quantiles": q_price_quantiles,
+    "label_centroids": q_label_centroids,
+    "nation_revenue": q_nation_revenue,
 }
 
 ORACLE_SQL = {
@@ -2750,6 +3064,11 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "asof_join_partitioned": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
+    "dup_spans": SQL_DUP_SPANS,
+    "repetition": SQL_REPETITION,
+    "price_quantiles": SQL_PRICE_QUANTILES,
+    "label_centroids": SQL_LABEL_CENTROIDS,
+    "nation_revenue": SQL_NATION_REVENUE,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels
     # live outside SQL; their *_md5_invariant companions are gated),

@@ -83,6 +83,8 @@ def test_oracle_keys_subset_of_queries(contract):
         "index_phrase_boolean_check", "more_like_this", "facet_counts",
         "pii_redact", "stratified_sample", "chunk_windows", "lm_score",
         "asof_join", "asof_join_partitioned", "range_join",
+        "dup_spans", "repetition", "price_quantiles",
+        "label_centroids", "nation_revenue",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):

@@ -1,0 +1,181 @@
+"""Unit tests: duplicate-span mining, repetition signals, exact
+distributed quantiles, and the DuckDB-parity rounding helper."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+SHARED = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+
+
+class TestDupSpans:
+    def _run(self, ds, **kw):
+        from modernsearchengines_ray.stages.spans import dup_span_stats
+
+        out = dup_span_stats(ds, n=8, **kw).to_pandas()
+        return out.set_index("doc_id").sort_index()
+
+    def test_planted_cross_doc_span(self, ray_session):
+        # A and B share one 8-word span; C is unique; D is too short.
+        ds = _docs_ds([
+            (1, SHARED + " one two three"),
+            (2, "x y " + SHARED),
+            (3, "entirely different words with no overlap at all here"),
+            (4, "too short"),
+        ])
+        out = self._run(ds)
+        assert len(out) == 4
+        # doc1: 11 words -> 4 spans; exactly 1 (the shared gram) dup
+        assert out.loc[1, "n_spans"] == 4
+        assert out.loc[1, "dup_spans"] == 1
+        assert out.loc[1, "dup_span_ratio"] == 0.25
+        # doc2: 10 words -> 3 spans, 1 dup
+        assert out.loc[2, "n_spans"] == 3
+        assert out.loc[2, "dup_spans"] == 1
+        # doc3: 9 words -> 2 spans, 0 dup
+        assert out.loc[3, "n_spans"] == 2
+        assert out.loc[3, "dup_spans"] == 0
+        assert out.loc[3, "dup_span_ratio"] == 0.0
+        # doc4: <8 words -> zero row survives
+        assert out.loc[4, "n_spans"] == 0
+        assert out.loc[4, "dup_span_ratio"] == 0.0
+
+    def test_within_doc_repeat_is_not_cross_doc_dup(self, ray_session):
+        # the same gram twice in ONE doc is not duplication (needs >=2
+        # distinct docs)...
+        ds = _docs_ds([(1, SHARED + " filler " + SHARED)])
+        out = self._run(ds)
+        assert out.loc[1, "dup_spans"] == 0
+        # ...but both occurrences count once another doc has it
+        ds2 = _docs_ds([(1, SHARED + " filler " + SHARED), (2, SHARED)])
+        out2 = self._run(ds2)
+        assert out2.loc[1, "dup_spans"] == 2
+        assert out2.loc[2, "dup_spans"] == 1
+
+    def test_hash64_key_parity(self, ray_session):
+        ds = _docs_ds([
+            (1, SHARED + " one two three"),
+            (2, "x y " + SHARED),
+            (3, "entirely different words with no overlap at all here"),
+        ])
+        a = self._run(ds)
+        b = self._run(ds, key="hash64")
+        assert a.equals(b)
+
+    def test_bad_key_raises(self, ray_session):
+        from modernsearchengines_ray.stages.spans import dup_span_stats
+
+        with pytest.raises(ValueError):
+            dup_span_stats(_docs_ds([(1, "a")]), key="nope")
+
+
+class TestRepetitionStats:
+    def test_hand_checked(self):
+        from modernsearchengines_ray.functions.quality import (
+            repetition_stats)
+
+        r = repetition_stats("the cat sat. the cat sat on a mat")
+        assert r["top_2gram_char_frac"] == pytest.approx(0.5)
+        assert r["top_3gram_char_frac"] == pytest.approx(0.75)
+        assert r["dup_5gram_char_frac"] == 0.0
+
+        r = repetition_stats("a b c d e a b c d e x")
+        assert r["dup_5gram_char_frac"] == pytest.approx(10 / 11)
+
+    def test_degenerate_inputs(self):
+        from modernsearchengines_ray.functions.quality import (
+            repetition_stats)
+
+        for text in ("", "   ", "!!!", "one"):
+            r = repetition_stats(text)
+            assert set(r.values()) == {0.0}
+
+    def test_overlap_counted_once(self):
+        from modernsearchengines_ray.functions.quality import (
+            repetition_stats)
+
+        # "a a a a a a" : every 5-gram is (a a a a a), duplicated;
+        # coverage is all 6 positions once, not 2x5 positions
+        r = repetition_stats("a a a a a a")
+        assert r["dup_5gram_char_frac"] == 1.0
+
+
+class TestRoundHalfAway:
+    def test_matches_duckdb_semantics(self):
+        import duckdb
+
+        from modernsearchengines_ray.pipelines.driver_queries import (
+            _round_half_away)
+
+        con = duckdb.connect()
+        # dyadic halves where Python's round() banks the other way
+        for v in (17 / 128, -17 / 128, 2.5e-6, -2.5e-6, 0.1234565,
+                  0.0, 1.0):
+            want = con.execute(
+                "SELECT round(?::DOUBLE, 6)", [v]).fetchone()[0]
+            assert _round_half_away(v) == want, v
+
+
+class TestExactQuantiles:
+    QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+    def _check(self, vals, bins=256):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            exact_quantiles)
+
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+        got = exact_quantiles(ds, "v", self.QS, bins=bins).to_pandas()
+        srt = np.sort(np.asarray(vals, dtype=np.float64))
+        for q, g in zip(self.QS, got["value"]):
+            want = srt[int(np.floor((len(srt) - 1) * q))]
+            assert g == want, (q, g, want)
+
+    def test_random(self, ray_session):
+        rng = np.random.default_rng(7)
+        self._check(rng.normal(100.0, 25.0, size=10_000).tolist())
+
+    def test_skewed_duplicates(self, ray_session):
+        rng = np.random.default_rng(11)
+        vals = np.concatenate([
+            np.full(5_000, 42.0),  # hot value concentrates one bin
+            rng.uniform(0.0, 1000.0, 2_000)])
+        self._check(vals.tolist())
+
+    def test_constant_column(self, ray_session):
+        self._check([7.5] * 100)
+
+    def test_empty_returns_nulls(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            exact_quantiles)
+
+        ds = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+        got = exact_quantiles(ds, "v", self.QS)
+        assert got["value"].null_count == len(self.QS)
+
+    def test_candidate_guard_raises(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            exact_quantiles)
+
+        ds = rd.from_arrow(pa.table(
+            {"v": pa.array(np.arange(1000.0), pa.float64())}))
+        with pytest.raises(ValueError, match="max_candidate_rows"):
+            exact_quantiles(ds, "v", (0.5,), bins=2,
+                            max_candidate_rows=10)
