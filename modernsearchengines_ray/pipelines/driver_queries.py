@@ -634,6 +634,216 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# prefix / fuzzy (Lucene multi-term query analogues)
+# ---------------------------------------------------------------------------
+
+PREFIX_PROBE = "s"
+FUZZY_PROBE = "stram"
+FUZZY_MAX_EDITS = 1
+
+
+def q_prefix_search(sf_dir: str):
+    """Corpus-scan semantics of a prefix query: per doc, the distinct
+    simple tokens starting with the probe and their occurrence count
+    — one streaming map, no shuffle.  The index-serving path
+    (dictionary expansion across the scorer pool → disjunctive BM25,
+    QueryEngine.search_prefix) is gated by
+    ``index_prefix_fuzzy_check`` and pytest."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids, n_terms, n_occ = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            hits = [w for w in simple_tokens(text)
+                    if w.startswith(PREFIX_PROBE)]
+            if hits:
+                ids.append(did)
+                n_terms.append(len(set(hits)))
+                n_occ.append(len(hits))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_prefix_terms": pa.array(n_terms, pa.int64()),
+            "n_occurrences": pa.array(n_occ, pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+SQL_PREFIX_SEARCH = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+)
+SELECT doc_id, count(DISTINCT word)::BIGINT AS n_prefix_terms,
+       count(*)::BIGINT AS n_occurrences
+FROM w WHERE starts_with(word, '{PREFIX_PROBE}')
+GROUP BY doc_id
+"""
+
+
+def q_fuzzy_match(sf_dir: str):
+    """Corpus-scan semantics of a fuzzy query: docs containing any
+    token within ``FUZZY_MAX_EDITS`` Levenshtein edits of the probe.
+    The per-batch distinct-word memo keeps the DP off the token hot
+    path (each distinct word is tested once per batch, not per
+    occurrence)."""
+    from ..functions.editdist import levenshtein
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        memo: dict[str, bool] = {}
+
+        def near(w: str) -> bool:
+            hit = memo.get(w)
+            if hit is None:
+                hit = levenshtein(w, FUZZY_PROBE,
+                                  cap=FUZZY_MAX_EDITS) <= FUZZY_MAX_EDITS
+                memo[w] = hit
+            return hit
+
+        ids, n_terms, n_occ = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            hits = [w for w in simple_tokens(text) if near(w)]
+            if hits:
+                ids.append(did)
+                n_terms.append(len(set(hits)))
+                n_occ.append(len(hits))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_fuzzy_terms": pa.array(n_terms, pa.int64()),
+            "n_occurrences": pa.array(n_occ, pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+SQL_FUZZY_MATCH = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+)
+SELECT doc_id, count(DISTINCT word)::BIGINT AS n_fuzzy_terms,
+       count(*)::BIGINT AS n_occurrences
+FROM w WHERE levenshtein(word, '{FUZZY_PROBE}') <= {FUZZY_MAX_EDITS}
+GROUP BY doc_id
+"""
+
+
+def q_index_prefix_fuzzy_check(sf_dir: str):
+    """Derived invariant gating the INDEX-LEVEL prefix + fuzzy serving
+    paths: build the real index (Porter stems, stopword drop, df<=5
+    prune), then verify that
+
+    - ``QueryEngine.expand_terms`` (the pool-parallel dictionary scan)
+      returns exactly the scan-derived surviving stems matching each
+      probe, and
+    - each search's hit set equals the union of those stems' scan
+      postings.
+
+    The (stem, doc) pairs come from one distributed map + groupby;
+    only vocabulary-sized aggregates reach the driver."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    from ..config import IndexConfig
+    from ..functions.editdist import levenshtein
+    from ..functions.tokenizer import tokenize
+    from ..pipelines.build_index import build_index
+    from ..pipelines.query import QueryEngine
+
+    cfg = IndexConfig(prepend_url_words=False, num_shards=8)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        out_s, out_d = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for stem in {s for s, _ in tokenize(text)}:
+                out_s.append(stem)
+                out_d.append(did)
+        return pa.table({"stem": pa.array(out_s, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
+    df_tab = pair_ds.groupby("stem").aggregate(
+        Count(alias_name="df")).to_pandas()
+    surv = set(df_tab.loc[df_tab["df"] > cfg.min_df_exclusive, "stem"])
+
+    want_prefix = sorted(s for s in surv if s.startswith(PREFIX_PROBE))
+    want_fuzzy = sorted(
+        s for s in surv
+        if levenshtein(s, FUZZY_PROBE,
+                       cap=FUZZY_MAX_EDITS) <= FUZZY_MAX_EDITS)
+
+    def doc_union(stems: list[str]) -> set[int]:
+        if not stems:
+            return set()
+        wanted = set(stems)
+        hits = pair_ds.map_batches(
+            lambda b, w=wanted: b.filter(
+                pa.array([s in w for s in b["stem"].to_pylist()])
+            ).select(["doc_id"]),
+            batch_format="pyarrow").to_pandas()
+        return set(hits["doc_id"].astype(int))
+
+    want_prefix_docs = doc_union(want_prefix)
+    want_fuzzy_docs = doc_union(want_fuzzy)
+
+    tmp = tempfile.mkdtemp(prefix="msr_pf_")
+    try:
+        idx = f"{tmp}/idx"
+        build_index(ds, idx, cfg=cfg, corpus_id=f"{sf_dir}:pf")
+        engine = QueryEngine(idx, num_scorers=2)
+        try:
+            got_prefix_terms = engine.expand_terms("prefix", PREFIX_PROBE)
+            got_fuzzy_terms = engine.expand_terms(
+                "fuzzy", FUZZY_PROBE, FUZZY_MAX_EDITS)
+            got_prefix_docs = {d for d, _ in engine.search_prefix(
+                PREFIX_PROBE, k=n_docs)}
+            got_fuzzy_docs = {d for d, _ in engine.search_fuzzy(
+                FUZZY_PROBE, max_edits=FUZZY_MAX_EDITS, k=n_docs)}
+        finally:
+            engine.shutdown()
+        return pd.DataFrame({
+            "n_docs": pd.array([n_docs], dtype="int64"),
+            "prefix_terms_equal": pd.array(
+                [got_prefix_terms == want_prefix], dtype="boolean"),
+            "fuzzy_terms_equal": pd.array(
+                [got_fuzzy_terms == want_fuzzy], dtype="boolean"),
+            "prefix_docs_equal": pd.array(
+                [got_prefix_docs == want_prefix_docs], dtype="boolean"),
+            "fuzzy_docs_equal": pd.array(
+                [got_fuzzy_docs == want_fuzzy_docs], dtype="boolean"),
+            "prefix_nonvacuous": pd.array(
+                [0 < len(want_prefix_docs)], dtype="boolean"),
+            "fuzzy_nonvacuous": pd.array(
+                [0 < len(want_fuzzy_docs) < n_docs], dtype="boolean"),
+        })
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_INDEX_PREFIX_FUZZY_CHECK = """
+SELECT count(*)::BIGINT AS n_docs,
+       TRUE AS prefix_terms_equal,
+       TRUE AS fuzzy_terms_equal,
+       TRUE AS prefix_docs_equal,
+       TRUE AS fuzzy_docs_equal,
+       TRUE AS prefix_nonvacuous,
+       TRUE AS fuzzy_nonvacuous
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
 
@@ -3004,6 +3214,9 @@ QUERY_FUNCS = {
     "price_quantiles": q_price_quantiles,
     "label_centroids": q_label_centroids,
     "nation_revenue": q_nation_revenue,
+    "prefix_search": q_prefix_search,
+    "fuzzy_match": q_fuzzy_match,
+    "index_prefix_fuzzy_check": q_index_prefix_fuzzy_check,
 }
 
 ORACLE_SQL = {
@@ -3069,6 +3282,9 @@ ORACLE_SQL = {
     "price_quantiles": SQL_PRICE_QUANTILES,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "nation_revenue": SQL_NATION_REVENUE,
+    "prefix_search": SQL_PREFIX_SEARCH,
+    "fuzzy_match": SQL_FUZZY_MATCH,
+    "index_prefix_fuzzy_check": SQL_INDEX_PREFIX_FUZZY_CHECK,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels
     # live outside SQL; their *_md5_invariant companions are gated),

@@ -148,6 +148,23 @@ class ShardScorer:
         self._decoded.clear()
         return len(self._deleted)
 
+    def match_terms(self, kind: str, probe: str,
+                    max_edits: int = 1) -> list[str]:
+        """Scan this scorer's term dictionary for probe matches —
+        the Lucene ``Terms.intersect`` analogue behind prefix/fuzzy
+        queries.  The scan runs INSIDE the actor so only the matched
+        terms (a handful) cross the wire, never the dictionary;
+        across the pool the vocabulary scan is embarrassingly
+        parallel because each scorer owns disjoint shards."""
+        if kind == "prefix":
+            return [t for t in self._loc if t.startswith(probe)]
+        if kind == "fuzzy":
+            from ..functions.editdist import levenshtein
+
+            return [t for t in self._loc
+                    if levenshtein(t, probe, cap=max_edits) <= max_edits]
+        raise ValueError(f"unknown match kind: {kind!r}")
+
     def _row_table(self, ti: int, ri: int):
         """(table, local row index) holding row ``ri`` of shard ``ti``."""
         if not self._lazy:
@@ -823,6 +840,58 @@ class QueryEngine:
         )
         order = np.lexsort((cands, -totals))[:k]
         return [(int(cands[i]), float(totals[i])) for i in order]
+
+    def expand_terms(self, kind: str, probe: str,
+                     max_edits: int = 1) -> list[str]:
+        """Fan a dictionary scan out over the scorer pool and merge the
+        matched index terms (sorted for determinism)."""
+        matched = ray.get([
+            s.match_terms.remote(kind, probe, max_edits)
+            for s in self.scorers])
+        return sorted(set().union(*map(set, matched)))
+
+    def _rank_union(self, stems: list[str],
+                    k: int) -> list[tuple[int, float]]:
+        """Disjunctive scoring over raw index terms: candidates =
+        union of the stems' postings; score = sum of the index-time
+        BM25 contributions of the stems present; rank (-score,
+        doc_id).  The multi-term-query tail shared by prefix and
+        fuzzy search (same algebra as ``search_boolean``'s
+        should-only case, but over UN-analyzed dictionary terms)."""
+        from ..functions.phrase import boolean_doc_ids, sum_scores_for_docs
+
+        if not stems:
+            return []
+        fetched = self.fetch(list(stems), position_terms=[])
+        present = [s for s in stems if s in fetched]
+        if not present:
+            return []
+        cands = boolean_doc_ids(
+            [], [fetched[s][0] for s in present], [])
+        if not cands.size:
+            return []
+        totals = sum_scores_for_docs(
+            cands, [(fetched[s][0], fetched[s][1]) for s in present])
+        order = np.lexsort((cands, -totals))[:k]
+        return [(int(cands[i]), float(totals[i])) for i in order]
+
+    def search_prefix(self, prefix: str,
+                      k: int = 10) -> list[tuple[int, float]]:
+        """Lucene PrefixQuery analogue: expand ``prefix`` against the
+        index term dictionary (NOT analyzed — dictionary terms are
+        already stemmed/lowercased at index time, so the probe is
+        only lowercased, matching Lucene's multi-term query
+        semantics) and rank the disjunction."""
+        return self._rank_union(
+            self.expand_terms("prefix", prefix.lower()), k)
+
+    def search_fuzzy(self, term: str, max_edits: int = 1,
+                     k: int = 10) -> list[tuple[int, float]]:
+        """Lucene FuzzyQuery analogue: dictionary terms within
+        ``max_edits`` Levenshtein edits of the (lowercased,
+        un-analyzed) probe, ranked as a disjunction."""
+        return self._rank_union(
+            self.expand_terms("fuzzy", term.lower(), max_edits), k)
 
     def facet_counts(
         self,

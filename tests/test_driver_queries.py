@@ -85,6 +85,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "asof_join", "asof_join_partitioned", "range_join",
         "dup_spans", "repetition", "price_quantiles",
         "label_centroids", "nation_revenue",
+        "prefix_search", "fuzzy_match", "index_prefix_fuzzy_check",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):

@@ -1,0 +1,124 @@
+"""Prefix / fuzzy (Lucene multi-term query analogue) conformance.
+
+Truth model: the session ``prepared`` fixture's vendored oracle index
+(post df<=5 prune) supplies the term dictionary and per-stem posting
+sets; a prefix/fuzzy search must hit exactly the union of the matched
+dictionary stems' postings.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from modernsearchengines_ray.functions.editdist import levenshtein
+
+
+class TestLevenshtein:
+    def test_known_distances(self):
+        assert levenshtein("", "") == 0
+        assert levenshtein("abc", "abc") == 0
+        assert levenshtein("abc", "") == 3
+        assert levenshtein("kitten", "sitting") == 3
+        assert levenshtein("stram", "stream") == 1
+        assert levenshtein("flaw", "lawn") == 2
+        # NO transposition shortcut (matches DuckDB's levenshtein)
+        assert levenshtein("ab", "ba") == 2
+
+    def test_cap_early_exit(self):
+        assert levenshtein("kitten", "sitting", cap=1) == 2
+        assert levenshtein("aaaaaaaa", "bbbbbbbb", cap=2) == 3
+        assert levenshtein("abc", "abd", cap=1) == 1
+
+    def test_symmetric(self):
+        assert levenshtein("spark", "park") == levenshtein("park", "spark")
+
+
+@pytest.fixture(scope="module")
+def engine(prepared):
+    from modernsearchengines_ray.pipelines.query import QueryEngine
+
+    _, index_dir, _, _ = prepared
+    eng = QueryEngine(index_dir, num_scorers=2)
+    yield eng
+    eng.shutdown()
+
+
+def _vocab(oracle_index) -> list[str]:
+    return sorted(oracle_index.index.keys())
+
+
+def _docs_union(oracle_index, stems) -> set[int]:
+    out: set[int] = set()
+    for s in stems:
+        out |= set(oracle_index.index.get(s, {}))
+    return out
+
+
+class TestPrefix:
+    def test_expansion_matches_dictionary(self, engine, prepared):
+        oracle_index = prepared[3]
+        vocab = _vocab(oracle_index)
+        probe = vocab[0][:2]
+        want = sorted(t for t in vocab if t.startswith(probe))
+        assert engine.expand_terms("prefix", probe) == want
+        assert len(want) >= 1
+
+    def test_hits_are_posting_union(self, engine, prepared):
+        oracle_index = prepared[3]
+        vocab = _vocab(oracle_index)
+        probe = vocab[len(vocab) // 2][:1]
+        want_terms = [t for t in vocab if t.startswith(probe)]
+        want_docs = _docs_union(oracle_index, want_terms)
+        hits = engine.search_prefix(probe, k=10_000)
+        assert {d for d, _ in hits} == want_docs
+        scores = [s for _, s in hits]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_no_match_is_empty(self, engine):
+        assert engine.search_prefix("zzzzzzzzq") == []
+
+    def test_k_truncates(self, engine, prepared):
+        vocab = _vocab(prepared[3])
+        probe = vocab[len(vocab) // 2][:1]
+        assert len(engine.search_prefix(probe, k=3)) <= 3
+
+
+class TestFuzzy:
+    def test_expansion_matches_dictionary(self, engine, prepared):
+        oracle_index = prepared[3]
+        vocab = _vocab(oracle_index)
+        base = max(vocab, key=len)
+        probe = base[:-1] + "q"  # one substitution away from base
+        want = sorted(t for t in vocab if levenshtein(t, probe) <= 1)
+        assert base in want
+        assert engine.expand_terms("fuzzy", probe, 1) == want
+
+    def test_hits_are_posting_union(self, engine, prepared):
+        oracle_index = prepared[3]
+        vocab = _vocab(oracle_index)
+        base = max(vocab, key=len)
+        probe = base + "x"  # one insertion away
+        want_terms = [t for t in vocab if levenshtein(t, probe) <= 1]
+        want_docs = _docs_union(oracle_index, want_terms)
+        hits = engine.search_fuzzy(probe, max_edits=1, k=10_000)
+        assert {d for d, _ in hits} == want_docs
+        assert len(want_docs) > 0
+
+    def test_wider_edit_radius_superset(self, engine, prepared):
+        vocab = _vocab(prepared[3])
+        base = max(vocab, key=len)
+        probe = base[:-1] + "q"
+        e1 = set(engine.expand_terms("fuzzy", probe, 1))
+        e2 = set(engine.expand_terms("fuzzy", probe, 2))
+        assert e1 <= e2
+
+    def test_exact_term_distance_zero(self, engine, prepared):
+        vocab = _vocab(prepared[3])
+        base = vocab[0]
+        assert base in engine.expand_terms("fuzzy", base, 0)
+
+    def test_bad_kind_raises(self, engine):
+        import ray
+
+        with pytest.raises(Exception):
+            ray.get(engine.scorers[0].match_terms.remote("glob", "x"))
