@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "term_stats", "postings_tf", "bm25_topk", "dedup_exact",
     "minhash_dedup", "simhash_near_dedup", "embedding_dedup", "quality",
     "events_window", "sessionize", "pricing_summary", "top_customers",
-    "ann_topk",
+    "ann_topk", "dup_spans", "nation_revenue", "price_quantiles",
 ]
 
 SEARCH_QUERIES = [

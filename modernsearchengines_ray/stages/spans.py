@@ -59,8 +59,8 @@ def dup_span_stats(ds, n: int = 8, id_col: str = "doc_id",
     """
     from ray.data.aggregate import Count, Sum
 
-    from .dedup import (default_join_partitions, drop_sentinels,
-                        ensure_schema)
+    from .dedup import (_sentinel_table, default_join_partitions,
+                        drop_sentinels, ensure_schema)
 
     if key not in ("gram", "hash64"):
         raise ValueError(f"key must be 'gram' or 'hash64', got {key!r}")
@@ -99,13 +99,23 @@ def dup_span_stats(ds, n: int = 8, id_col: str = "doc_id",
 
     # a corpus can legitimately have NO duplicated grams (or no grams
     # at all): sentinel-guard both join sides against Ray's
-    # empty-side Acero failure, then drop matched sentinels
+    # empty-side Acero failure, then drop matched sentinels.  The
+    # grams side is map_batches output (every block carries the emit
+    # schema), so a plain sentinel UNION suffices — the full
+    # ensure_schema would repartition the corpus-sized gram stream,
+    # an extra all-to-all; only the groupby-produced dup_keys side
+    # needs the schema-rebuilding repartition (and it is tiny).
+    import ray.data as rd
+
     gram_schema = pa.schema([("gram", key_type),
                              (id_col, pa.int64()),
                              ("occ", pa.int64())])
+    guarded_grams = rd.from_arrow(
+        _sentinel_table(gram_schema)).union(grams)
     dup_occ = drop_sentinels(
-        ensure_schema(grams, gram_schema).join(
-            ensure_schema(dup_keys, pa.schema([("gram", key_type)])),
+        guarded_grams.join(
+            ensure_schema(dup_keys, pa.schema([("gram", key_type)]),
+                          num_blocks=nparts),
             "inner", num_partitions=nparts, on=("gram",)),
         "gram")
 
