@@ -1233,6 +1233,64 @@ SELECT min(doc_id)::BIGINT AS doc_id FROM q GROUP BY md5(text)
 """
 
 
+EXPORT_PARTITIONS = 8
+
+
+def q_export_curated(sf_dir: str):
+    """Resumable-output shape for a curation run: the curate pipeline
+    streams into HASH-PARTITIONED parquet (one directory per
+    ``doc_id % P`` — at 100 TB each partition is one re-runnable unit
+    and a failed run skips finished directories; never one giant
+    file), then the verification READS THE EXPORT BACK and fingerprints
+    it.  The gate row is (n_rows, n_parts, md5 of the sorted id list)
+    so any lost/duplicated/corrupted row flips the hash.  The driver
+    holds only ids here (toy scale); at 10^12 rows the checksum
+    becomes a distributed sum-of-per-row-hashes — same invariant, no
+    driver list."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    kept = q_curate(sf_dir)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        part = pa.array(ids % EXPORT_PARTITIONS, pa.int64())
+        return batch.append_column("part", part)
+
+    out = tempfile.mkdtemp(prefix="msr_export_")
+    try:
+        kept.map_batches(add_part, batch_format="pyarrow") \
+            .write_parquet(out, partition_cols=["part"])
+        back = rd.read_parquet(out).select_columns(["doc_id"]).to_pandas()
+        ids = sorted(int(x) for x in back["doc_id"])
+        checksum = hashlib.md5(
+            ",".join(map(str, ids)).encode()).hexdigest()
+        import os
+
+        n_parts = sum(1 for d in os.listdir(out)
+                      if d.startswith("part="))
+        return pd.DataFrame({
+            "n_rows": pd.array([len(ids)], dtype="int64"),
+            "n_parts": pd.array([n_parts], dtype="int64"),
+            "id_checksum": pd.array([checksum], dtype="string"),
+        })
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_EXPORT_CURATED = f"""
+WITH kept AS ({SQL_CURATE})
+SELECT count(*)::BIGINT AS n_rows,
+       count(DISTINCT doc_id % {EXPORT_PARTITIONS})::BIGINT AS n_parts,
+       md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id))
+         AS id_checksum
+FROM kept
+"""
+
+
 def q_lang_hist(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -3217,6 +3275,7 @@ QUERY_FUNCS = {
     "prefix_search": q_prefix_search,
     "fuzzy_match": q_fuzzy_match,
     "index_prefix_fuzzy_check": q_index_prefix_fuzzy_check,
+    "export_curated": q_export_curated,
 }
 
 ORACLE_SQL = {
@@ -3285,6 +3344,7 @@ ORACLE_SQL = {
     "prefix_search": SQL_PREFIX_SEARCH,
     "fuzzy_match": SQL_FUZZY_MATCH,
     "index_prefix_fuzzy_check": SQL_INDEX_PREFIX_FUZZY_CHECK,
+    "export_curated": SQL_EXPORT_CURATED,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels
     # live outside SQL; their *_md5_invariant companions are gated),
