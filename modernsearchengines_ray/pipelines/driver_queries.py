@@ -734,6 +734,59 @@ GROUP BY doc_id
 """
 
 
+REGEX_PROBE = "s[a-z]*a[a-z]*"
+
+
+def q_regex_match(sf_dir: str):
+    """Corpus-scan semantics of a regex term query (Lucene
+    RegexpQuery: the WHOLE token matches).  The probe stays in the
+    re/RE2-common subset (classes + star) so Python ``fullmatch`` and
+    DuckDB ``regexp_full_match`` agree by construction."""
+    import re
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = re.compile(REGEX_PROBE)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        memo: dict[str, bool] = {}
+
+        def hit(w: str) -> bool:
+            v = memo.get(w)
+            if v is None:
+                v = pat.fullmatch(w) is not None
+                memo[w] = v
+            return v
+
+        ids, n_terms, n_occ = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            hits = [w for w in simple_tokens(text) if hit(w)]
+            if hits:
+                ids.append(did)
+                n_terms.append(len(set(hits)))
+                n_occ.append(len(hits))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_regex_terms": pa.array(n_terms, pa.int64()),
+            "n_occurrences": pa.array(n_occ, pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+SQL_REGEX_MATCH = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+)
+SELECT doc_id, count(DISTINCT word)::BIGINT AS n_regex_terms,
+       count(*)::BIGINT AS n_occurrences
+FROM w WHERE regexp_full_match(word, '{REGEX_PROBE}')
+GROUP BY doc_id
+"""
+
+
 def q_index_prefix_fuzzy_check(sf_dir: str):
     """Derived invariant gating the INDEX-LEVEL prefix + fuzzy serving
     paths: build the real index (Porter stems, stopword drop, df<=5
@@ -3276,6 +3329,7 @@ QUERY_FUNCS = {
     "fuzzy_match": q_fuzzy_match,
     "index_prefix_fuzzy_check": q_index_prefix_fuzzy_check,
     "export_curated": q_export_curated,
+    "regex_match": q_regex_match,
 }
 
 ORACLE_SQL = {
@@ -3345,6 +3399,7 @@ ORACLE_SQL = {
     "fuzzy_match": SQL_FUZZY_MATCH,
     "index_prefix_fuzzy_check": SQL_INDEX_PREFIX_FUZZY_CHECK,
     "export_curated": SQL_EXPORT_CURATED,
+    "regex_match": SQL_REGEX_MATCH,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels
     # live outside SQL; their *_md5_invariant companions are gated),

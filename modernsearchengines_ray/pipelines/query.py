@@ -163,6 +163,11 @@ class ShardScorer:
 
             return [t for t in self._loc
                     if levenshtein(t, probe, cap=max_edits) <= max_edits]
+        if kind == "regex":
+            import re
+
+            pat = re.compile(probe)
+            return [t for t in self._loc if pat.fullmatch(t)]
         raise ValueError(f"unknown match kind: {kind!r}")
 
     def _row_table(self, ti: int, ri: int):
@@ -892,6 +897,14 @@ class QueryEngine:
         un-analyzed) probe, ranked as a disjunction."""
         return self._rank_union(
             self.expand_terms("fuzzy", term.lower(), max_edits), k)
+
+    def search_regex(self, pattern: str,
+                     k: int = 10) -> list[tuple[int, float]]:
+        """Lucene RegexpQuery analogue: dictionary terms whose WHOLE
+        text matches ``pattern`` (fullmatch, like Lucene's implicit
+        anchoring), ranked as a disjunction.  Keep patterns in the
+        re/RE2-common subset if results must be SQL-comparable."""
+        return self._rank_union(self.expand_terms("regex", pattern), k)
 
     def facet_counts(
         self,

@@ -122,3 +122,34 @@ class TestFuzzy:
 
         with pytest.raises(Exception):
             ray.get(engine.scorers[0].match_terms.remote("glob", "x"))
+
+
+class TestRegex:
+    def test_expansion_is_fullmatch(self, engine, prepared):
+        import re
+
+        oracle_index = prepared[3]
+        vocab = _vocab(oracle_index)
+        base = max(vocab, key=len)
+        # a pattern that fullmatches base but only PARTIALLY matches
+        # its extensions: anchoring must be implicit
+        pattern = re.escape(base)
+        got = engine.expand_terms("regex", pattern)
+        assert got == [t for t in vocab if re.fullmatch(pattern, t)]
+        assert base in got
+
+    def test_hits_are_posting_union(self, engine, prepared):
+        oracle_index = prepared[3]
+        vocab = _vocab(oracle_index)
+        first = vocab[0][0]
+        pattern = f"{first}[a-z0-9]*"
+        import re
+
+        want_terms = [t for t in vocab if re.fullmatch(pattern, t)]
+        want_docs = _docs_union(oracle_index, want_terms)
+        hits = engine.search_regex(pattern, k=10_000)
+        assert {d for d, _ in hits} == want_docs
+        assert len(want_terms) >= 1
+
+    def test_no_match_is_empty(self, engine):
+        assert engine.search_regex("zz+qq+") == []
