@@ -102,11 +102,13 @@ def exact_quantiles(ds, col: str, qs: tuple[float, ...],
         return pa.table({col: pa.array(vals[mask], pa.float64()),
                          "bin": pa.array(idx[mask], pa.int64())})
 
+    # expected n/bins rows per needed bin — small under the guard;
+    # columnar pull (to_pandas), not per-row dicts
     cand = ds.select_columns([col]) \
         .map_batches(in_candidate_bins, batch_format="pyarrow") \
-        .take_all()  # expected n/bins rows per needed bin — small
-    cvals = np.asarray([r[col] for r in cand], dtype=np.float64)
-    cbins = np.asarray([r["bin"] for r in cand], dtype=np.int64)
+        .to_pandas()
+    cvals = cand[col].to_numpy(dtype=np.float64)
+    cbins = cand["bin"].to_numpy(dtype=np.int64)
 
     out = []
     for q, r in zip(qs, ranks):
