@@ -89,7 +89,12 @@ def dup_span_stats(ds, n: int = 8, id_col: str = "doc_id",
             "occ": pa.array(out_occ, pa.int64()),
         })
 
-    grams = ds.map_batches(emit, batch_format="pyarrow")
+    # grams feeds THREE consumers (dup-key groupby, the join probe,
+    # the totals partials) — materialize once or the lazy DAG
+    # re-tokenizes the corpus per consumer; the gram table is
+    # object-store-resident and spills, while recompute would be 3x
+    # the pipeline's dominant CPU cost
+    grams = ds.map_batches(emit, batch_format="pyarrow").materialize()
 
     # duplicated grams: present in >= 2 distinct docs
     dup_keys = (grams.groupby("gram")
