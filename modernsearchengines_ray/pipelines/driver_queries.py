@@ -825,7 +825,9 @@ def q_index_prefix_fuzzy_check(sf_dir: str):
         return pa.table({"stem": pa.array(out_s, pa.string()),
                          "doc_id": pa.array(out_d, pa.int64())})
 
-    pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
+    # consumed three times (df groupby + two doc_union scans):
+    # materialize or the tokenize map re-runs per consumer
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow").materialize()
     df_tab = pair_ds.groupby("stem").aggregate(
         Count(alias_name="df")).to_pandas()
     surv = set(df_tab.loc[df_tab["df"] > cfg.min_df_exclusive, "stem"])
