@@ -1617,6 +1617,90 @@ FROM events
 """
 
 
+def q_heavy_hitters_cms_check(sf_dir: str):
+    """Derived-invariant gate for the count-min sketch (the
+    heavy-hitters companion to the HLL gate): fold per-batch word
+    Counters into CMS partials (map-side, one hash per distinct
+    word), merge by elementwise add (associative — the matrices ARE
+    the partial aggregate, no shuffle), then check every exact top-10
+    word's estimate against the CMS guarantees:
+
+    - ``cms_lower_ok``: estimate >= true count (structural, counts
+      only add);
+    - ``cms_eps_ok``: estimate <= true + (e/width)·N (holds with
+      prob >= 1 - e^-depth per query; at width 2048 over this vocab
+      the estimates are collision-free in practice).
+
+    SQL supplies the exact totals and top word (count desc, word asc
+    tie-break), so a broken sketch flips a bool and fails the hash
+    compare."""
+    from ..functions.cms import CountMinSketch
+
+    WIDTH, DEPTH = 2048, 4
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            counter.update(simple_tokens(text))
+        cms = CountMinSketch(WIDTH, DEPTH)
+        cms.add_counts(counter.items())
+        return pa.table({"counts": pa.array(
+            [cms.counts.ravel().tolist()], pa.list_(pa.int64()))})
+
+    merged = CountMinSketch(WIDTH, DEPTH)
+    for row in ds.map_batches(fold, batch_format="pyarrow") \
+            .to_pandas()["counts"]:
+        merged.merge(CountMinSketch.from_counts(
+            np.asarray(row), WIDTH, DEPTH))
+
+    # exact top-10 via the distributed term pipeline
+    def counts(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            counter.update(simple_tokens(text))
+        return pa.table({
+            "word": pa.array(list(counter.keys()), pa.string()),
+            "c": pa.array(list(counter.values()), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    exact = ds.map_batches(counts, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("c", alias_name="n")).to_pandas()
+    exact = exact.sort_values(["n", "word"],
+                              ascending=[False, True]).head(10)
+    eps_bound = np.e / WIDTH * merged.total
+    lower_ok, eps_ok = True, True
+    for word, n in zip(exact["word"], exact["n"]):
+        est = merged.estimate(word)
+        lower_ok &= est >= int(n)
+        eps_ok &= est <= int(n) + eps_bound
+    return pd.DataFrame({
+        "n_tokens": pd.array([merged.total], dtype="int64"),
+        "top_word": pd.array([exact["word"].iloc[0]], dtype="string"),
+        "top_count": pd.array([int(exact["n"].iloc[0])], dtype="int64"),
+        "cms_lower_ok": pd.array([bool(lower_ok)], dtype="boolean"),
+        "cms_eps_ok": pd.array([bool(eps_ok)], dtype="boolean"),
+    })
+
+
+SQL_HEAVY_HITTERS_CMS_CHECK = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), c AS (
+  SELECT word, count(*) AS n FROM w GROUP BY word
+)
+SELECT (SELECT count(*) FROM w)::BIGINT AS n_tokens,
+       (SELECT word FROM c ORDER BY n DESC, word LIMIT 1) AS top_word,
+       (SELECT n FROM c ORDER BY n DESC, word LIMIT 1)::BIGINT
+         AS top_count,
+       TRUE AS cms_lower_ok,
+       TRUE AS cms_eps_ok
+"""
+
+
 def q_region_nations(sf_dir: str):
     """nation ⋈ region broadcast join + count per region."""
     import ray
@@ -3332,6 +3416,7 @@ QUERY_FUNCS = {
     "index_prefix_fuzzy_check": q_index_prefix_fuzzy_check,
     "export_curated": q_export_curated,
     "regex_match": q_regex_match,
+    "heavy_hitters_cms_check": q_heavy_hitters_cms_check,
 }
 
 ORACLE_SQL = {
@@ -3402,6 +3487,7 @@ ORACLE_SQL = {
     "index_prefix_fuzzy_check": SQL_INDEX_PREFIX_FUZZY_CHECK,
     "export_curated": SQL_EXPORT_CURATED,
     "regex_match": SQL_REGEX_MATCH,
+    "heavy_hitters_cms_check": SQL_HEAVY_HITTERS_CMS_CHECK,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels
     # live outside SQL; their *_md5_invariant companions are gated),

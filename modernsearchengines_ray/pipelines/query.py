@@ -168,6 +168,12 @@ class ShardScorer:
 
             pat = re.compile(probe)
             return [t for t in self._loc if pat.fullmatch(t)]
+        if kind == "range":
+            # probe = "lo\x00hi": dictionary terms with lo <= t < hi
+            # (half-open, bytewise — Lucene TermRangeQuery semantics)
+            lo, hi = probe.split("\x00", 1)
+            return [t for t in self._loc
+                    if (not lo or t >= lo) and (not hi or t < hi)]
         raise ValueError(f"unknown match kind: {kind!r}")
 
     def _row_table(self, ti: int, ri: int):
@@ -905,6 +911,25 @@ class QueryEngine:
         anchoring), ranked as a disjunction.  Keep patterns in the
         re/RE2-common subset if results must be SQL-comparable."""
         return self._rank_union(self.expand_terms("regex", pattern), k)
+
+    def search_wildcard(self, pattern: str,
+                        k: int = 10) -> list[tuple[int, float]]:
+        """Lucene WildcardQuery analogue: ``*`` = any run, ``?`` = any
+        single char, everything else literal; compiled to an anchored
+        regex over the dictionary."""
+        import re
+
+        rx = "".join(".*" if c == "*" else "." if c == "?"
+                     else re.escape(c) for c in pattern.lower())
+        return self._rank_union(self.expand_terms("regex", rx), k)
+
+    def search_term_range(self, lo: str = "", hi: str = "",
+                          k: int = 10) -> list[tuple[int, float]]:
+        """Lucene TermRangeQuery analogue: dictionary terms in the
+        half-open bytewise interval ``[lo, hi)`` (empty bound = open
+        end), ranked as a disjunction."""
+        return self._rank_union(
+            self.expand_terms("range", f"{lo}\x00{hi}"), k)
 
     def facet_counts(
         self,

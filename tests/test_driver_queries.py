@@ -86,7 +86,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "dup_spans", "repetition", "price_quantiles",
         "label_centroids", "nation_revenue",
         "prefix_search", "fuzzy_match", "index_prefix_fuzzy_check",
-        "export_curated", "regex_match",
+        "export_curated", "regex_match", "heavy_hitters_cms_check",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):
