@@ -1617,6 +1617,76 @@ FROM events
 """
 
 
+def q_corr_stats(sf_dir: str):
+    """Distributed second-moment aggregates (Pearson correlation,
+    sample covariance, sample stddevs) over lineitem quantity×price
+    via CENTERED co-moment partials (Chan, Golub & LeVeque 1979):
+    each batch reduces to one (n, mean_x, mean_y, M2x, M2y, Cxy) row
+    — centered moments, NOT raw power sums, which cancel
+    catastrophically at 10¹² rows when mean ≫ stddev — and the driver
+    folds the #blocks-row partial table with the pairwise-combination
+    identity.  One streaming pass; only tiny partials move."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = batch["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mx, my = x.mean(), y.mean()
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "mx": pa.array([mx], pa.float64()),
+            "my": pa.array([my], pa.float64()),
+            "m2x": pa.array([((x - mx) ** 2).sum()], pa.float64()),
+            "m2y": pa.array([((y - my) ** 2).sum()], pa.float64()),
+            "cxy": pa.array([((x - mx) * (y - my)).sum()],
+                            pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = mx = my = m2x = m2y = cxy = 0.0
+    for row in parts.itertuples():
+        nb = float(row.n)
+        if nb == 0:
+            continue
+        tot = n + nb
+        dx, dy = row.mx - mx, row.my - my
+        m2x += row.m2x + dx * dx * n * nb / tot
+        m2y += row.m2y + dy * dy * n * nb / tot
+        cxy += row.cxy + dx * dy * n * nb / tot
+        mx += dx * nb / tot
+        my += dy * nb / tot
+        n = tot
+    covar = cxy / (n - 1.0)
+    var_x = m2x / (n - 1.0)
+    var_y = m2y / (n - 1.0)
+    corr = covar / np.sqrt(var_x * var_y)
+    return pd.DataFrame({
+        "n": pd.array([int(n)], dtype="int64"),
+        "corr_qty_price": pd.array([_round_half_away(corr)],
+                                   dtype="float64"),
+        "covar_qty_price": pd.array([_round_half_away(covar, 4)],
+                                    dtype="float64"),
+        "sd_qty": pd.array([_round_half_away(np.sqrt(var_x))],
+                           dtype="float64"),
+        "sd_price": pd.array([_round_half_away(np.sqrt(var_y), 4)],
+                             dtype="float64"),
+    })
+
+
+SQL_CORR_STATS = """
+SELECT count(*)::BIGINT AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4)
+         AS covar_qty_price,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price
+FROM lineitem
+"""
+
+
 def q_heavy_hitters_cms_check(sf_dir: str):
     """Derived-invariant gate for the count-min sketch (the
     heavy-hitters companion to the HLL gate): fold per-batch word
@@ -3417,6 +3487,7 @@ QUERY_FUNCS = {
     "export_curated": q_export_curated,
     "regex_match": q_regex_match,
     "heavy_hitters_cms_check": q_heavy_hitters_cms_check,
+    "corr_stats": q_corr_stats,
 }
 
 ORACLE_SQL = {
@@ -3488,6 +3559,7 @@ ORACLE_SQL = {
     "export_curated": SQL_EXPORT_CURATED,
     "regex_match": SQL_REGEX_MATCH,
     "heavy_hitters_cms_check": SQL_HEAVY_HITTERS_CMS_CHECK,
+    "corr_stats": SQL_CORR_STATS,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels
     # live outside SQL; their *_md5_invariant companions are gated),
