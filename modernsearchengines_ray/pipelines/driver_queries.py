@@ -2977,6 +2977,32 @@ JOIN s ON s.rn = CAST(floor((n.n - 1) * qs.q) AS BIGINT) + 1
 """
 
 
+def q_price_quantiles_by_flag(sf_dir: str):
+    """Exact per-group quantiles (lineitem price by returnflag):
+    shared binning rule + (group, bin, count) long-format partials +
+    one grouped refinement pull — stages/quantiles.py
+    ``exact_quantiles_by_group``; assumes low-cardinality groups."""
+    from ..stages.quantiles import exact_quantiles_by_group
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    return exact_quantiles_by_group(
+        ds, "l_extendedprice", "l_returnflag", PRICE_QUANTILES)
+
+
+SQL_PRICE_QUANTILES_BY_FLAG = f"""
+WITH s AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), qs(q) AS (VALUES {", ".join(f"({q})" for q in PRICE_QUANTILES)})
+SELECT s.l_returnflag, qs.q::DOUBLE AS q, s.v AS value
+FROM qs JOIN s ON s.rn = CAST(floor((s.n - 1) * qs.q) AS BIGINT) + 1
+"""
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroid (the k-means/analysis primitive):
     each batch collapses to one (label, dim, sum, count) long-format
@@ -3488,6 +3514,7 @@ QUERY_FUNCS = {
     "regex_match": q_regex_match,
     "heavy_hitters_cms_check": q_heavy_hitters_cms_check,
     "corr_stats": q_corr_stats,
+    "price_quantiles_by_flag": q_price_quantiles_by_flag,
 }
 
 ORACLE_SQL = {
@@ -3560,6 +3587,7 @@ ORACLE_SQL = {
     "regex_match": SQL_REGEX_MATCH,
     "heavy_hitters_cms_check": SQL_HEAVY_HITTERS_CMS_CHECK,
     "corr_stats": SQL_CORR_STATS,
+    "price_quantiles_by_flag": SQL_PRICE_QUANTILES_BY_FLAG,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels
     # live outside SQL; their *_md5_invariant companions are gated),

@@ -29,8 +29,8 @@ needed for any testdata distribution, documented rather than built).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def _bin_index(vals: np.ndarray, lo: float, width: float,
@@ -118,3 +118,107 @@ def exact_quantiles(ds, col: str, qs: tuple[float, ...],
         out.append(float(local[r - before - 1]))
     return pa.table({"q": pa.array(list(qs), pa.float64()),
                      "value": pa.array(out, pa.float64())})
+
+
+def exact_quantiles_by_group(ds, col: str, group_col: str,
+                             qs: tuple[float, ...],
+                             bins: int = 4096,
+                             max_candidate_rows: int = 5_000_000
+                             ) -> pa.Table:
+    """Exact order-statistic quantiles of ``ds[col]`` PER GROUP.
+
+    Same histogram-refinement plan as :func:`exact_quantiles`, grouped:
+    one global Min/Max fixes a shared binning rule, one streaming map
+    emits (group, bin, count) long-format partials (≤ groups×bins rows
+    per block, usually far fewer), a ``groupby`` sums them, and ONE
+    refinement pass pulls only rows in each group's candidate bins.
+    Driver state = the groups×bins aggregate + the pulled candidates.
+    Assumes a low-cardinality group column (aggregation keys, flags —
+    NOT user ids); for high-cardinality keys use
+    ``sort + map_groups`` instead, which shuffles everything once.
+
+    Returns ``(group_col, q, value)``, groups sorted, qs in given
+    order."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    if hi <= lo:
+        hi = lo + 1.0  # constant column: any single bin works
+    width = (hi - lo) / bins
+
+    def hist(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        grps = batch.column(group_col)
+        idx = _bin_index(vals, lo, width, bins)
+        df = pd.DataFrame({"g": grps.to_pandas(), "b": idx})
+        agg = df.groupby(["g", "b"], as_index=False, sort=False).size()
+        return pa.table({
+            group_col: pa.Array.from_pandas(agg["g"]).cast(
+                batch.schema.field(group_col).type),
+            "bin": pa.array(agg["b"].to_numpy(), pa.int64()),
+            "cnt": pa.array(agg["size"].to_numpy(), pa.int64()),
+        })
+
+    htab = ds.map_batches(hist, batch_format="pyarrow") \
+        .groupby([group_col, "bin"]) \
+        .aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+
+    # per-group cumulative histograms and target bins
+    need: dict = {}  # group -> set of needed bins
+    plans: list = []  # (group, q, rank, bin, before)
+    for g, sub in htab.groupby(group_col):
+        sub = sub.sort_values("bin")
+        gbins = sub["bin"].to_numpy()
+        gcum = np.cumsum(sub["cnt"].to_numpy())
+        n_g = int(gcum[-1])
+        for q in qs:
+            r = int(np.floor((n_g - 1) * q)) + 1
+            j = int(np.searchsorted(gcum, r))
+            b = int(gbins[j])
+            before = int(gcum[j - 1]) if j > 0 else 0
+            need.setdefault(g, set()).add(b)
+            plans.append((g, q, r, b, before))
+    pull = sum(int(htab[(htab[group_col] == g) & htab["bin"].isin(bs)]
+                   ["cnt"].sum()) for g, bs in need.items())
+    if pull > max_candidate_rows:
+        raise ValueError(
+            f"candidate bins hold {pull} rows > max_candidate_rows="
+            f"{max_candidate_rows}; raise bins= or refine recursively")
+    need_pairs = {(g, b) for g, bs in need.items() for b in bs}
+
+    def in_need(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        grps = batch.column(group_col).to_pylist()
+        idx = _bin_index(vals, lo, width, bins)
+        mask = np.fromiter(
+            ((g, int(b)) in need_pairs for g, b in zip(grps, idx)),
+            dtype=bool, count=len(grps))
+        return pa.table({
+            group_col: pa.array(
+                [g for g, m in zip(grps, mask) if m],
+                batch.schema.field(group_col).type),
+            col: pa.array(vals[mask], pa.float64()),
+            "bin": pa.array(idx[mask], pa.int64()),
+        })
+
+    cand = ds.select_columns([group_col, col]) \
+        .map_batches(in_need, batch_format="pyarrow").to_pandas()
+
+    out_g, out_q, out_v = [], [], []
+    for g, q, r, b, before in sorted(
+            plans, key=lambda p: (str(p[0]), p[1])):
+        local = np.sort(cand.loc[
+            (cand[group_col] == g) & (cand["bin"] == b), col
+        ].to_numpy(dtype=np.float64))
+        out_g.append(g)
+        out_q.append(q)
+        out_v.append(float(local[r - before - 1]))
+    return pa.table({
+        group_col: pa.Array.from_pandas(
+            pd.Series(out_g, dtype=htab[group_col].dtype)),
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array(out_v, pa.float64()),
+    })

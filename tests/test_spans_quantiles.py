@@ -179,3 +179,46 @@ class TestExactQuantiles:
         with pytest.raises(ValueError, match="max_candidate_rows"):
             exact_quantiles(ds, "v", (0.5,), bins=2,
                             max_candidate_rows=10)
+
+
+class TestExactQuantilesByGroup:
+    QS = (0.25, 0.5, 0.9)
+
+    def test_matches_per_group_numpy(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            exact_quantiles_by_group)
+
+        rng = np.random.default_rng(13)
+        groups = rng.choice(["a", "b", "c"], size=6_000).tolist()
+        vals = rng.normal(50.0, 20.0, size=6_000)
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array(groups, pa.string()),
+            "v": pa.array(vals, pa.float64()),
+        }))
+        got = exact_quantiles_by_group(
+            ds, "v", "g", self.QS, bins=128).to_pandas()
+        for g in ("a", "b", "c"):
+            srt = np.sort(vals[np.asarray(groups) == g])
+            for q in self.QS:
+                want = srt[int(np.floor((len(srt) - 1) * q))]
+                row = got[(got["g"] == g) & (got["q"] == q)]
+                assert float(row["value"].iloc[0]) == want, (g, q)
+
+    def test_skewed_group_sizes(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            exact_quantiles_by_group)
+
+        vals = list(range(1000)) + [5.0, 6.0, 7.0]
+        groups = ["big"] * 1000 + ["tiny"] * 3
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array(groups, pa.string()),
+            "v": pa.array([float(v) for v in vals], pa.float64()),
+        }))
+        got = exact_quantiles_by_group(
+            ds, "v", "g", (0.5,), bins=64).to_pandas()
+        assert float(got[got["g"] == "tiny"]["value"].iloc[0]) == 6.0
+        assert float(got[got["g"] == "big"]["value"].iloc[0]) == 499.0
