@@ -1617,6 +1617,93 @@ FROM events
 """
 
 
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def q_pagerank(sf_dir: str, reduce: str = "broadcast"):
+    """PageRank over the customer–part purchase graph (symmetrized
+    bipartite: c↔p edge per distinct (customer, part) purchase), 3
+    power iterations from uniform — the iterative-compute pattern
+    (stages/graph.py).  Default tier broadcasts the rank vector (nodes
+    ≪ edges); ``reduce="partitioned"`` keeps rank state as a Dataset
+    with a hash join per iteration.  SQL oracle = the same recurrence
+    unrolled as 3 CTE levels, shared by both tiers."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import default_join_partitions
+    from ..stages.graph import pagerank
+
+    nparts = default_join_partitions()
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"])
+    joined = li.rename_columns({"l_orderkey": "o_orderkey"}) \
+        .join(orders, "inner", num_partitions=nparts,
+              on=("o_orderkey",))
+
+    def to_pair(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.array([f"c{c}" for c in
+                           batch["o_custkey"].to_pylist()], pa.string()),
+            "b": pa.array([f"p{p}" for p in
+                           batch["l_partkey"].to_pylist()], pa.string()),
+        })
+
+    pairs = joined.map_batches(to_pair, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count(alias_name="n")) \
+        .drop_columns(["n"])
+
+    fwd = pairs.rename_columns({"a": "src", "b": "dst"})
+    rev = pairs.rename_columns({"a": "dst", "b": "src"}) \
+        .select_columns(["src", "dst"])
+    edges = fwd.union(rev)
+
+    ranks = pagerank(edges, iters=PAGERANK_ITERS,
+                     damping=PAGERANK_DAMPING, reduce=reduce)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "rank": pa.array(
+                [_round_half_away(r, 8) for r in
+                 batch["rank"].to_numpy(zero_copy_only=False)],
+                pa.float64()),
+        })
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_pagerank_iter(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT e.dst AS node,
+         (SELECT {1 - PAGERANK_DAMPING} / n FROM n)
+           + {PAGERANK_DAMPING} * sum({prev}.rank / d.outdeg) AS rank
+  FROM edges e
+  JOIN {prev} ON e.src = {prev}.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)"""
+
+
+SQL_PAGERANK = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS a, 'p' || l_partkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), n AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src AS node, 1.0 / n.n AS rank FROM deg, n),
+{_sql_pagerank_iter('r0', 'r1')},
+{_sql_pagerank_iter('r1', 'r2')},
+{_sql_pagerank_iter('r2', 'r3')}
+SELECT node, round(rank, 8) AS rank FROM r3
+"""
+
+
 def q_corr_stats(sf_dir: str):
     """Distributed second-moment aggregates (Pearson correlation,
     sample covariance, sample stddevs) over lineitem quantity×price
@@ -3515,6 +3602,9 @@ QUERY_FUNCS = {
     "heavy_hitters_cms_check": q_heavy_hitters_cms_check,
     "corr_stats": q_corr_stats,
     "price_quantiles_by_flag": q_price_quantiles_by_flag,
+    "pagerank": q_pagerank,
+    "pagerank_partitioned":
+        lambda sf_dir: q_pagerank(sf_dir, reduce="partitioned"),
 }
 
 ORACLE_SQL = {
@@ -3588,6 +3678,8 @@ ORACLE_SQL = {
     "heavy_hitters_cms_check": SQL_HEAVY_HITTERS_CMS_CHECK,
     "corr_stats": SQL_CORR_STATS,
     "price_quantiles_by_flag": SQL_PRICE_QUANTILES_BY_FLAG,
+    "pagerank": SQL_PAGERANK,
+    "pagerank_partitioned": SQL_PAGERANK,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels
     # live outside SQL; their *_md5_invariant companions are gated),

@@ -87,7 +87,8 @@ def test_oracle_keys_subset_of_queries(contract):
         "label_centroids", "nation_revenue",
         "prefix_search", "fuzzy_match", "index_prefix_fuzzy_check",
         "export_curated", "regex_match", "heavy_hitters_cms_check",
-        "corr_stats", "price_quantiles_by_flag",
+        "corr_stats", "price_quantiles_by_flag", "pagerank",
+        "pagerank_partitioned",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):
