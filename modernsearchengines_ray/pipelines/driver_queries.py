@@ -1617,6 +1617,135 @@ FROM events
 """
 
 
+def q_price_ntile(sf_dir: str):
+    """Quantile-bucket assignment (the distributed ``ntile``-by-value
+    pattern): exact quartile edges come from one histogram-refinement
+    selection (stages/quantiles.py — no full sort), broadcast once,
+    and a streaming map assigns each row ``#edges < value`` (strictly
+    below, so ties land deterministically in the lower bucket on both
+    engines).  Per-row output keyed (l_orderkey, l_linenumber)."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber",
+                        "l_extendedprice"])
+    edges_tab = exact_quantiles(ds, "l_extendedprice",
+                                (0.25, 0.5, 0.75))
+    edges = np.asarray(edges_tab["value"].to_pylist(), np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        bucket = (v[:, None] > edges[None, :]).sum(axis=1)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+            "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_PRICE_NTILE = """
+WITH s AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem
+), n AS (SELECT count(*) AS n FROM lineitem),
+e AS (
+  SELECT qs.q, s.v
+  FROM (VALUES (0.25), (0.5), (0.75)) qs(q), n
+  JOIN s ON s.rn = CAST(floor((n.n - 1) * qs.q) AS BIGINT) + 1
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       (SELECT count(*) FROM e WHERE l.l_extendedprice > e.v)::BIGINT
+         AS bucket
+FROM lineitem l
+"""
+
+
+def q_distinct_users_by_type_hll_check(sf_dir: str):
+    """Grouped-sketch invariant: one HLL PER GROUP (event_type).
+    Each batch emits (event_type, registers) partial rows — the
+    sketch-inside-groupby pattern — which merge by elementwise max in
+    one small ``map_groups``; each group's estimate must sit within
+    3 standard errors of its exact distinct count (cf. the global
+    ``distinct_users_hll_check``)."""
+    from ..functions.hll import HyperLogLog
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "t": batch["event_type"].to_pandas(),
+            "u": batch["user_id"].to_pandas(),
+        })
+        types, blobs = [], []
+        for t, sub in df.groupby("t"):
+            h = HyperLogLog()
+            h.add_many(sub["u"].tolist())
+            types.append(t)
+            blobs.append(h.registers.tobytes())
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "regs": pa.array(blobs, pa.binary()),
+        })
+
+    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros_like(
+            np.frombuffer(group["regs"].iloc[0], dtype=np.uint8))
+        for blob in group["regs"]:
+            np.maximum(regs, np.frombuffer(blob, dtype=np.uint8),
+                       out=regs)
+        est = HyperLogLog.from_registers(regs.copy()).estimate()
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "estimate": [est],
+        })
+
+    est_df = ds.map_batches(fold, batch_format="pyarrow") \
+        .groupby("event_type").map_groups(merge_group).to_pandas()
+
+    from ray.data.aggregate import Count
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "user_id": batch["user_id"].to_pandas(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    exact = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["event_type", "user_id"]).aggregate(
+            Count(alias_name="m")) \
+        .groupby("event_type").aggregate(Count(alias_name="n_exact")) \
+        .to_pandas()
+
+    merged = exact.merge(est_df, on="event_type").sort_values(
+        "event_type")
+    bound = 3.0 * 1.04 / np.sqrt(
+        float(HyperLogLog().registers.size))
+    return pd.DataFrame({
+        "event_type": pd.array(merged["event_type"], dtype="string"),
+        "n_exact": pd.array(merged["n_exact"].astype(int),
+                            dtype="int64"),
+        "approx_within_3se": pd.array(
+            [bool(abs(e - n) <= bound * n)
+             for e, n in zip(merged["estimate"], merged["n_exact"])],
+            dtype="boolean"),
+    })
+
+
+SQL_DISTINCT_USERS_BY_TYPE_HLL_CHECK = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+       TRUE AS approx_within_3se
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
 
@@ -3605,6 +3734,9 @@ QUERY_FUNCS = {
     "pagerank": q_pagerank,
     "pagerank_partitioned":
         lambda sf_dir: q_pagerank(sf_dir, reduce="partitioned"),
+    "price_ntile": q_price_ntile,
+    "distinct_users_by_type_hll_check":
+        q_distinct_users_by_type_hll_check,
 }
 
 ORACLE_SQL = {
@@ -3680,6 +3812,9 @@ ORACLE_SQL = {
     "price_quantiles_by_flag": SQL_PRICE_QUANTILES_BY_FLAG,
     "pagerank": SQL_PAGERANK,
     "pagerank_partitioned": SQL_PAGERANK,
+    "price_ntile": SQL_PRICE_NTILE,
+    "distinct_users_by_type_hll_check":
+        SQL_DISTINCT_USERS_BY_TYPE_HLL_CHECK,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels
     # live outside SQL; their *_md5_invariant companions are gated),

@@ -88,7 +88,8 @@ def test_oracle_keys_subset_of_queries(contract):
         "prefix_search", "fuzzy_match", "index_prefix_fuzzy_check",
         "export_curated", "regex_match", "heavy_hitters_cms_check",
         "corr_stats", "price_quantiles_by_flag", "pagerank",
-        "pagerank_partitioned",
+        "pagerank_partitioned", "price_ntile",
+        "distinct_users_by_type_hll_check",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):
