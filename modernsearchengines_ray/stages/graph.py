@@ -45,8 +45,24 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85,
         raise ValueError(f"unknown reduce tier: {reduce!r}")
     nparts = num_partitions or default_join_partitions()
 
-    # out-degree → per-edge weight 1/outdeg(src), computed ONCE
-    deg = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+    # out-degree → per-edge weight 1/outdeg(src), computed ONCE.
+    # deg feeds both the node list and the weight join — materialize;
+    # and count nodes BEFORE building the join, so an empty edge list
+    # returns a typed empty result instead of tripping Acero's
+    # empty-side failure
+    deg = edges.groupby("src").aggregate(
+        Count(alias_name="outdeg")).materialize()
+    nodes = deg.select_columns(["src"]) \
+        .rename_columns({"src": "node"}).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        import ray.data as rd
+
+        sch = edges.schema()  # Ray Schema wrapper: .names / .types
+        src_type = sch.types[sch.names.index("src")]
+        return rd.from_arrow(pa.schema(
+            [("node", src_type), ("rank", pa.float64())]).empty_table())
+
     weighted = edges.join(deg, "inner", num_partitions=nparts,
                           on=("src",))
 
@@ -60,10 +76,6 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85,
 
     weighted = weighted.map_batches(
         weigh, batch_format="pyarrow").materialize()
-
-    nodes = deg.select_columns(["src"]) \
-        .rename_columns({"src": "node"}).materialize()
-    n_nodes = nodes.count()
     teleport = (1.0 - damping) / n_nodes
 
     def init(batch: pa.Table) -> pa.Table:

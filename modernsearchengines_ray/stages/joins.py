@@ -223,6 +223,13 @@ def asof_join_backward(left_ds, right_ds, key_col: str, ts_col: str,
         raise ValueError(f"unknown reduce mode: {reduce!r}")
 
     parts = parts_ds.to_pandas()
+    if parts.empty or "key" not in parts.columns:
+        # empty inputs: sort/map produce a schema-less frame
+        return pa.schema([
+            ("left_id", pa.int64()), ("key", pa.int64()),
+            ("ts_us", pa.int64()), ("matched", pa.bool_()),
+            ("r_ts_us", pa.int64()), ("r_value", pa.float64()),
+        ]).empty_table()
     parts = parts.sort_values(["key", "ts_us", "side"], kind="mergesort",
                               ignore_index=True)
     return _stitch_asof(
@@ -239,7 +246,10 @@ def interval_join(ds, intervals: pa.Table, ts_col: str, id_col: str):
     object store ONCE and every probe batch is |intervals| vectorized
     masks — a pure streaming map, no shuffle."""
     import ray
+    import ray.data as rd
 
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("window_id", pa.int64())])
     ivals_ref = ray.put({
         "window_id": intervals["window_id"].to_numpy(zero_copy_only=False),
         "lo": intervals["lo_us"].to_numpy(zero_copy_only=False),
@@ -265,4 +275,7 @@ def interval_join(ds, intervals: pa.Table, ts_col: str, id_col: str):
             "window_id": pa.array(np.concatenate(out_w), pa.int64()),
         })
 
-    return ds.map_batches(probe, batch_format="pyarrow")
+    # the typed-empty union keeps the output schema on empty inputs
+    # (map_batches never runs on zero-row blocks)
+    return rd.from_arrow(out_schema.empty_table()).union(
+        ds.map_batches(probe, batch_format="pyarrow"))

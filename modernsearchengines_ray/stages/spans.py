@@ -171,4 +171,11 @@ def dup_span_stats(ds, n: int = 8, id_col: str = "doc_id",
             "dup_span_ratio": ratio,
         })
 
-    return summed.map_batches(finish, batch_format="pyarrow")
+    # typed-empty union: an empty corpus otherwise yields a
+    # schema-less zero-column result from the groupby
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("n_spans", pa.int64()),
+        ("dup_spans", pa.int64()), ("dup_span_ratio", pa.float64()),
+    ])
+    return rd.from_arrow(out_schema.empty_table()).union(
+        summed.map_batches(finish, batch_format="pyarrow"))
