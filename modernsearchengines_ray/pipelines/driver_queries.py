@@ -1213,6 +1213,57 @@ GROUP BY g.doc_id
 """
 
 
+def q_decontaminate_bloom(sf_dir: str):
+    """Decontamination with a BLOOM PREFILTER (the 10⁹-probe scale
+    path): grams first test against a Bloom filter of the probe set —
+    no false negatives, so nothing contaminated slips past — and only
+    the filter's hits (exact matches + the rare false positive) pay
+    the exact-set membership check.  At scale the exact set lives
+    sharded/on-disk and only the ~1.2 GB filter broadcasts; here both
+    broadcast so the composition is end-to-end testable.  Output and
+    oracle are IDENTICAL to ``decontaminate`` — the prefilter must be
+    semantically invisible."""
+    import ray
+
+    from ..functions.bloom import BloomFilter
+    from ..functions.quality import word_ngrams
+
+    import pyarrow.parquet as pq
+
+    probe_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "in", list(DECONTAM_PROBE_IDS))])
+    probe_grams: set[str] = set()
+    for t in probe_tbl["text"].to_pylist():
+        probe_grams |= word_ngrams(t, DECONTAM_NGRAM)
+    bloom = BloomFilter.for_capacity(max(len(probe_grams), 1),
+                                     fpr=1e-3)
+    bloom.add_many(probe_grams)
+    bloom_ref = ray.put(bloom)
+    probe_ref = ray.put(probe_grams)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def overlap(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        exact = ray.get(probe_ref)
+        ids, counts = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            candidates = [g for g in word_ngrams(text, DECONTAM_NGRAM)
+                          if g in bf]          # cheap prefilter
+            shared = sum(1 for g in candidates if g in exact)
+            if shared:
+                ids.append(doc_id)
+                counts.append(shared)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_shared_grams": pa.array(counts, pa.int64()),
+        })
+
+    return ds.map_batches(overlap, batch_format="pyarrow")
+
+
 def q_fingerprint(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -3737,6 +3788,7 @@ QUERY_FUNCS = {
     "price_ntile": q_price_ntile,
     "distinct_users_by_type_hll_check":
         q_distinct_users_by_type_hll_check,
+    "decontaminate_bloom": q_decontaminate_bloom,
 }
 
 ORACLE_SQL = {
@@ -3815,6 +3867,7 @@ ORACLE_SQL = {
     "price_ntile": SQL_PRICE_NTILE,
     "distinct_users_by_type_hll_check":
         SQL_DISTINCT_USERS_BY_TYPE_HLL_CHECK,
+    "decontaminate_bloom": SQL_DECONTAMINATE,
     # Remaining rows-only entries — deliberately no direct SQL:
     # simhash_dedup / minhash_dedup / simhash_near_dedup (hash kernels
     # live outside SQL; their *_md5_invariant companions are gated),

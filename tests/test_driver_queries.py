@@ -89,7 +89,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "export_curated", "regex_match", "heavy_hitters_cms_check",
         "corr_stats", "price_quantiles_by_flag", "pagerank",
         "pagerank_partitioned", "price_ntile",
-        "distinct_users_by_type_hll_check",
+        "distinct_users_by_type_hll_check", "decontaminate_bloom",
     ],
 )
 def test_query_matches_duckdb(contract, ddb, name):
