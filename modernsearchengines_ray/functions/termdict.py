@@ -1,0 +1,125 @@
+"""Sorted term dictionary with sublinear matchers (VERDICT r3 #2).
+
+The reference's term dictionary is a SQLite UNIQUE column probed with
+point lookups (/root/reference/retrieval.py:36-56); multi-term queries
+(prefix / range / fuzzy / wildcard-regex) have no reference analogue
+and previously fell back to a full Python scan of the per-actor term
+dict — fine at fixture vocab, hopeless at a 10⁹-term dictionary.
+
+This module is the Lucene ``Terms.intersect`` analogue: terms live in
+ONE sorted numpy object array per scorer, and every matcher touches
+the minimum slice it can prove sufficient:
+
+- ``prefix``: two ``np.searchsorted`` calls — the matching terms are
+  exactly the contiguous ``[probe, successor(probe))`` range.  Zero
+  terms scanned.
+- ``range`` (half-open, bytewise — Lucene TermRangeQuery semantics):
+  two ``np.searchsorted`` calls.  Zero terms scanned.
+- ``fuzzy``: a length-band prefilter (``|len(t) - len(probe)| <=
+  max_edits`` is necessary for edit distance <= max_edits) cuts the
+  candidate set before the capped Levenshtein loop (an n-gram index
+  would cut further; the length band already reduces the scan to the
+  probe's length neighborhood — Lucene uses a Levenshtein automaton
+  over its FST for the same reason).
+- ``regex``: the pattern's LITERAL PREFIX (chars before the first
+  metacharacter) restricts the scan to that prefix's searchsorted
+  window; a pattern with no literal prefix degrades honestly to a
+  full scan of the window (= everything), like Lucene's
+  ``RegexpQuery`` on a ``.*`` pattern.
+
+Every matcher returns ``(matches, n_scanned)`` where ``n_scanned``
+counts terms examined by Python-level predicate calls — the unit
+tests pin the sublinearity, not just the results.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+#: regex metacharacters that end a literal prefix; '\\' ends it too
+#: (escapes are literal but cheap to just hand to the scan window)
+_META = set(".^$*+?{}[]|()\\")
+
+
+class TermDict:
+    """Immutable sorted view over a scorer's term vocabulary."""
+
+    def __init__(self, terms):
+        self.terms = np.sort(np.asarray(list(terms), dtype=object))
+        self.lengths = np.fromiter((len(t) for t in self.terms),
+                                   dtype=np.int64, count=len(self.terms))
+
+    def __len__(self) -> int:
+        return len(self.terms)
+
+    # -- bounds helpers ------------------------------------------------
+
+    def _bounds(self, lo: str | None, hi: str | None) -> tuple[int, int]:
+        """Index range of terms in the half-open string range
+        [lo, hi); None means unbounded on that side."""
+        i = 0 if not lo else int(np.searchsorted(self.terms, lo, "left"))
+        j = (len(self.terms) if not hi
+             else int(np.searchsorted(self.terms, hi, "left")))
+        return i, max(i, j)
+
+    def _prefix_bounds(self, probe: str) -> tuple[int, int]:
+        if not probe:
+            return 0, len(self.terms)
+        last = probe[-1]
+        if ord(last) < 0x10FFFF:
+            return self._bounds(probe, probe[:-1] + chr(ord(last) + 1))
+        # degenerate: probe ends in the max code point — upper bound
+        # unavailable, scan the tail from the left bound
+        i = int(np.searchsorted(self.terms, probe, "left"))
+        j = i
+        while j < len(self.terms) and str(self.terms[j]).startswith(probe):
+            j += 1
+        return i, j
+
+    # -- matchers ------------------------------------------------------
+
+    def prefix(self, probe: str) -> tuple[list[str], int]:
+        i, j = self._prefix_bounds(probe)
+        return self.terms[i:j].tolist(), 0
+
+    def range(self, lo: str, hi: str) -> tuple[list[str], int]:
+        i, j = self._bounds(lo or None, hi or None)
+        return self.terms[i:j].tolist(), 0
+
+    def fuzzy(self, probe: str,
+              max_edits: int = 1) -> tuple[list[str], int]:
+        from .editdist import levenshtein
+
+        band = np.abs(self.lengths - len(probe)) <= max_edits
+        cands = self.terms[band]
+        out = [t for t in cands
+               if levenshtein(t, probe, cap=max_edits) <= max_edits]
+        return out, int(band.sum())
+
+    def regex(self, pattern: str) -> tuple[list[str], int]:
+        pat = re.compile(pattern)
+        lit = []
+        for ch in pattern:
+            if ch in _META:
+                break
+            lit.append(ch)
+        i, j = self._prefix_bounds("".join(lit))
+        window = self.terms[i:j]
+        return [t for t in window if pat.fullmatch(t)], len(window)
+
+    def match(self, kind: str, probe: str,
+              max_edits: int = 1) -> tuple[list[str], int]:
+        """Dispatch used by the shard scorers; ``range`` probes are
+        encoded ``"lo\\x00hi"`` (empty side = unbounded)."""
+        if kind == "prefix":
+            return self.prefix(probe)
+        if kind == "fuzzy":
+            return self.fuzzy(probe, max_edits)
+        if kind == "regex":
+            return self.regex(probe)
+        if kind == "range":
+            lo, hi = probe.split("\x00", 1)
+            return self.range(lo, hi)
+        raise ValueError(f"unknown match kind: {kind!r}")

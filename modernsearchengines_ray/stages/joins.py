@@ -14,8 +14,15 @@ left row, the latest right row with the same key and ``right.ts <=
 left.ts``):
 
 1. tag left (side=1) and right (side=0) rows into one narrow table;
-2. ONE distributed range sort by (key, ts, side) — right sorts before
-   left at equal ts, which makes the join inclusive;
+2. ONE distributed range sort by (key, ts, side, value) — right sorts
+   before left at equal ts, which makes the join inclusive; value as
+   the final key makes duplicate (key, ts) right rows resolve
+   deterministically (the MAX value wins, engine- and
+   partitioning-independent).  NOTE the SQL-oracle caveat: DuckDB's
+   ASOF join picks its own arbitrary duplicate, so hash-exact
+   conformance against it additionally requires right-side uniqueness
+   on (key, ts) — the fixture satisfies it; our own output is
+   deterministic either way;
 3. per sorted block, a vectorized partial pass resolves every left row
    whose match lies in its own block (sortedness ⇒ an in-block match
    dominates anything in earlier blocks) and emits one summary row per
@@ -160,7 +167,10 @@ def _stitch_block(batch: pa.Table) -> pa.Table:
     keys = batch["key"].to_numpy(zero_copy_only=False)
     ts = batch["ts_us"].to_numpy(zero_copy_only=False)
     side = batch["side"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((side, ts, keys))
+    rv = batch["r_value"].to_numpy(zero_copy_only=False)
+    # r_value tie-break mirrors the global sort: among duplicate
+    # (key, ts) summaries the max value wins deterministically
+    order = np.lexsort((rv, side, ts, keys))
     return _stitch_asof(
         keys[order], ts[order], side[order],
         batch["left_id"].to_numpy(zero_copy_only=False)[order],
@@ -200,7 +210,11 @@ def asof_join_backward(left_ds, right_ds, key_col: str, ts_col: str,
 
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow"))
-    parts_ds = tagged.sort(["key", "ts_us", "side"]) \
+    # value as the 4th sort key = the deterministic tie-break for
+    # duplicate (key, ts) right rows: np.maximum.accumulate picks the
+    # LAST right row in sort order, so max(value) wins on every engine
+    # and partitioning (left rows all carry value=0.0, unaffected)
+    parts_ds = tagged.sort(["key", "ts_us", "side", "value"]) \
         .map_batches(_asof_partials, batch_size=None, batch_format="pyarrow")
 
     if reduce == "partitioned":
@@ -230,8 +244,8 @@ def asof_join_backward(left_ds, right_ds, key_col: str, ts_col: str,
             ("ts_us", pa.int64()), ("matched", pa.bool_()),
             ("r_ts_us", pa.int64()), ("r_value", pa.float64()),
         ]).empty_table()
-    parts = parts.sort_values(["key", "ts_us", "side"], kind="mergesort",
-                              ignore_index=True)
+    parts = parts.sort_values(["key", "ts_us", "side", "r_value"],
+                              kind="mergesort", ignore_index=True)
     return _stitch_asof(
         parts["key"].to_numpy(), parts["ts_us"].to_numpy(),
         parts["side"].to_numpy(), parts["left_id"].to_numpy(),

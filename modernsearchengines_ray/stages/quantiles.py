@@ -40,6 +40,36 @@ def _bin_index(vals: np.ndarray, lo: float, width: float,
     return np.clip(idx, 0, bins - 1)
 
 
+def _nan_excluded_stats(ds, col: str) -> tuple[int, float, float]:
+    """(count, min, max) of ``ds[col]`` over NaN/null-EXCLUDED values,
+    one custom streaming pass.  The stock ``Count()`` counts nulls (Ray
+    2.49 ignore_nulls=False) and ``Min``/``Max`` return null on
+    any-null columns, so both would desync the target ranks from the
+    null-free histogram (ADVICE r3: median of 1..100 plus 50 nulls
+    returned 75.0).  Arrow nulls surface as NaN through
+    ``to_numpy(zero_copy_only=False)``, so one NaN filter covers both
+    encodings, identically to the histogram passes."""
+    from ray.data.aggregate import AggregateFn
+
+    def acc_stats(state: np.ndarray, block) -> np.ndarray:
+        vals = block.column(col).to_numpy(zero_copy_only=False)
+        vals = vals[~np.isnan(vals)] if vals.dtype.kind == "f" else vals
+        if len(vals):
+            state = np.array([state[0] + len(vals),
+                              min(state[1], float(vals.min())),
+                              max(state[2], float(vals.max()))])
+        return state
+
+    stats_fn = AggregateFn(
+        init=lambda k: np.array([0.0, np.inf, -np.inf]),
+        merge=lambda a, b: np.array([a[0] + b[0], min(a[1], b[1]),
+                                     max(a[2], b[2])]),
+        accumulate_block=acc_stats,
+        name="nan_stats")
+    st = np.asarray(ds.aggregate(stats_fn)["nan_stats"], dtype=np.float64)
+    return int(st[0]), float(st[1]), float(st[2])
+
+
 def exact_quantiles(ds, col: str, qs: tuple[float, ...],
                     bins: int = 4096,
                     max_candidate_rows: int = 5_000_000) -> pa.Table:
@@ -49,16 +79,13 @@ def exact_quantiles(ds, col: str, qs: tuple[float, ...],
     row per requested quantile, ordered as given.  Nulls in ``col``
     are excluded (SQL aggregate semantics).
     """
-    from ray.data.aggregate import AggregateFn, Count, Max, Min
+    from ray.data.aggregate import AggregateFn
 
-    stats = ds.aggregate(Count(col), Min(col), Max(col))
-    n = int(stats[f"count({col})"])
+    n, lo, hi = _nan_excluded_stats(ds, col)
     if n == 0:
         return pa.table({"q": pa.array(list(qs), pa.float64()),
                          "value": pa.array([None] * len(qs),
                                            pa.float64())})
-    lo = float(stats[f"min({col})"])
-    hi = float(stats[f"max({col})"])
     if hi <= lo:  # constant column: every quantile is that value
         return pa.table({"q": pa.array(list(qs), pa.float64()),
                          "value": pa.array([lo] * len(qs),
@@ -138,11 +165,12 @@ def exact_quantiles_by_group(ds, col: str, group_col: str,
     ``sort + map_groups`` instead, which shuffles everything once.
 
     Returns ``(group_col, q, value)``, groups sorted, qs in given
-    order."""
-    from ray.data.aggregate import Max, Min, Sum
+    order.  Null/NaN values of ``col`` are excluded (SQL aggregate
+    semantics), in the shared-stats, histogram and refinement passes
+    alike."""
+    from ray.data.aggregate import Sum
 
-    stats = ds.aggregate(Min(col), Max(col))
-    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    _, lo, hi = _nan_excluded_stats(ds, col)
     if hi <= lo:
         hi = lo + 1.0  # constant column: any single bin works
     width = (hi - lo) / bins
@@ -150,7 +178,11 @@ def exact_quantiles_by_group(ds, col: str, group_col: str,
     def hist(batch: pa.Table) -> pa.Table:
         vals = batch.column(col).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        grps = batch.column(group_col)
+        # NaN/null exclusion, same rule as exact_quantiles.acc_block —
+        # np.floor(NaN).astype(int64) is UB and would corrupt bin 0
+        finite = ~np.isnan(vals)
+        vals = vals[finite]
+        grps = batch.column(group_col).filter(pa.array(finite))
         idx = _bin_index(vals, lo, width, bins)
         df = pd.DataFrame({"g": grps.to_pandas(), "b": idx})
         agg = df.groupby(["g", "b"], as_index=False, sort=False).size()
@@ -191,7 +223,10 @@ def exact_quantiles_by_group(ds, col: str, group_col: str,
     def in_need(batch: pa.Table) -> pa.Table:
         vals = batch.column(col).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        grps = batch.column(group_col).to_pylist()
+        finite = ~np.isnan(vals)
+        vals = vals[finite]
+        grps = batch.column(group_col).filter(pa.array(finite)) \
+            .to_pylist()
         idx = _bin_index(vals, lo, width, bins)
         mask = np.fromiter(
             ((g, int(b)) in need_pairs for g, b in zip(grps, idx)),

@@ -98,6 +98,17 @@ class TestAsofJoin:
         assert np.allclose(got.loc[matched, "r_value"],
                            want.loc[matched, "value"])
 
+    def test_duplicate_key_ts_tiebreak_deterministic(self, ray_session):
+        # ADVICE r3: duplicate (key, ts) right rows used to resolve by
+        # physical sort order; the value-as-final-sort-key tie-break
+        # makes max(value) win on BOTH tiers, partitioning-independent
+        left = [(1, 7, 100), (2, 7, 300)]
+        right = [(8, 7, 100, 1.0), (9, 7, 100, 5.0), (10, 7, 100, 3.0)]
+        for reduce in ("driver", "partitioned"):
+            out = _run_asof(left, right, reduce=reduce)
+            assert out["matched"].all(), reduce
+            assert (out["r_value"] == 5.0).all(), reduce
+
     def test_unknown_reduce_mode_raises(self, ray_session):
         import ray.data as rd
 

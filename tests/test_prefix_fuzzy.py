@@ -54,6 +54,80 @@ def _docs_union(oracle_index, stems) -> set[int]:
     return out
 
 
+class TestTermDict:
+    """The sorted-dictionary matchers (VERDICT r3 #2): results equal
+    the brute-force scan AND the Python-level scan is provably
+    sublinear (n_scanned returned by every matcher)."""
+
+    @pytest.fixture(scope="class")
+    def vocab(self):
+        # synthetic vocab with shared prefixes, length spread, and
+        # regex-shaped families; large enough that linear != sublinear
+        words = [f"stem{i:05d}" for i in range(2000)]
+        words += [f"pre{i % 7}fix{i:04d}" for i in range(1000)]
+        words += ["cat", "cats", "category", "dog", "dodge", "dig",
+                  "stream", "stram", "streams", "a", "z" * 40]
+        return sorted(set(words))
+
+    @pytest.fixture(scope="class")
+    def td(self, vocab):
+        from modernsearchengines_ray.functions.termdict import TermDict
+
+        return TermDict(vocab)
+
+    def test_prefix_exact_and_zero_scanned(self, td, vocab):
+        got, scanned = td.prefix("cat")
+        assert got == [w for w in vocab if w.startswith("cat")]
+        assert scanned == 0
+        got, scanned = td.prefix("")
+        assert got == vocab and scanned == 0
+        assert td.prefix("zzzz")[0] == ["z" * 40]
+        assert td.prefix("qqq")[0] == []
+
+    def test_range_exact_and_zero_scanned(self, td, vocab):
+        got, scanned = td.range("cat", "dog")
+        assert got == [w for w in vocab if "cat" <= w < "dog"]
+        assert scanned == 0
+        got, _ = td.range("", "d")
+        assert got == [w for w in vocab if w < "d"]
+        got, _ = td.range("stem", "")
+        assert got == [w for w in vocab if w >= "stem"]
+
+    def test_fuzzy_exact_and_length_banded(self, td, vocab):
+        from modernsearchengines_ray.functions.editdist import (
+            levenshtein)
+
+        got, scanned = td.fuzzy("stream", max_edits=1)
+        want = [w for w in vocab if levenshtein(w, "stream", cap=1) <= 1]
+        assert sorted(got) == sorted(want)
+        band = [w for w in vocab if abs(len(w) - 6) <= 1]
+        assert scanned == len(band)
+        assert scanned < len(vocab) // 3  # the point: no full scan
+
+    def test_regex_literal_prefix_window(self, td, vocab):
+        got, scanned = td.regex(r"cat.*")
+        assert sorted(got) == sorted(
+            w for w in vocab if w.startswith("cat"))
+        # the scan window is the "cat" prefix range, not the vocab
+        assert scanned == len([w for w in vocab if w.startswith("cat")])
+        got, scanned = td.regex(r"do(g|dge)")
+        assert sorted(got) == ["dodge", "dog"]
+        assert scanned == len([w for w in vocab if w.startswith("do")])
+
+    def test_regex_no_literal_prefix_degrades_to_full(self, td, vocab):
+        got, scanned = td.regex(r".*0042")
+        assert sorted(got) == sorted(w for w in vocab
+                                     if w.endswith("0042"))
+        assert scanned == len(vocab)
+
+    def test_dispatch_and_bad_kind(self, td):
+        assert td.match("prefix", "cat")[0] == td.prefix("cat")[0]
+        assert td.match("range", "cat\x00dog")[0] == \
+            td.range("cat", "dog")[0]
+        with pytest.raises(ValueError):
+            td.match("bogus", "x")
+
+
 class TestPrefix:
     def test_expansion_matches_dictionary(self, engine, prepared):
         oracle_index = prepared[3]

@@ -180,6 +180,30 @@ class TestExactQuantiles:
             exact_quantiles(ds, "v", (0.5,), bins=2,
                             max_candidate_rows=10)
 
+    def test_nulls_excluded(self, ray_session):
+        # ADVICE r3: 1..100 plus 50 nulls must give median 50, not 75
+        # (stock Count() counted the nulls and inflated the ranks)
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            exact_quantiles)
+
+        vals = list(np.arange(1.0, 101.0)) + [None] * 50
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+        got = exact_quantiles(ds, "v", (0.5,), bins=64).to_pandas()
+        assert float(got["value"].iloc[0]) == 50.0
+
+    def test_all_null_returns_nulls(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            exact_quantiles)
+
+        ds = rd.from_arrow(pa.table(
+            {"v": pa.array([None, None], pa.float64())}))
+        got = exact_quantiles(ds, "v", self.QS)
+        assert got["value"].null_count == len(self.QS)
+
 
 class TestExactQuantilesByGroup:
     QS = (0.25, 0.5, 0.9)
@@ -222,3 +246,23 @@ class TestExactQuantilesByGroup:
             ds, "v", "g", (0.5,), bins=64).to_pandas()
         assert float(got[got["g"] == "tiny"]["value"].iloc[0]) == 6.0
         assert float(got[got["g"] == "big"]["value"].iloc[0]) == 499.0
+
+    def test_nulls_excluded_per_group(self, ray_session):
+        # ADVICE r3: NaN/null values corrupted per-group histograms
+        # (floor(NaN) -> INT64_MIN -> clipped into bin 0)
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            exact_quantiles_by_group)
+
+        vals = ([float(v) for v in range(1, 101)] + [None] * 50
+                + [10.0, None, 20.0, 30.0])
+        groups = ["a"] * 150 + ["b"] * 4
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array(groups, pa.string()),
+            "v": pa.array(vals, pa.float64()),
+        }))
+        got = exact_quantiles_by_group(
+            ds, "v", "g", (0.5,), bins=64).to_pandas()
+        assert float(got[got["g"] == "a"]["value"].iloc[0]) == 50.0
+        assert float(got[got["g"] == "b"]["value"].iloc[0]) == 20.0
