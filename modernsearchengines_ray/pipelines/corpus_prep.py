@@ -10,10 +10,12 @@ removal -> row-by-row insert.  Here it is one lazy Dataset chain:
   groupby(simhash) keep-min(url) (D1-D3, deterministic keep rule) ->
   doc-id assignment.
 
-doc_id rule (FIXTURES.md §5): dense rank of url under lexicographic
-sort over the post-dedup corpus — implemented with a driver-side sorted
-url pull (conformance scale); ``mode="hash"`` is the 10^12-doc path
-(stable 63-bit url hash, no global sort, collision-checked offline).
+doc_id rule: ``mode="hash"`` is the DEFAULT and the 10^12-doc path
+(stable 63-bit url hash, no global sort, collision check opt-in).
+``mode="dense_rank"`` (FIXTURES.md §5: rank of url under lexicographic
+sort over the post-dedup corpus) is the conformance opt-in — it pulls
+the sorted url set to the driver and refuses corpora above
+``DENSE_RANK_MAX_ROWS``.
 """
 
 from __future__ import annotations
@@ -67,19 +69,27 @@ def check_doc_id_collisions(ds) -> None:
             "dense_rank mode")
 
 
-def assign_doc_ids(ds, mode: str = "dense_rank",
-                   check_collisions: bool = False):
+#: dense_rank materializes the url column on the driver; refuse above
+#: this row count so the conformance path can't silently ship to a
+#: cluster-scale corpus (override per-call for a bigger dev box).
+DENSE_RANK_MAX_ROWS = 5_000_000
+
+
+def assign_doc_ids(ds, mode: str = "hash",
+                   check_collisions: bool = False,
+                   max_driver_rows: int = DENSE_RANK_MAX_ROWS):
     """Attach int64 ``doc_id``.
 
+    - hash (DEFAULT): stable 63-bit hash of url — the shuffle-free
+      scale path; ``check_collisions=True`` adds the loud-failure
+      injectivity check (two narrow distinct counts; off by default to
+      keep the build single-pass — enable for untrusted corpora).
     - dense_rank: rank of url in the lexicographically sorted url set
-      (deterministic, matches the oracle; driver pulls ONLY the url
+      (deterministic, matches the SQL oracle; driver pulls ONLY the url
       column and broadcasts it as a SORTED ARRAY — ``np.searchsorted``
-      lookup per batch, no per-task Python dict — conformance-scale
-      path).
-    - hash: stable 63-bit hash of url — the shuffle-free scale path;
-      ``check_collisions=True`` adds the loud-failure injectivity check
-      (two narrow distinct counts; off by default to keep the build
-      single-pass — enable for untrusted corpora).
+      lookup per batch, no per-task Python dict).  CONFORMANCE-SCALE
+      opt-in: it materializes O(corpus) urls on the driver, so it
+      refuses corpora above ``max_driver_rows``.
     """
     if mode == "hash":
         def add_hash_id(batch: pa.Table) -> pa.Table:
@@ -92,6 +102,14 @@ def assign_doc_ids(ds, mode: str = "dense_rank",
             check_doc_id_collisions(out)
         return out
 
+    if mode != "dense_rank":
+        raise ValueError(f"unknown doc_id mode: {mode!r}")
+    n = ds.select_columns(["url"]).count()
+    if n > max_driver_rows:
+        raise ValueError(
+            f"dense_rank doc ids materialize {n} urls on the driver "
+            f"(cap {max_driver_rows}); use mode='hash' at this scale or "
+            "raise max_driver_rows explicitly")
     urls = np.sort(np.asarray(
         ds.select_columns(["url"]).to_pandas()["url"], dtype=object))
     urls_ref = ray.put(urls)
@@ -106,7 +124,7 @@ def assign_doc_ids(ds, mode: str = "dense_rank",
     return ds.map_batches(add_rank_id, batch_format="pyarrow")
 
 
-def prepare_corpus(pages_ds, doc_id_mode: str = "dense_rank",
+def prepare_corpus(pages_ds, doc_id_mode: str = "hash",
                    extract_concurrency=None):
     """pages(url, warc_ts, html, ...) -> (doc_id, url, text, lang, site, ...)."""
     ds = extract_pages(pages_ds, concurrency=extract_concurrency)

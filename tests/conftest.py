@@ -58,7 +58,7 @@ def prepared(ray_session, pages_parquet, tmp_path_factory):
 
     tmp = tmp_path_factory.mktemp("index")
     pages = rd.read_parquet(pages_parquet)
-    corpus_df = prepare_corpus(pages).to_pandas()
+    corpus_df = prepare_corpus(pages, doc_id_mode="dense_rank").to_pandas()
     index_dir = str(tmp / "idx")
     result = build_index(
         rd.from_pandas(corpus_df[["doc_id", "url", "text"]]),

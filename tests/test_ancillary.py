@@ -376,7 +376,8 @@ class TestLazyShardScorer:
         from modernsearchengines_ray.state.manifest import shard_path
 
         corpus_df = prepare_corpus(
-            rd.read_parquet(pages_parquet)).to_pandas()
+            rd.read_parquet(pages_parquet),
+            doc_id_mode="dense_rank").to_pandas()
         index_dir = str(tmp_path / "rg_idx")
         build_index(
             rd.from_pandas(corpus_df[["doc_id", "url", "text"]]),

@@ -204,6 +204,34 @@ class TestIngestionGuards:
                              check_collisions=True).to_pandas()
         assert out["doc_id"].nunique() == 50
 
+    def test_default_mode_is_hash_not_driver_materializing(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.pipelines.corpus_prep import (
+            assign_doc_ids,
+        )
+
+        df = pd.DataFrame({"url": ["http://x/a", "http://x/b"],
+                           "text": ["t", "t"]})
+        out = assign_doc_ids(rd.from_pandas(df)).to_pandas()
+        # hash ids, not dense ranks: not the 0..n-1 contiguous range
+        assert set(out["doc_id"]) != {0, 1}
+
+    def test_dense_rank_refuses_above_driver_cap(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.pipelines.corpus_prep import (
+            assign_doc_ids,
+        )
+
+        df = pd.DataFrame({"url": [f"http://x/{i}" for i in range(10)]})
+        with pytest.raises(ValueError, match="driver"):
+            assign_doc_ids(rd.from_pandas(df), mode="dense_rank",
+                           max_driver_rows=5)
+        ok = assign_doc_ids(rd.from_pandas(df), mode="dense_rank",
+                            max_driver_rows=10).to_pandas()
+        assert sorted(ok["doc_id"]) == list(range(10))
+
 
 class TestEmbeddingDedupLshDefault:
     def test_lsh_equals_matrix_oracle_on_planted_dups(self, ray_session):

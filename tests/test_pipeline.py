@@ -416,7 +416,8 @@ class TestSkewAndSpillResume:
         from modernsearchengines_ray.state.shards import load_index_postings
 
         corpus_df = prepare_corpus(
-            rd.read_parquet(pages_parquet)).to_pandas()
+            rd.read_parquet(pages_parquet),
+            doc_id_mode="dense_rank").to_pandas()
         cols = corpus_df[["doc_id", "url", "text"]]
 
         fresh_dir = str(tmp_path / "fresh")
@@ -453,7 +454,8 @@ class TestSaltedMerge:
         from modernsearchengines_ray.pipelines.corpus_prep import prepare_corpus
 
         corpus_df = prepare_corpus(
-            rd.read_parquet(pages_parquet)).to_pandas()
+            rd.read_parquet(pages_parquet),
+            doc_id_mode="dense_rank").to_pandas()
         cols = corpus_df[["doc_id", "url", "text"]]
         cfg = IndexConfig(num_shards=8)
 

@@ -20,7 +20,8 @@ def _split_corpus(pages_parquet):
 
     from modernsearchengines_ray.pipelines.corpus_prep import prepare_corpus
 
-    corpus_df = prepare_corpus(rd.read_parquet(pages_parquet)).to_pandas()
+    corpus_df = prepare_corpus(rd.read_parquet(pages_parquet),
+                               doc_id_mode="dense_rank").to_pandas()
     cols = corpus_df[["doc_id", "url", "text"]].reset_index(drop=True)
     cut = (2 * len(cols)) // 3
     return cols, cols.iloc[:cut], cols.iloc[cut:]
