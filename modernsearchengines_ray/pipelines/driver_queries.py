@@ -3277,6 +3277,36 @@ FROM events e JOIN w ON epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) < w.hi
 """
 
 
+def q_range_join_bucketed(sf_dir: str):
+    """Same 16 overlapping windows as :func:`q_range_join`, but through
+    the LARGE-side tier (stages/joins.py interval_join_bucketed): the
+    window table stays a Dataset, both sides hash-exchange on
+    ``ts // bucket_us`` with intervals replicated to each bucket they
+    overlap, and the probe runs per bucket inside each block — nothing
+    broadcast, nothing on the driver, safe at 10^9 intervals.
+    bucket_us = step keeps replication <= 3 copies per window."""
+    from ray.data.aggregate import Max, Min
+
+    import ray.data as rd
+
+    from ..stages.joins import interval_join_bucketed
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    agg = ds.aggregate(Min("ts"), Max("ts"))
+    mn = pd.Timestamp(agg["min(ts)"]).value // 1000
+    mx = pd.Timestamp(agg["max(ts)"]).value // 1000
+    step = (mx - mn) // 16 + 1
+    k = np.arange(16, dtype=np.int64)
+    intervals = pa.table({
+        "window_id": pa.array(k, pa.int64()),
+        "lo_us": pa.array(mn + k * step, pa.int64()),
+        "hi_us": pa.array(mn + k * step + step + step // 2, pa.int64()),
+    })
+    return interval_join_bucketed(
+        ds, rd.from_arrow(intervals), ts_col="ts", id_col="event_id",
+        bucket_us=int(step))
+
+
 # ---------------------------------------------------------------------------
 # repetition / duplicate-span curation signals and distributed selection
 # ---------------------------------------------------------------------------
@@ -3969,6 +3999,7 @@ QUERY_FUNCS = {
     "asof_join_partitioned":
         lambda sf_dir: q_asof_join(sf_dir, reduce="partitioned"),
     "range_join": q_range_join,
+    "range_join_bucketed": q_range_join_bucketed,
     "dup_spans": q_dup_spans,
     "repetition": q_repetition,
     "price_quantiles": q_price_quantiles,
@@ -4049,6 +4080,7 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "asof_join_partitioned": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
+    "range_join_bucketed": SQL_RANGE_JOIN,
     "dup_spans": SQL_DUP_SPANS,
     "repetition": SQL_REPETITION,
     "price_quantiles": SQL_PRICE_QUANTILES,

@@ -36,12 +36,23 @@ left.ts``):
    key's partials land wholly in one block and stitches per block —
    no driver materialization.
 
-Interval join plan: the interval side is SMALL by contract (time
-windows, maintenance calendars, label ranges) — ship it once via
-``ray.put`` and probe per batch with one vectorized mask per interval
-(O(|intervals| x batch), zero Python per row).  A billion-interval
-range join would instead bucket both sides by range — out of scope
-here and documented as such.
+Interval join plan, two tiers:
+
+- :func:`interval_join` — the interval side is SMALL by contract
+  (time windows, maintenance calendars, label ranges): ship it once
+  via ``ray.put`` and probe per batch with one vectorized mask per
+  interval (O(|intervals| x batch), zero Python per row).  A pure
+  streaming map, no shuffle.
+- :func:`interval_join_bucketed` — the billion-interval tier: both
+  sides bucket by ``ts // bucket_us`` (an interval replicates to every
+  bucket it overlaps), one hash exchange co-locates each bucket, and
+  the probe runs per bucket inside each block.  A row lives in exactly
+  ONE bucket, so a replicated interval meets it exactly once — no
+  dedup pass needed.  Nothing is held on the driver or broadcast, so
+  the interval side can exceed the object store of any single node.
+  Replication factor is |interval| / bucket_us; the guard raises when
+  an interval would fan out beyond ``max_buckets_per_interval``
+  (pick ``bucket_us`` >= the typical interval length).
 
 No nulls anywhere: unmatched left rows carry ``matched=false`` with
 sentinel payloads (-1 / 0.0), so the driver's value-hash never
@@ -293,3 +304,153 @@ def interval_join(ds, intervals: pa.Table, ts_col: str, id_col: str):
     # (map_batches never runs on zero-row blocks)
     return rd.from_arrow(out_schema.empty_table()).union(
         ds.map_batches(probe, batch_format="pyarrow"))
+
+
+_BUCKETED_TAG_SCHEMA = pa.schema([
+    ("bucket", pa.int64()),
+    ("side", pa.int8()),
+    ("ts_us", pa.int64()),
+    ("row_id", pa.int64()),
+    ("window_id", pa.int64()),
+    ("lo_us", pa.int64()),
+    ("hi_us", pa.int64()),
+])
+
+
+def interval_join_bucketed(ds, intervals_ds, ts_col: str, id_col: str,
+                           bucket_us: int,
+                           num_partitions: int | None = None,
+                           max_buckets_per_interval: int = 4096):
+    """Large-side interval join: same semantics as :func:`interval_join`
+    (emit (id, window_id) for every interval with ``lo_us <= ts <
+    hi_us``; overlapping intervals emit multiple matches) but the
+    interval side is a DATASET co-partitioned with the probe side by
+    time bucket — safe when intervals don't fit one node's object
+    store.  See the module docstring for the plan."""
+    import ray.data as rd
+
+    from .dedup import default_join_partitions, hash_shuffle_context
+
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("window_id", pa.int64())])
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(ts)
+        return pa.table({
+            "bucket": pa.array(ts // bucket_us, pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "row_id": batch[id_col].cast(pa.int64()),
+            "window_id": pa.array(np.full(n, -1), pa.int64()),
+            "lo_us": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "hi_us": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+        })
+
+    def replicate_intervals(batch: pa.Table) -> pa.Table:
+        lo = batch["lo_us"].to_numpy(zero_copy_only=False)
+        hi = batch["hi_us"].to_numpy(zero_copy_only=False)
+        wid = batch["window_id"].to_numpy(zero_copy_only=False)
+        live = hi > lo  # empty intervals match nothing
+        lo, hi, wid = lo[live], hi[live], wid[live]
+        first = lo // bucket_us
+        last = (hi - 1) // bucket_us
+        counts = (last - first + 1).astype(np.int64)
+        worst = int(counts.max()) if len(counts) else 0
+        if worst > max_buckets_per_interval:
+            raise ValueError(
+                f"an interval spans {worst} buckets "
+                f"(cap {max_buckets_per_interval}); raise bucket_us to "
+                "at least the typical interval length to bound "
+                "replication")
+        reps = np.repeat(np.arange(len(lo)), counts)
+        n = len(reps)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        offs = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        buckets = first[reps] + offs
+        return pa.table({
+            "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+            "ts_us": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "row_id": pa.array(np.full(n, -1), pa.int64()),
+            "window_id": pa.array(wid[reps], pa.int64()),
+            "lo_us": pa.array(lo[reps], pa.int64()),
+            "hi_us": pa.array(hi[reps], pa.int64()),
+        })
+
+    # the planner resolves shuffle strategy from the FINAL dataset's
+    # context snapshot, so every dataset in this chain — including the
+    # trailing typed-empty union — must be created under HASH_SHUFFLE
+    with hash_shuffle_context():
+        tagged = rd.from_arrow(_BUCKETED_TAG_SCHEMA.empty_table()).union(
+            ds.map_batches(tag_rows, batch_format="pyarrow"),
+            intervals_ds.map_batches(replicate_intervals,
+                                     batch_format="pyarrow"))
+        shuffled = tagged.repartition(
+            num_partitions or default_join_partitions(),
+            keys=["bucket"], sort=False)
+
+    def probe_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        side = batch["side"].to_numpy(zero_copy_only=False)
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+        iv_mask = side == 0
+        row_mask = ~iv_mask
+        if not iv_mask.any() or not row_mask.any():
+            return out_schema.empty_table()
+        r_bkt = bucket[row_mask]
+        r_ts = batch["ts_us"].to_numpy(zero_copy_only=False)[row_mask]
+        r_id = batch["row_id"].to_numpy(zero_copy_only=False)[row_mask]
+        i_bkt = bucket[iv_mask]
+        i_wid = batch["window_id"].to_numpy(zero_copy_only=False)[iv_mask]
+        i_lo = batch["lo_us"].to_numpy(zero_copy_only=False)[iv_mask]
+        i_hi = batch["hi_us"].to_numpy(zero_copy_only=False)[iv_mask]
+
+        # bucket-sort both sides once; probe each bucket's rows against
+        # ONLY that bucket's interval copies (vectorized per copy)
+        r_order = np.argsort(r_bkt, kind="stable")
+        r_bkt, r_ts, r_id = r_bkt[r_order], r_ts[r_order], r_id[r_order]
+        i_order = np.argsort(i_bkt, kind="stable")
+        i_bkt = i_bkt[i_order]
+        i_wid, i_lo, i_hi = i_wid[i_order], i_lo[i_order], i_hi[i_order]
+
+        out_id, out_w = [], []
+        uniq = np.unique(r_bkt)
+        r_starts = np.searchsorted(r_bkt, uniq, side="left")
+        r_ends = np.searchsorted(r_bkt, uniq, side="right")
+        i_starts = np.searchsorted(i_bkt, uniq, side="left")
+        i_ends = np.searchsorted(i_bkt, uniq, side="right")
+        for rs, re, is_, ie in zip(r_starts, r_ends, i_starts, i_ends):
+            if is_ == ie:
+                continue
+            ts_b, id_b = r_ts[rs:re], r_id[rs:re]
+            for j in range(is_, ie):
+                m = (ts_b >= i_lo[j]) & (ts_b < i_hi[j])
+                if m.any():
+                    out_id.append(id_b[m])
+                    out_w.append(np.full(int(m.sum()), i_wid[j],
+                                         dtype=np.int64))
+        if not out_id:
+            return out_schema.empty_table()
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "window_id": pa.array(np.concatenate(out_w), pa.int64()),
+        })
+
+    # empty shuffle partitions surface as schema-less zero-row blocks
+    # that map_batches never rewrites; the sentinel-union + repartition
+    # + filter (dedup.ensure_schema's trick) rebuilds every block under
+    # the typed schema even when the whole result is empty
+    from .dedup import drop_sentinels, ensure_schema
+
+    with hash_shuffle_context():
+        out = shuffled.map_batches(probe_block, batch_size=None,
+                                   batch_format="pyarrow")
+        return drop_sentinels(ensure_schema(out, out_schema),
+                              "window_id")

@@ -83,6 +83,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "index_phrase_boolean_check", "more_like_this", "facet_counts",
         "pii_redact", "stratified_sample", "chunk_windows", "lm_score",
         "asof_join", "asof_join_partitioned", "range_join",
+        "range_join_bucketed",
         "dup_spans", "repetition", "price_quantiles",
         "label_centroids", "nation_revenue",
         "prefix_search", "fuzzy_match", "index_prefix_fuzzy_check",
