@@ -2447,6 +2447,109 @@ FROM b
 """
 
 
+def _media_png_ds(sf_dir: str):
+    """Synthesized REAL PNG payloads: per doc a constant-fill image
+    whose dimensions/channels/fill are pure integer functions of
+    doc_id — so the SQL oracle derives the decoded features without
+    decoding anything, and the gate proves the stdlib PNG decoder
+    (functions/codecs.py) reconstructs them exactly."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import encode_png
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            w = 8 + d % 16
+            h = 8 + (d // 3) % 16
+            c = 1 if d % 2 == 0 else 3
+            v = d % 256
+            arr = np.full((h, w, c), v, dtype=np.uint8)
+            payloads.append(encode_png(arr))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/png"] * len(ids), pa.string()),
+        })
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def q_image_features_real(sf_dir: str):
+    """REAL image decode (stdlib PNG codec) over synthesized payloads;
+    gated on the integer-exact columns (luma_sum is the exact pixel
+    byte sum, no float accumulation in the hash)."""
+    from ..stages.multimodal import image_features
+
+    out = image_features(_media_png_ds(sf_dir), concurrency=2,
+                         codec="real")
+    return out.select_columns(
+        ["item_id", "width", "height", "channels", "luma_sum"])
+
+
+SQL_IMAGE_FEATURES_REAL = """
+SELECT doc_id AS item_id,
+       (8 + doc_id % 16)::INTEGER AS width,
+       (8 + (doc_id // 3) % 16)::INTEGER AS height,
+       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)::INTEGER AS channels,
+       ((8 + doc_id % 16) * (8 + (doc_id // 3) % 16)
+        * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)
+        * (doc_id % 256))::BIGINT AS luma_sum
+FROM documents
+"""
+
+
+def _media_wav_ds(sf_dir: str):
+    """Synthesized REAL WAV payloads: constant-amplitude 16-bit mono
+    PCM, rate/length/amplitude pure integer functions of doc_id."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import encode_wav
+
+        rates = (8000, 16000, 22050, 44100, 48000)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            n = 64 + d % 256
+            a = (d * 37) % 30000
+            payloads.append(encode_wav(
+                np.full(n, a, dtype=np.int16), rates[d % 5]))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * len(ids), pa.string()),
+        })
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def q_audio_features_real(sf_dir: str):
+    """REAL WAV decode (stdlib ``wave``) over synthesized payloads;
+    amp = a / 32768 is a power-of-two division — exact in IEEE754 on
+    both engines, so the value-hash is safe."""
+    from ..stages.multimodal import audio_features
+
+    out = audio_features(_media_wav_ds(sf_dir), concurrency=2,
+                         codec="real")
+    return out.select_columns(
+        ["item_id", "sample_rate", "n_samples", "amp"])
+
+
+SQL_AUDIO_FEATURES_REAL = """
+SELECT doc_id AS item_id,
+       (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             WHEN 2 THEN 22050 WHEN 3 THEN 44100
+             ELSE 48000 END)::INTEGER AS sample_rate,
+       (64 + doc_id % 256)::BIGINT AS n_samples,
+       ((doc_id * 37) % 30000) / 32768.0 AS amp
+FROM documents
+"""
+
+
 def q_frame_samples(sf_dir: str):
     from ..stages.multimodal import frame_samples
 
@@ -3971,7 +4074,9 @@ QUERY_FUNCS = {
     "jaccard_pairs_partitioned":
         lambda sf_dir: q_jaccard_pairs(sf_dir, reduce="partitioned"),
     "image_features": q_image_features,
+    "image_features_real": q_image_features_real,
     "audio_features": q_audio_features,
+    "audio_features_real": q_audio_features_real,
     "frame_samples": q_frame_samples,
     "sessionize": q_sessionize,
     "sessionize_partitioned":
@@ -4068,7 +4173,9 @@ ORACLE_SQL = {
     "language_id": _sql_language_id(),
     "quality_signals": _sql_quality_signals(),
     "image_features": _sql_image_features(),
+    "image_features_real": SQL_IMAGE_FEATURES_REAL,
     "audio_features": _sql_audio_features(),
+    "audio_features_real": SQL_AUDIO_FEATURES_REAL,
     "ref_doc_lens": _sql_ref_doc_lens(),
     "index_lifecycle_check": SQL_INDEX_LIFECYCLE_CHECK,
     "index_merge_check": SQL_INDEX_MERGE_CHECK,

@@ -92,6 +92,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "pagerank_partitioned", "price_ntile",
         "distinct_users_by_type_hll_check", "decontaminate_bloom",
         "rolling_fp", "ann_ivf", "ref_search", "trec_run",
+        "image_features_real", "audio_features_real",
         "wand_search", "distinct_users_approx",
     ],
 )

@@ -311,13 +311,21 @@ class TestMultimodal:
             assert out.loc[i, "channels"] == c
             assert abs(out.loc[i, "mean_luma"] - luma) < 1e-12
 
-    def test_real_codec_is_explicitly_stubbed(self):
+    def test_real_codec_rejects_undecodable_payload(self):
+        # codec="real" now genuinely decodes PNG/BMP (tests/test_codecs);
+        # undecodable payloads must fail LOUDLY, not produce fake metadata
         import pytest as _pytest
 
+        from modernsearchengines_ray.functions.codecs import (
+            UnsupportedMediaError,
+        )
         from modernsearchengines_ray.stages.multimodal import ImageDecode
 
-        with _pytest.raises(NotImplementedError):
-            ImageDecode(codec="real")
+        dec = ImageDecode(codec="real")
+        if dec.pil is not None:
+            _pytest.skip("Pillow present: unknown formats go to PIL")
+        with _pytest.raises(UnsupportedMediaError):
+            dec._decode_real(b"not an image")
 
     def test_frame_sampling_fanout(self, ray_session):
         import pandas as pd
