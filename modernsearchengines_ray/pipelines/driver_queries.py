@@ -3422,11 +3422,19 @@ def q_dup_spans(sf_dir: str):
     doc, how many of its 8-word spans occur verbatim in another doc.
     Plan in stages/spans.py: map-side per-doc gram counts →
     groupby(gram) dup mining → inner hash join → one groupby(doc_id)
-    over unioned narrow partials.  No driver state at any size."""
+    over unioned narrow partials.  No driver state at any size.
+
+    Exchange partitions are sized to the input (docs × ~300 grams/doc
+    estimate): toy corpora run 2 aggregators instead of CPU/2, which
+    is where their wall time went (VERDICT r3 #9); the cluster-width
+    cap still applies at scale."""
+    from ..stages.dedup import join_partitions_for
     from ..stages.spans import dup_span_stats
 
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return dup_span_stats(ds, n=DUP_SPAN_NGRAM)
+    return dup_span_stats(ds, n=DUP_SPAN_NGRAM,
+                          num_partitions=join_partitions_for(n_docs * 300))
 
 
 SQL_DUP_SPANS = f"""
@@ -3663,18 +3671,21 @@ def q_nation_revenue(sf_dir: str):
     customer ⋈ nation.  The two big sides meet in hash-shuffle joins
     (customer is NOT broadcastable at 10⁹ rows); the 25-row nation
     table is the broadcast lookup; revenue partials combine map-side
-    before one 25-group stitch."""
+    before one 25-group stitch.  Join partitions are sized to the
+    lineitem row count (VERDICT r3 #9): toy inputs spin 2 aggregators
+    per exchange, the cluster-width cap governs at scale."""
     import ray
     from ray.data.aggregate import Sum
 
-    from ..stages.dedup import default_join_partitions
+    from ..stages.dedup import join_partitions_for
 
     # NOTE: Dataset.join brings its own hash-shuffle machinery; do NOT
     # also wrap this multi-join DAG in hash_shuffle_context — forcing
     # the (25-group) groupby to hash mode too makes three concurrent
     # exchanges' aggregator actors starve a small CPU budget (deadlock
     # observed at num_cpus=4).  The groupby stays sort-based and tiny.
-    nparts = default_join_partitions()
+    n_li = _read(sf_dir, "lineitem", columns=["l_orderkey"]).count()
+    nparts = join_partitions_for(n_li)
     nation = _read(sf_dir, "nation",
                    columns=["n_nationkey", "n_name"]).to_pandas()
     names_ref = ray.put(dict(zip(nation["n_nationkey"],

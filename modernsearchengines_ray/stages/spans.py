@@ -12,18 +12,21 @@ Shape, Ray-Data-first (no driver state at any size):
 1. ``map_batches`` emit: per doc, one row per DISTINCT gram with its
    within-doc occurrence count (the map-side combine — a doc's grams
    never leave the batch un-aggregated).
-2. ``groupby(gram).count()`` → docs-per-gram; ``>= 2`` = duplicated
-   grams (rows are unique per (gram, doc), so count(*) IS the distinct
-   doc count).
-3. Inner hash join emit × dup-grams → the duplicated occurrences.
-4. One ``groupby(doc_id)`` over the UNION of three narrow partial
-   streams (total occurrences / duplicated occurrences / a zero row
-   per doc so gram-less docs stay in the output) → sums → ratio.
+2. ONE hash exchange: ``repartition(keys=["gram"])`` co-locates each
+   gram's rows, then a vectorized per-block kernel flags rows whose
+   gram appears in >= 2 rows of the block (rows are unique per
+   (gram, doc), so the block-local row count IS the distinct doc
+   count) and emits per-row (doc_id, n_spans=occ, dup_spans=occ|0)
+   partials in the same pass — the gram stream crosses the wire
+   exactly once (the earlier groupby+join plan shuffled it twice).
+3. One ``groupby(doc_id)`` over those partials unioned with a zero
+   row per doc (so gram-less docs stay in the output) → sums → ratio.
 
-No outer join is needed: the zero-row union plays the COALESCE role,
-which keeps every exchange an inner-join/groupby the hash shuffle
-already handles (see stages/dedup.py's sentinel notes for why outer
-joins on possibly-empty aggregates are fragile in Ray 2.49).
+No join and no outer join are needed: the zero-row union plays the
+COALESCE role, which keeps every exchange a repartition/groupby the
+hash shuffle already handles (see stages/dedup.py's sentinel notes
+for why outer joins on possibly-empty aggregates are fragile in
+Ray 2.49).
 
 Shuffle payload: the gram string (default) is ~6 bytes/word; pass
 ``key="hash64"`` to shuffle an 8-byte blake2b key instead — collisions
@@ -57,10 +60,9 @@ def dup_span_stats(ds, n: int = 8, id_col: str = "doc_id",
     ``n`` words report ``(0, 0, 0.0)``.  Words are the SQL-parity
     tokenizer (``[a-z0-9]+`` over lower(text)).
     """
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    from .dedup import (_sentinel_table, default_join_partitions,
-                        drop_sentinels, ensure_schema)
+    from .dedup import default_join_partitions
 
     if key not in ("gram", "hash64"):
         raise ValueError(f"key must be 'gram' or 'hash64', got {key!r}")
@@ -89,51 +91,36 @@ def dup_span_stats(ds, n: int = 8, id_col: str = "doc_id",
             "occ": pa.array(out_occ, pa.int64()),
         })
 
-    # grams feeds THREE consumers (dup-key groupby, the join probe,
-    # the totals partials) — materialize once or the lazy DAG
-    # re-tokenizes the corpus per consumer; the gram table is
-    # object-store-resident and spills, while recompute would be 3x
-    # the pipeline's dominant CPU cost
-    grams = ds.map_batches(emit, batch_format="pyarrow").materialize()
-
-    # duplicated grams: present in >= 2 distinct docs
-    dup_keys = (grams.groupby("gram")
-                .aggregate(Count(alias_name="n_docs"))
-                .filter(expr="n_docs >= 2")
-                .select_columns(["gram"]))
-
-    # a corpus can legitimately have NO duplicated grams (or no grams
-    # at all): sentinel-guard both join sides against Ray's
-    # empty-side Acero failure, then drop matched sentinels.  The
-    # grams side is map_batches output (every block carries the emit
-    # schema), so a plain sentinel UNION suffices — the full
-    # ensure_schema would repartition the corpus-sized gram stream,
-    # an extra all-to-all; only the groupby-produced dup_keys side
-    # needs the schema-rebuilding repartition (and it is tiny).
+    import numpy as np
     import ray.data as rd
 
-    gram_schema = pa.schema([("gram", key_type),
-                             (id_col, pa.int64()),
-                             ("occ", pa.int64())])
-    guarded_grams = rd.from_arrow(
-        _sentinel_table(gram_schema)).union(grams)
-    dup_occ = drop_sentinels(
-        guarded_grams.join(
-            ensure_schema(dup_keys, pa.schema([("gram", key_type)]),
-                          num_blocks=nparts),
-            "inner", num_partitions=nparts, on=("gram",)),
-        "gram")
+    from .dedup import hash_shuffle_context
 
-    def as_partial(dup: bool):
-        def fn(batch: pa.Table) -> pa.Table:
-            occ = batch["occ"]
-            zero = pa.nulls(len(batch), pa.int64()).fill_null(0)
-            return pa.table({
-                id_col: batch[id_col],
-                "n_spans": zero if dup else occ,
-                "dup_spans": occ if dup else zero,
-            })
-        return fn
+    grams = ds.map_batches(emit, batch_format="pyarrow")
+
+    def flag_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([
+                (id_col, pa.int64()), ("n_spans", pa.int64()),
+                ("dup_spans", pa.int64())]).empty_table()
+        if key == "gram":
+            garr = np.asarray(batch["gram"].to_pylist(), dtype=object)
+        else:
+            garr = batch["gram"].to_numpy(zero_copy_only=False)
+        order = np.argsort(garr, kind="stable")
+        garr = garr[order]
+        occ = batch["occ"].to_numpy(zero_copy_only=False)[order]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[order]
+        change = np.ones(len(garr), dtype=bool)
+        change[1:] = garr[1:] != garr[:-1]
+        gid = np.cumsum(change) - 1
+        rows_per_gram = np.bincount(gid)
+        dup = rows_per_gram[gid] >= 2
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_spans": pa.array(occ, pa.int64()),
+            "dup_spans": pa.array(np.where(dup, occ, 0), pa.int64()),
+        })
 
     def zero_rows(batch: pa.Table) -> pa.Table:
         zero = pa.nulls(len(batch), pa.int64()).fill_null(0)
@@ -142,18 +129,6 @@ def dup_span_stats(ds, n: int = 8, id_col: str = "doc_id",
             "n_spans": zero,
             "dup_spans": zero,
         })
-
-    partials = (
-        grams.map_batches(as_partial(False), batch_format="pyarrow")
-        .union(dup_occ.map_batches(as_partial(True),
-                                   batch_format="pyarrow"))
-        .union(ds.select_columns([id_col])
-               .map_batches(zero_rows, batch_format="pyarrow"))
-    )
-
-    summed = partials.groupby(id_col).aggregate(
-        Sum("n_spans", alias_name="n_spans"),
-        Sum("dup_spans", alias_name="dup_spans"))
 
     def finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -171,11 +146,29 @@ def dup_span_stats(ds, n: int = 8, id_col: str = "doc_id",
             "dup_span_ratio": ratio,
         })
 
-    # typed-empty union: an empty corpus otherwise yields a
-    # schema-less zero-column result from the groupby
     out_schema = pa.schema([
         (id_col, pa.int64()), ("n_spans", pa.int64()),
         ("dup_spans", pa.int64()), ("dup_span_ratio", pa.float64()),
     ])
-    return rd.from_arrow(out_schema.empty_table()).union(
-        summed.map_batches(finish, batch_format="pyarrow"))
+
+    # ONE exchange: co-locate each gram's rows (flag_block then marks
+    # duplication block-locally); the planner resolves shuffle strategy
+    # from the FINAL dataset's context snapshot, so the whole chain —
+    # through the trailing typed-empty union (an empty corpus otherwise
+    # yields a schema-less zero-column groupby result) — builds under
+    # HASH_SHUFFLE (same pattern as joins.interval_join_bucketed)
+    with hash_shuffle_context():
+        shuffled = grams.repartition(nparts, keys=["gram"], sort=False)
+        partials = (
+            shuffled.map_batches(flag_block, batch_size=None,
+                                 batch_format="pyarrow")
+            .union(ds.select_columns([id_col])
+                   .map_batches(zero_rows, batch_format="pyarrow"))
+        )
+        # num_partitions matters: the hash groupby otherwise spawns
+        # default_hash_shuffle_parallelism (200!) aggregators
+        summed = partials.groupby(id_col, num_partitions=nparts) \
+            .aggregate(Sum("n_spans", alias_name="n_spans"),
+                       Sum("dup_spans", alias_name="dup_spans"))
+        return rd.from_arrow(out_schema.empty_table()).union(
+            summed.map_batches(finish, batch_format="pyarrow"))
