@@ -33,6 +33,16 @@ with it).  Remaining documented divergences from the real reference:
 Default behavior is UNCHANGED: ``lemma_table=None`` keeps the identity
 lemma (round-1 semantics); engine and oracle share this module, so
 conformance stays exact whichever table is configured.
+
+Parity evidence (round 4): the conformance fixture corpus contains
+ZERO irregular inflections (measured over its full ~17k-token stream —
+pinned by tests/test_lemma_golden.py), so identity-lemma conformance is
+exact on the fixtures regardless of table.  Real-spaCy parity is gated
+by ``tests/goldens/spacy_lemma_golden.tsv``: record it offline with
+``jobs/record_spacy_golden.py`` (spaCy + en_core_web_sm required) and
+tests/test_lemma_golden.py fails on any stem-visible divergence from
+the recording; until recorded, that gate skips with instructions (same
+policy as the live BERT/spellchecker tests).
 """
 
 from __future__ import annotations
