@@ -916,6 +916,36 @@ SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY md5(text)
 """
 
 
+def q_dedup_incremental(sf_dir: str, reduce: str = "driver"):
+    """Snapshot-over-snapshot dedup: treat source 'src0' documents as
+    the already-curated reference corpus and drop every OTHER document
+    whose md5(text) already exists there — the incremental exact-dedup
+    a recurring crawl runs instead of re-shuffling the historical
+    corpus each snapshot.  ``reduce="partitioned"`` removes via a
+    hash-shuffle left_anti join (zero driver state); ``"driver"``
+    broadcasts the distinct reference keys once."""
+    from ..stages.dedup import add_text_hash, dedup_incremental
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "source", "text"])
+    keyed = docs.map_batches(add_text_hash, batch_format="pyarrow")
+    new = keyed.filter(expr="source != 'src0'")
+    ref = keyed.filter(expr="source == 'src0'")
+    kept = dedup_incremental(new, ref, key_col="text_hash",
+                             reduce=reduce)
+    return kept.select_columns(["doc_id", "source"])
+
+
+SQL_DEDUP_INCREMENTAL = """
+SELECT n.doc_id, n.source
+FROM documents n
+WHERE n.source <> 'src0'
+  AND NOT EXISTS (
+    SELECT 1 FROM documents r
+    WHERE r.source = 'src0' AND md5(r.text) = md5(n.text))
+"""
+
+
 def q_simhash_dedup(sf_dir: str):
     """Exact-simhash dedup (reference D1-D3 semantics) — rows-only check."""
     from ..stages.dedup import dedup_exact_simhash
@@ -4048,6 +4078,9 @@ QUERY_FUNCS = {
     "facet_counts": q_facet_counts,
     "index_phrase_boolean_check": q_index_phrase_boolean_check,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_partitioned":
+        lambda sf_dir: q_dedup_incremental(sf_dir, reduce="partitioned"),
     "dedup_exact_partitioned":
         lambda sf_dir: q_dedup_exact(sf_dir, reduce="partitioned"),
     "simhash_dedup": q_simhash_dedup,
@@ -4151,6 +4184,8 @@ ORACLE_SQL = {
     "index_phrase_boolean_check": SQL_INDEX_PHRASE_BOOLEAN_CHECK,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_exact_partitioned": SQL_DEDUP_EXACT,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "dedup_incremental_partitioned": SQL_DEDUP_INCREMENTAL,
     "quality": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,

@@ -314,6 +314,57 @@ def dedup_exact_hash(ds, keep_key: str, text_col: str = "text",
                                     reduce, num_partitions)
 
 
+def dedup_incremental(new_ds, ref_ds, key_col: str = "text_hash",
+                      reduce: str = "driver",
+                      num_partitions: int | None = None,
+                      key_type: pa.DataType = pa.string()):
+    """Snapshot-over-snapshot dedup: keep only the rows of ``new_ds``
+    whose content key does NOT appear in ``ref_ds`` (the
+    already-curated corpus) — the incremental form of exact dedup a
+    recurring crawl runs, where re-deduplicating the union from
+    scratch would reshuffle the whole historical corpus every
+    snapshot.  Both sides must carry ``key_col`` (md5 via
+    :func:`add_text_hash`, simhash, or any content fingerprint).
+
+    - ``reduce="driver"``: distinct reference keys pull to the driver
+      and broadcast (``ray.put`` once, shared by every filter task) —
+      for reference corpora whose KEY SET fits one machine.
+    - ``reduce="partitioned"``: distinct keys stay a Dataset and the
+      removal is a hash-shuffle ``left_anti`` join — zero driver
+      state, the 10^12-row tier.  New-side rows cross the wire once;
+      the reference side moves only its distinct-key column.
+    """
+    import ray
+    import ray.data as rd  # noqa: F401 (kept for parity with siblings)
+
+    ref_keys = ref_ds.select_columns([key_col])
+    if reduce == "partitioned":
+        from ray.data.aggregate import Count
+
+        nparts = num_partitions or default_join_partitions()
+        distinct = ref_keys.groupby(key_col, num_partitions=nparts) \
+            .aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+        distinct = ensure_schema(
+            distinct, pa.schema([(key_col, key_type)]),
+            num_blocks=nparts)
+        return new_ds.join(distinct, "left_anti",
+                           num_partitions=nparts, on=(key_col,))
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
+
+    tabs = [t[key_col] for t in ray.get(ref_keys.to_arrow_refs())
+            if t.num_columns]
+    keys = (pa.concat_arrays([c.combine_chunks() for c in tabs]).unique()
+            if tabs else pa.array([], key_type))
+    keys_ref = ray.put(keys)
+
+    def filter_new(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[key_col], value_set=ray.get(keys_ref))
+        return batch.filter(pc.invert(mask))
+
+    return new_ds.map_batches(filter_new, batch_format="pyarrow")
+
+
 # -- MinHash + LSH near-dup ------------------------------------------------
 
 #: per-worker-process MinHasher cache (the permutation family is

@@ -691,3 +691,42 @@ class TestPrunedBucketPull:
         assert got.num_rows == 2
         assert sorted(got["doc_id"].to_pylist()) == [1, 2]
         assert set(got["band_key"].to_pylist()) == {"a"}
+
+
+class TestDedupIncremental:
+    def _ds(self, rows):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import add_text_hash
+
+        df = pd.DataFrame(rows, columns=["doc_id", "text"])
+        return rd.from_pandas(df).map_batches(
+            add_text_hash, batch_format="pyarrow")
+
+    @pytest.mark.parametrize("reduce", ["driver", "partitioned"])
+    def test_drops_only_reference_collisions(self, ray_session, reduce):
+        from modernsearchengines_ray.stages.dedup import dedup_incremental
+
+        ref = self._ds([(1, "alpha beta"), (2, "gamma delta")])
+        new = self._ds([
+            (10, "alpha beta"),     # exists in ref -> dropped
+            (11, "fresh content"),  # new -> kept
+            (12, "fresh content"),  # duplicate WITHIN new -> still kept
+            (13, "gamma delta"),    # exists in ref -> dropped
+        ])
+        out = dedup_incremental(new, ref, key_col="text_hash",
+                                reduce=reduce, num_partitions=2)
+        got = sorted(out.to_pandas()["doc_id"].tolist())
+        # incremental dedup removes vs the REFERENCE only; new-vs-new
+        # duplicates are the next snapshot's dedup_exact problem
+        assert got == [11, 12], reduce
+
+    @pytest.mark.parametrize("reduce", ["driver", "partitioned"])
+    def test_empty_reference_keeps_everything(self, ray_session, reduce):
+        from modernsearchengines_ray.stages.dedup import dedup_incremental
+
+        ref = self._ds([]).filter(expr="doc_id > 0")  # empty
+        new = self._ds([(1, "a a"), (2, "b b")])
+        out = dedup_incremental(new, ref, key_col="text_hash",
+                                reduce=reduce, num_partitions=2)
+        assert sorted(out.to_pandas()["doc_id"].tolist()) == [1, 2]
