@@ -3922,6 +3922,37 @@ WHERE ((doc_id::HUGEINT * {_SAMPLE_HASH_MULT}) % 4294967296) % 1000
 """
 
 
+_CAP_PER_DOMAIN_N = 15
+
+
+def q_cap_per_domain(sf_dir: str, reduce: str = "driver"):
+    """Per-domain document cap (the C4 curation primitive: without a
+    cap, template-heavy domains dominate the mix).  Keeps the 15
+    smallest (knuth_hash(doc_id), doc_id) per source — deterministic
+    on any cluster size / block order, no RNG state.  Plan in
+    stages/sampling.py: map-side top-n combine (≤ n rows per
+    (block, group) leave each block) + associative fold;
+    ``reduce="partitioned"`` re-applies the kernel per hash-shuffled
+    block, zero driver state."""
+    from ..stages.sampling import cap_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return cap_per_group(ds, group_col="source", id_col="doc_id",
+                         n=_CAP_PER_DOMAIN_N, reduce=reduce)
+
+
+SQL_CAP_PER_DOMAIN = f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id::HUGEINT * {_SAMPLE_HASH_MULT}) % 4294967296,
+                    doc_id) AS rn
+  FROM documents)
+WHERE rn <= {_CAP_PER_DOMAIN_N}
+"""
+
+
 _CHUNK_W, _CHUNK_S = 64, 48
 
 
@@ -4079,6 +4110,9 @@ QUERY_FUNCS = {
     "index_phrase_boolean_check": q_index_phrase_boolean_check,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
+    "cap_per_domain": q_cap_per_domain,
+    "cap_per_domain_partitioned":
+        lambda sf_dir: q_cap_per_domain(sf_dir, reduce="partitioned"),
     "dedup_incremental_partitioned":
         lambda sf_dir: q_dedup_incremental(sf_dir, reduce="partitioned"),
     "dedup_exact_partitioned":
@@ -4185,6 +4219,8 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_exact_partitioned": SQL_DEDUP_EXACT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "cap_per_domain": SQL_CAP_PER_DOMAIN,
+    "cap_per_domain_partitioned": SQL_CAP_PER_DOMAIN,
     "dedup_incremental_partitioned": SQL_DEDUP_INCREMENTAL,
     "quality": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

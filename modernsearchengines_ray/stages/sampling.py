@@ -1,0 +1,94 @@
+"""Group-capped sampling: keep at most N rows per group, chosen
+deterministically.
+
+The C4/web-curation primitive "cap pages per domain": without a cap, a
+handful of template-heavy domains dominate the training mix.  The keep
+rule is the N smallest (knuth_hash(id), id) per group — a pure
+function of the row, so the SAME rows survive on any cluster size, any
+block order, any retry, with no RNG state and no coordination
+(contrast reservoir sampling, whose result depends on arrival order).
+
+Plan: the per-block kernel keeps the N best rows per group seen in the
+block (a map-side combine — at most N rows per (block, group) leave
+the block); the partials are ASSOCIATIVE, so
+
+- ``reduce="driver"`` folds them in one driver pass (test scale);
+- ``reduce="partitioned"`` hash-repartitions partials by group and
+  re-applies the same kernel per block — zero driver state, the
+  10^12-row tier.  Both tiers are bit-identical.
+
+The hash is the Knuth multiplicative hash (id * 2654435761 mod 2^32) —
+the same reproducible-sampling primitive as stratified_sample, and
+exactly expressible in SQL for the oracle gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+KNUTH_MULT = 2654435761
+
+
+def _keep_topn_block(batch: pa.Table, group_col: str, id_col: str,
+                     n: int) -> pa.Table:
+    """Vectorized kernel: keep the n smallest (hash, id) per group."""
+    if batch.num_rows == 0 or batch.num_columns == 0:
+        return pa.schema([(group_col, pa.string()),
+                          (id_col, pa.int64())]).empty_table()
+    groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = (ids.astype(np.uint64) * np.uint64(KNUTH_MULT)) \
+        & np.uint64(0xFFFFFFFF)
+    order = np.lexsort((ids, h, groups))
+    g_s, id_s = groups[order], ids[order]
+    new = np.ones(len(g_s), dtype=bool)
+    new[1:] = g_s[1:] != g_s[:-1]
+    starts = np.flatnonzero(new)
+    rank = np.arange(len(g_s)) - np.repeat(starts, np.diff(
+        np.append(starts, len(g_s))))
+    keep = rank < n
+    return pa.table({
+        group_col: pa.array(g_s[keep], pa.string()),
+        id_col: pa.array(id_s[keep], pa.int64()),
+    })
+
+
+def cap_per_group(ds, group_col: str, id_col: str, n: int,
+                  reduce: str = "driver",
+                  num_partitions: int | None = None):
+    """Keep at most ``n`` rows per ``group_col`` value, deterministic
+    across cluster sizes (see module docstring).  Returns a Dataset
+    (partitioned tier) or pyarrow Table (driver tier) with columns
+    (group_col, id_col)."""
+    import ray
+    import ray.data as rd
+
+    from .dedup import default_join_partitions, hash_shuffle_context
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _keep_topn_block(batch, group_col, id_col, n)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+
+    if reduce == "partitioned":
+        nparts = num_partitions or default_join_partitions()
+        out_schema = pa.schema([(group_col, pa.string()),
+                                (id_col, pa.int64())])
+        with hash_shuffle_context():
+            shuffled = parts_ds.repartition(nparts, keys=[group_col],
+                                            sort=False)
+            return rd.from_arrow(out_schema.empty_table()).union(
+                shuffled.map_batches(partial, batch_size=None,
+                                     batch_format="pyarrow"))
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
+
+    tabs = [t for t in ray.get(parts_ds.to_arrow_refs()) if t.num_columns]
+    if not tabs:
+        return pa.schema([(group_col, pa.string()),
+                          (id_col, pa.int64())]).empty_table()
+    return _keep_topn_block(pa.concat_tables(tabs), group_col, id_col, n)

@@ -77,6 +77,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "sessionize_partitioned", "top_events_per_user_partitioned",
         "dedup_exact_partitioned", "embedding_dedup_partitioned",
         "dedup_incremental", "dedup_incremental_partitioned",
+        "cap_per_domain", "cap_per_domain_partitioned",
         "jaccard_pairs_partitioned", "simhash_md5_invariant_partitioned",
         "minhash_md5_invariant_partitioned", "index_lifecycle_check",
         "index_merge_check",

@@ -1,0 +1,78 @@
+"""cap_per_group semantics: determinism across block orders, tier
+parity, cap enforcement (the SQL parity gate runs in
+test_driver_queries)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from modernsearchengines_ray.stages.sampling import (
+    KNUTH_MULT,
+    cap_per_group,
+)
+
+
+def _df(seed=3, rows=200, groups=5):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "doc_id": rng.permutation(rows).astype(np.int64),
+        "source": [f"g{g}" for g in rng.randint(0, groups, rows)],
+    })
+
+
+def _run(df, n, reduce, **kw):
+    import ray.data as rd
+
+    out = cap_per_group(rd.from_pandas(df), group_col="source",
+                        id_col="doc_id", n=n, reduce=reduce, **kw)
+    got = out.to_pandas() if hasattr(out, "to_pandas") and \
+        not isinstance(out, pa.Table) else \
+        (out.to_pandas() if isinstance(out, pa.Table) else out)
+    return got.sort_values(["source", "doc_id"], ignore_index=True)
+
+
+class TestCapPerGroup:
+    def test_cap_enforced_and_matches_reference(self, ray_session):
+        df = _df()
+        got = _run(df, n=7, reduce="driver")
+        # reference: n smallest (knuth hash, id) per group, in pandas
+        h = (df["doc_id"].to_numpy().astype(np.uint64)
+             * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)
+        ref = df.assign(h=h).sort_values(["source", "h", "doc_id"]) \
+            .groupby("source").head(7)[["source", "doc_id"]] \
+            .sort_values(["source", "doc_id"], ignore_index=True)
+        pd.testing.assert_frame_equal(got, ref)
+        assert (got.groupby("source").size() <= 7).all()
+
+    def test_tier_parity(self, ray_session):
+        df = _df(seed=9)
+        a = _run(df, n=4, reduce="driver")
+        b = _run(df, n=4, reduce="partitioned", num_partitions=3)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_block_order_invariance(self, ray_session):
+        df = _df(seed=12)
+        shuffled = df.sample(frac=1.0, random_state=1,
+                             ignore_index=True)
+        a = _run(df, n=5, reduce="driver")
+        b = _run(shuffled, n=5, reduce="driver")
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_small_groups_kept_whole(self, ray_session):
+        df = pd.DataFrame({"doc_id": [1, 2, 3],
+                           "source": ["a", "a", "b"]})
+        got = _run(df, n=10, reduce="driver")
+        assert len(got) == 3
+
+    def test_invalid_args(self, ray_session):
+        import ray.data as rd
+
+        df = _df()
+        with pytest.raises(ValueError):
+            cap_per_group(rd.from_pandas(df), "source", "doc_id", 0)
+        with pytest.raises(ValueError, match="reduce"):
+            cap_per_group(rd.from_pandas(df), "source", "doc_id", 1,
+                          reduce="bogus")
