@@ -1875,6 +1875,56 @@ PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
 
 
+def q_connected_components(sf_dir: str):
+    """Undirected connected components (stages/graph.py min-label
+    propagation; labels live as a Dataset, one hash join + min-groupby
+    per round, monotone label-sum convergence witness).  The graph is
+    deterministic chain edges over the event users — user u links to
+    u-1 unless u % 10 == 0 — so components are the id decades and the
+    minimum-label answer needs MULTI-HOP propagation (chains, not
+    stars).  SQL oracle = DuckDB recursive-CTE reachability closure
+    with min() per node (safe here because components are ≤ 10
+    nodes; the Ray side never materializes the closure)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import join_partitions_for
+    from ..stages.graph import connected_components
+
+    n_events = _read(sf_dir, "events", columns=["user_id"]).count()
+    users = _read(sf_dir, "events", columns=["user_id"]) \
+        .groupby("user_id").aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+
+    def chain_edges(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        live = u % 10 != 0
+        return pa.table({
+            "src": pa.array(u[live], pa.int64()),
+            "dst": pa.array(u[live] - 1, pa.int64()),
+        })
+
+    edges = users.map_batches(chain_edges, batch_format="pyarrow")
+    # iterative op: per-round exchange spin-up dominates at toy scale,
+    # so size partitions to the input (VERDICT r3 #9)
+    return connected_components(
+        edges, num_partitions=join_partitions_for(n_events))
+
+
+SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE
+ids AS (SELECT DISTINCT user_id AS u FROM events),
+ed AS (SELECT u AS src, u - 1 AS dst FROM ids WHERE u % 10 <> 0),
+e AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+walk(node, comp) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT e.dst, walk.comp FROM walk JOIN e ON e.src = walk.node
+)
+SELECT node::BIGINT AS node, min(comp)::BIGINT AS component
+FROM walk GROUP BY node
+"""
+
+
 def q_pagerank(sf_dir: str, reduce: str = "broadcast"):
     """PageRank over the customer–part purchase graph (symmetrized
     bipartite: c↔p edge per distinct (customer, part) purchase), 3
@@ -4197,6 +4247,7 @@ QUERY_FUNCS = {
     "corr_stats": q_corr_stats,
     "price_quantiles_by_flag": q_price_quantiles_by_flag,
     "pagerank": q_pagerank,
+    "connected_components": q_connected_components,
     "pagerank_partitioned":
         lambda sf_dir: q_pagerank(sf_dir, reduce="partitioned"),
     "price_ntile": q_price_ntile,
@@ -4283,6 +4334,7 @@ ORACLE_SQL = {
     "heavy_hitters_cms_check": SQL_HEAVY_HITTERS_CMS_CHECK,
     "corr_stats": SQL_CORR_STATS,
     "price_quantiles_by_flag": SQL_PRICE_QUANTILES_BY_FLAG,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
     "pagerank": SQL_PAGERANK,
     "pagerank_partitioned": SQL_PAGERANK,
     "price_ntile": SQL_PRICE_NTILE,

@@ -222,3 +222,112 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85,
                 batch_format="pyarrow").materialize()
 
     return ranks.select_columns(["node", "rank"])
+
+
+def connected_components(edges, num_partitions: int | None = None,
+                         max_iters: int = 64):
+    """Undirected connected components over an int64 (src, dst) edge
+    Dataset: returns ``(node, component)`` with ``component`` = the
+    MINIMUM node id of the component (a canonical, deterministic
+    label).  Edge direction is ignored; self-loops and duplicate edges
+    are tolerated.
+
+    The same min-label propagation as stages/dedup.py's near-dup
+    collapse, exposed as a first-class graph op: labels live as a
+    Dataset (never on the driver), each round is one hash join
+    (edge ⋈ label on src) plus one min-groupby, and the monotone label
+    SUM is the convergence witness (labels only ever decrease, so an
+    unchanged sum == a fixpoint; one streaming scalar aggregate per
+    round).  Rounds needed = graph diameter in the worst case —
+    ``max_iters`` bounds pathological chains; the loop exits early the
+    round after convergence.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from .dedup import default_join_partitions, ensure_schema
+
+    nparts = num_partitions or default_join_partitions()
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch["src"].cast(pa.int64())
+        d = batch["dst"].cast(pa.int64())
+        return pa.table({
+            "src": pa.concat_arrays([s.combine_chunks(),
+                                     d.combine_chunks()]),
+            "dst": pa.concat_arrays([d.combine_chunks(),
+                                     s.combine_chunks()]),
+        })
+
+    e = edges.map_batches(sym, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+    e = ensure_schema(e, pa.schema([("src", pa.int64()),
+                                    ("dst", pa.int64())]),
+                      num_blocks=nparts).materialize()
+
+    label_schema = pa.schema([("node", pa.int64()),
+                              ("label", pa.int64())])
+    nodes = e.map_batches(
+        lambda b: pa.table({"node": b["src"]}), batch_format="pyarrow") \
+        .groupby("node").aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+    labels = ensure_schema(
+        nodes.map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "label": b["node"]}),
+            batch_format="pyarrow"),
+        label_schema, num_blocks=nparts).materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # hop step: node <- min(label over neighbors)
+        neighbor = e.join(
+            labels.map_batches(
+                lambda b: b.rename_columns(["src", "src_label"]),
+                batch_format="pyarrow"),
+            "inner", num_partitions=nparts, on=("src",))
+        incoming = neighbor.map_batches(
+            lambda b: pa.table({"node": b["dst"],
+                                "label": b["src_label"]}),
+            batch_format="pyarrow")
+        hopped = labels.union(incoming).groupby("node") \
+            .aggregate(Min("label", alias_name="label"))
+        # pointer-jumping step (Shiloach–Vishkin): label <- label(label).
+        # Every label IS a node id (init = self, min only moves to other
+        # node ids), labels only decrease, so label(label) <= label and
+        # the 1:1 inner join both compresses and preserves uniqueness.
+        # Distances contract geometrically: rounds = O(log diameter)
+        # instead of O(diameter) — at web-graph diameters the difference
+        # between ~30 exchanges and ~10^2.
+        hopped = ensure_schema(hopped, label_schema, num_blocks=nparts)
+        as_target = hopped.map_batches(
+            lambda b: pa.table({"label": b["node"],
+                                "label2": b["label"]}),
+            batch_format="pyarrow")
+        labels = ensure_schema(
+            hopped.join(as_target, "inner", num_partitions=nparts,
+                        on=("label",)).map_batches(
+                lambda b: pa.table({"node": b["node"],
+                                    "label": b["label2"]}),
+                batch_format="pyarrow"),
+            label_schema, num_blocks=nparts).materialize()
+        # witness over REAL rows only: sentinel rows multiply through
+        # the compress join (bounded, deduped next round) and their
+        # -2^63 labels would overflow an int64 sum
+        from .dedup import drop_sentinels as _drop
+
+        label_sum = _drop(labels, "node").sum("label")
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+
+    from .dedup import drop_sentinels
+
+    out = drop_sentinels(labels, "node").map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "component": b["label"]}),
+        batch_format="pyarrow")
+    out_schema = pa.schema([("node", pa.int64()),
+                            ("component", pa.int64())])
+    return rd.from_arrow(out_schema.empty_table()).union(out)

@@ -78,6 +78,7 @@ def test_oracle_keys_subset_of_queries(contract):
         "dedup_exact_partitioned", "embedding_dedup_partitioned",
         "dedup_incremental", "dedup_incremental_partitioned",
         "cap_per_domain", "cap_per_domain_partitioned",
+        "connected_components",
         "jaccard_pairs_partitioned", "simhash_md5_invariant_partitioned",
         "minhash_md5_invariant_partitioned", "index_lifecycle_check",
         "index_merge_check",

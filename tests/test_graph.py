@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -123,3 +124,72 @@ class TestPagerankDirected:
         for node in a:
             assert a[node] == pytest.approx(b[node], abs=1e-12)
             assert a[node] == pytest.approx(want[node], abs=1e-12)
+
+
+class TestConnectedComponents:
+    def _run(self, edge_rows, **kw):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.graph import (
+            connected_components,
+        )
+
+        t = pa.table({
+            "src": pa.array([a for a, _ in edge_rows], pa.int64()),
+            "dst": pa.array([b for _, b in edge_rows], pa.int64()),
+        })
+        out = connected_components(rd.from_arrow(t),
+                                   num_partitions=2, **kw).to_pandas()
+        return dict(zip(out["node"], out["component"]))
+
+    @staticmethod
+    def _union_find(edge_rows):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    def test_long_chain_multi_hop(self, ray_session):
+        # 0-1-2-...-15: min label must travel 15 hops; pointer jumping
+        # makes that ~log rounds, but correctness is what's pinned here
+        edges = [(i, i + 1) for i in range(15)]
+        got = self._run(edges)
+        assert got == {i: 0 for i in range(16)}
+
+    def test_random_graph_matches_union_find(self, ray_session):
+        rng = np.random.RandomState(4)
+        edges = [(int(a), int(b))
+                 for a, b in rng.randint(0, 60, (80, 2))]
+        got = self._run(edges)
+        assert got == self._union_find(edges)
+
+    def test_self_loops_and_duplicates(self, ray_session):
+        edges = [(5, 5), (1, 2), (2, 1), (1, 2), (7, 8)]
+        got = self._run(edges)
+        assert got == {5: 5, 1: 1, 2: 1, 7: 7, 8: 7}
+
+    def test_direction_ignored(self, ray_session):
+        assert self._run([(9, 3)]) == {3: 3, 9: 3}
+
+    def test_empty_edges(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.graph import (
+            connected_components,
+        )
+
+        t = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64())})
+        out = connected_components(rd.from_arrow(t), num_partitions=2)
+        assert out.count() == 0
+        assert out.schema().names == ["node", "component"]
