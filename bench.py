@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "minhash_dedup", "simhash_near_dedup", "embedding_dedup", "quality",
     "events_window", "sessionize", "pricing_summary", "top_customers",
     "ann_topk", "dup_spans", "nation_revenue", "price_quantiles",
+    # round-4 additions (keys above stay stable for cross-round compare)
+    "dedup_incremental", "cap_per_domain", "connected_components",
+    "range_join_bucketed", "image_features_real",
 ]
 
 SEARCH_QUERIES = [
