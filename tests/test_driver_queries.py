@@ -60,45 +60,22 @@ def test_oracle_keys_subset_of_queries(contract):
     assert set(oracle).issubset(set(qs))
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "term_stats", "postings_tf", "df_idf", "bm25_topk", "dedup_exact",
-        "quality", "token_count", "fingerprint", "lang_hist",
-        "top_customers", "pricing_summary", "events_window",
-        "distinct_users", "region_nations", "ann_topk",
-        "embedding_dedup", "frame_samples", "sessionize", "domain_hist",
-        "json_extract", "top_events_per_user", "embedding_lsh_pairs",
-        "language_id", "quality_signals", "image_features",
-        "audio_features", "ref_doc_lens", "distinct_users_hll_check",
-        "ann_topk_multi", "decontaminate", "curate",
-        "simhash_md5_invariant", "minhash_md5_invariant",
-        "topic_assign_check", "jaccard_pairs",
-        "sessionize_partitioned", "top_events_per_user_partitioned",
-        "dedup_exact_partitioned", "embedding_dedup_partitioned",
-        "dedup_incremental", "dedup_incremental_partitioned",
-        "cap_per_domain", "cap_per_domain_partitioned",
-        "connected_components",
-        "jaccard_pairs_partitioned", "simhash_md5_invariant_partitioned",
-        "minhash_md5_invariant_partitioned", "index_lifecycle_check",
-        "index_merge_check",
-        "bm25_topk_filtered", "phrase_match", "boolean_retrieval",
-        "index_phrase_boolean_check", "more_like_this", "facet_counts",
-        "pii_redact", "stratified_sample", "chunk_windows", "lm_score",
-        "asof_join", "asof_join_partitioned", "range_join",
-        "range_join_bucketed",
-        "dup_spans", "repetition", "price_quantiles",
-        "label_centroids", "nation_revenue",
-        "prefix_search", "fuzzy_match", "index_prefix_fuzzy_check",
-        "export_curated", "regex_match", "heavy_hitters_cms_check",
-        "corr_stats", "price_quantiles_by_flag", "pagerank",
-        "pagerank_partitioned", "price_ntile",
-        "distinct_users_by_type_hll_check", "decontaminate_bloom",
-        "rolling_fp", "ann_ivf", "ref_search", "trec_run",
-        "image_features_real", "audio_features_real",
-        "wand_search", "distinct_users_approx",
-    ],
-)
+# Parametrization derives from the contract itself at collection time
+# (imports only — no ray.init), so a new queries()/oracle_sql() entry is
+# AUTOMATICALLY mirrored here and can never be forgotten (VERDICT r3 #1:
+# the driver-recorded gate must show every entry green).
+def _contract_keys():
+    import __ray_entry__ as entry_mod
+
+    qs = set(entry_mod.queries())
+    oracle = set(entry_mod.oracle_sql())
+    return sorted(oracle), sorted(qs - oracle)
+
+
+_SQL_GATED, _ROWS_ONLY = _contract_keys()
+
+
+@pytest.mark.parametrize("name", _SQL_GATED)
 def test_query_matches_duckdb(contract, ddb, name):
     res = _to_pandas(contract.queries()[name](SF_DIR))
     want = ddb.execute(contract.oracle_sql()[name]).fetchdf()
@@ -108,10 +85,17 @@ def test_query_matches_duckdb(contract, ddb, name):
     pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=0, atol=1e-9)
 
 
-@pytest.mark.parametrize(
-    "name", ["simhash_dedup", "minhash_dedup", "simhash_near_dedup",
-             "topic_assign", "ref_postings"],
-)
+def test_rows_only_set_is_bounded():
+    # VERDICT r3 #8: <= 5 entries may remain rows-only, each with a
+    # one-line rationale (documented at the ORACLE_SQL tail in
+    # driver_queries.py) — growth here needs a new derived invariant
+    assert set(_ROWS_ONLY) <= {
+        "simhash_dedup", "minhash_dedup", "simhash_near_dedup",
+        "topic_assign", "ref_postings",
+    }
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_queries_run(contract, name):
     res = _to_pandas(contract.queries()[name](SF_DIR))
     assert len(res) > 0
