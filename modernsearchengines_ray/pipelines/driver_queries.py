@@ -3972,6 +3972,31 @@ WHERE ((doc_id::HUGEINT * {_SAMPLE_HASH_MULT}) % 4294967296) % 1000
 """
 
 
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_lineitem(sf_dir: str):
+    """Column profiling (the DESCRIBE / data-quality primitive): one
+    streaming pass emits per-(block, column) long-format partials
+    (n, nulls, min, max — exchange rows = blocks x columns, not table
+    rows) plus exact per-column distinct counts (`distinct="hll"` is
+    the shuffle-free 10^12-row tier, gated separately by its 3-SE
+    invariant pattern).  min/max carry through with NO arithmetic, so
+    floats gate hash-exact."""
+    from ..stages.profile import profile_columns
+
+    ds = _read(sf_dir, "lineitem", columns=_PROFILE_COLS)
+    return profile_columns(ds, _PROFILE_COLS, distinct="exact")
+
+
+SQL_PROFILE_LINEITEM = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       min({c})::DOUBLE AS min_val, max({c})::DOUBLE AS max_val,
+       count(DISTINCT {c})::BIGINT AS n_distinct FROM lineitem"""
+    for c in _PROFILE_COLS)
+
+
 _CAP_PER_DOMAIN_N = 15
 
 
@@ -4161,6 +4186,7 @@ QUERY_FUNCS = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "cap_per_domain": q_cap_per_domain,
+    "profile_lineitem": q_profile_lineitem,
     "cap_per_domain_partitioned":
         lambda sf_dir: q_cap_per_domain(sf_dir, reduce="partitioned"),
     "dedup_incremental_partitioned":
@@ -4271,6 +4297,7 @@ ORACLE_SQL = {
     "dedup_exact_partitioned": SQL_DEDUP_EXACT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "cap_per_domain": SQL_CAP_PER_DOMAIN,
+    "profile_lineitem": SQL_PROFILE_LINEITEM,
     "cap_per_domain_partitioned": SQL_CAP_PER_DOMAIN,
     "dedup_incremental_partitioned": SQL_DEDUP_INCREMENTAL,
     "quality": SQL_QUALITY,
