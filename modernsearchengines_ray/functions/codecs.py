@@ -92,28 +92,34 @@ def decode_png(payload: bytes) -> np.ndarray:
     width = height = None
     channels = 0
     idat = io.BytesIO()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + tag + data + crc
-        if tag == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = \
-                struct.unpack(">IIBBBBB", data)
-            if depth != 8:
-                raise UnsupportedMediaError(f"bit depth {depth}")
-            if color not in _PNG_CHANNELS:
-                raise UnsupportedMediaError(f"color type {color}")
-            if interlace != 0:
-                raise UnsupportedMediaError("interlaced PNG")
-            channels = _PNG_CHANNELS[color]
-        elif tag == b"IDAT":
-            idat.write(data)
-        elif tag == b"IEND":
-            break
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # length + tag + data + crc
+            if tag == b"IHDR":
+                width, height, depth, color, comp, filt, interlace = \
+                    struct.unpack(">IIBBBBB", data)
+                if depth != 8:
+                    raise UnsupportedMediaError(f"bit depth {depth}")
+                if color not in _PNG_CHANNELS:
+                    raise UnsupportedMediaError(f"color type {color}")
+                if interlace != 0:
+                    raise UnsupportedMediaError("interlaced PNG")
+                channels = _PNG_CHANNELS[color]
+            elif tag == b"IDAT":
+                idat.write(data)
+            elif tag == b"IEND":
+                break
+    except struct.error as e:  # truncated chunk header / IHDR
+        raise UnsupportedMediaError(f"truncated PNG: {e}") from e
     if width is None:
         raise UnsupportedMediaError("missing IHDR")
-    raw = zlib.decompress(idat.getvalue())
+    try:
+        raw = zlib.decompress(idat.getvalue())
+    except zlib.error as e:  # truncated / corrupt IDAT stream
+        raise UnsupportedMediaError(f"corrupt PNG IDAT: {e}") from e
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise UnsupportedMediaError("IDAT size mismatch")
@@ -130,10 +136,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line.copy()
         elif f == 2:  # Up — fully vectorized
             cur = line + prev
-        elif f == 1:  # Sub — sequential along the row
+        elif f == 1:  # Sub — sequential along the row (ints: uint8
+            # scalar adds overflow-warn per pixel and would raise
+            # under warnings-as-errors)
             cur = line.copy()
             for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
         elif f == 3:  # Average
             cur = np.empty(stride, dtype=np.uint8)
             for x in range(stride):
@@ -181,10 +189,13 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     """24-bit BI_RGB BMP bytes -> uint8 (H, W, 3) RGB array."""
     if payload[:2] != b"BM":
         raise UnsupportedMediaError("not a BMP")
-    (off,) = struct.unpack_from("<I", payload, 10)
-    dib_size, w, h = struct.unpack_from("<Iii", payload, 14)
-    bpp, = struct.unpack_from("<H", payload, 28)
-    compression, = struct.unpack_from("<I", payload, 30)
+    try:
+        (off,) = struct.unpack_from("<I", payload, 10)
+        dib_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        bpp, = struct.unpack_from("<H", payload, 28)
+        compression, = struct.unpack_from("<I", payload, 30)
+    except struct.error as e:  # truncated header
+        raise UnsupportedMediaError(f"truncated BMP: {e}") from e
     if bpp != 24 or compression != 0:
         raise UnsupportedMediaError(
             f"BMP variant bpp={bpp} compression={compression}")
@@ -192,6 +203,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     h = abs(h)
     row_bytes = w * 3
     stride = row_bytes + ((-row_bytes) % 4)
+    if w < 0 or off + stride * h > len(payload):
+        raise UnsupportedMediaError("truncated BMP pixel data")
     data = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
                          offset=off)
     rows = data.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)

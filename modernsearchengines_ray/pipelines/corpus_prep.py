@@ -104,14 +104,20 @@ def assign_doc_ids(ds, mode: str = "hash",
 
     if mode != "dense_rank":
         raise ValueError(f"unknown doc_id mode: {mode!r}")
-    n = ds.select_columns(["url"]).count()
+    # pull the url column ONCE (the upstream chain may be a full
+    # extract+dedup pipeline — a separate count() would re-execute it),
+    # check the guard from the block row counts, then sort
+    url_tabs = ray.get(ds.select_columns(["url"]).to_arrow_refs())
+    n = sum(t.num_rows for t in url_tabs)
     if n > max_driver_rows:
         raise ValueError(
             f"dense_rank doc ids materialize {n} urls on the driver "
             f"(cap {max_driver_rows}); use mode='hash' at this scale or "
             "raise max_driver_rows explicitly")
-    urls = np.sort(np.asarray(
-        ds.select_columns(["url"]).to_pandas()["url"], dtype=object))
+    urls = np.sort(np.concatenate(
+        [np.asarray(t["url"].to_pylist(), dtype=object)
+         for t in url_tabs if t.num_columns]
+        or [np.array([], dtype=object)]))
     urls_ref = ray.put(urls)
 
     def add_rank_id(batch: pa.Table) -> pa.Table:

@@ -452,5 +452,11 @@ def interval_join_bucketed(ds, intervals_ds, ts_col: str, id_col: str,
     with hash_shuffle_context():
         out = shuffled.map_batches(probe_block, batch_size=None,
                                    batch_format="pyarrow")
-        return drop_sentinels(ensure_schema(out, out_schema),
-                              "window_id")
+        # forward the tier's partition count — ensure_schema's default
+        # of 2 blocks would funnel the full match result through a
+        # 2-way exchange, exactly the bottleneck this tier avoids
+        return drop_sentinels(
+            ensure_schema(out, out_schema,
+                          num_blocks=num_partitions
+                          or default_join_partitions()),
+            "window_id")

@@ -126,8 +126,10 @@ def profile_columns(ds, columns: list[str], distinct: str = "exact",
             uniq = narrow.unique(c)
             n_distinct[c] = len(uniq) if uniq is not None else 0
     elif use_hll:
-        n_distinct = {c: int(round(h.estimate()))
-                      for c, h in hlls.items()}
+        # empty input produces no partials: 0 distinct, matching the
+        # exact tier (-1 is reserved for distinct="none")
+        n_distinct = {c: (int(round(hlls[c].estimate()))
+                          if c in hlls else 0) for c in columns}
 
     return pa.table({
         "column": pa.array(columns, pa.string()),

@@ -31,10 +31,10 @@ KNUTH_MULT = 2654435761
 
 
 def _keep_topn_block(batch: pa.Table, group_col: str, id_col: str,
-                     n: int) -> pa.Table:
+                     n: int, group_type: pa.DataType) -> pa.Table:
     """Vectorized kernel: keep the n smallest (hash, id) per group."""
     if batch.num_rows == 0 or batch.num_columns == 0:
-        return pa.schema([(group_col, pa.string()),
+        return pa.schema([(group_col, group_type),
                           (id_col, pa.int64())]).empty_table()
     groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -49,16 +49,19 @@ def _keep_topn_block(batch: pa.Table, group_col: str, id_col: str,
         np.append(starts, len(g_s))))
     keep = rank < n
     return pa.table({
-        group_col: pa.array(g_s[keep], pa.string()),
+        group_col: pa.array(list(g_s[keep]), group_type),
         id_col: pa.array(id_s[keep], pa.int64()),
     })
 
 
 def cap_per_group(ds, group_col: str, id_col: str, n: int,
                   reduce: str = "driver",
-                  num_partitions: int | None = None):
+                  num_partitions: int | None = None,
+                  group_type: pa.DataType = pa.string()):
     """Keep at most ``n`` rows per ``group_col`` value, deterministic
-    across cluster sizes (see module docstring).  Returns a Dataset
+    across cluster sizes (see module docstring).  ``group_type`` is
+    the Arrow type of the group column (string domains by default;
+    pass e.g. ``pa.int64()`` for integer groups).  Returns a Dataset
     (partitioned tier) or pyarrow Table (driver tier) with columns
     (group_col, id_col)."""
     import ray
@@ -70,13 +73,13 @@ def cap_per_group(ds, group_col: str, id_col: str, n: int,
         raise ValueError("n must be positive")
 
     def partial(batch: pa.Table) -> pa.Table:
-        return _keep_topn_block(batch, group_col, id_col, n)
+        return _keep_topn_block(batch, group_col, id_col, n, group_type)
 
     parts_ds = ds.map_batches(partial, batch_format="pyarrow")
 
     if reduce == "partitioned":
         nparts = num_partitions or default_join_partitions()
-        out_schema = pa.schema([(group_col, pa.string()),
+        out_schema = pa.schema([(group_col, group_type),
                                 (id_col, pa.int64())])
         with hash_shuffle_context():
             shuffled = parts_ds.repartition(nparts, keys=[group_col],
@@ -89,6 +92,7 @@ def cap_per_group(ds, group_col: str, id_col: str, n: int,
 
     tabs = [t for t in ray.get(parts_ds.to_arrow_refs()) if t.num_columns]
     if not tabs:
-        return pa.schema([(group_col, pa.string()),
+        return pa.schema([(group_col, group_type),
                           (id_col, pa.int64())]).empty_table()
-    return _keep_topn_block(pa.concat_tables(tabs), group_col, id_col, n)
+    return _keep_topn_block(pa.concat_tables(tabs), group_col, id_col, n,
+                            group_type)

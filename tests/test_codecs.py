@@ -216,3 +216,55 @@ class TestRealCodecStages:
             ImageDecode(codec="bogus")
         with pytest.raises(ValueError):
             AudioDecode(codec="bogus")
+
+
+class TestCorruptPayloads:
+    def test_truncated_png_raises_unsupported(self):
+        # cuts inside the header, the IHDR, and the IDAT data itself
+        # (a cut that only drops IEND/CRC decodes fine by design)
+        png = encode_png(_rand_img(8, 6, 6, 3))
+        for cut in (10, 20, len(png) // 2):
+            with pytest.raises(UnsupportedMediaError):
+                decode_png(png[:cut])
+
+    def test_truncated_bmp_raises_unsupported(self):
+        bmp = encode_bmp(_rand_img(9, 6, 6, 3))
+        for cut in (5, 20, len(bmp) - 7):
+            with pytest.raises(UnsupportedMediaError):
+                decode_bmp(bmp[:cut])
+
+    def test_sub_filter_no_overflow_warning(self):
+        # Sub-filtered scanlines with sums > 255 must decode silently
+        import struct
+        import warnings
+        import zlib
+
+        a = np.full((4, 6, 3), 200, dtype=np.uint8)
+        h, w, c = a.shape
+        stride = w * c
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            line = a[y].reshape(-1).astype(np.int32)
+            enc = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = int(line[x - c]) if x >= c else 0
+                enc[x] = (int(line[x]) - left) & 0xFF
+            raw.append(1)
+            raw.extend(enc.astype(np.uint8).tobytes())
+            prev = line
+
+        def chunk(tag, data):
+            body = tag + data
+            return struct.pack(">I", len(data)) + body + \
+                struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR",
+                           struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                   + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                   + chunk(b"IEND", b""))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            got = decode_png(payload)
+        assert np.array_equal(got, a)

@@ -60,3 +60,15 @@ class TestProfileColumns:
         assert out["n_distinct"] == -1
         with pytest.raises(ValueError, match="distinct"):
             _run(df, ["a"], distinct="bogus")
+
+
+class TestEmptyHllTier:
+    def test_empty_input_hll_matches_exact(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"a": pa.array([], pa.float64())}))
+        exact = profile_columns(ds, ["a"], distinct="exact") \
+            .to_pandas().iloc[0]["n_distinct"]
+        hll = profile_columns(ds, ["a"], distinct="hll") \
+            .to_pandas().iloc[0]["n_distinct"]
+        assert exact == hll == 0

@@ -76,3 +76,20 @@ class TestCapPerGroup:
         with pytest.raises(ValueError, match="reduce"):
             cap_per_group(rd.from_pandas(df), "source", "doc_id", 1,
                           reduce="bogus")
+
+
+class TestIntegerGroups:
+    def test_int64_group_column(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(30, dtype=np.int64),
+            "grp": np.repeat(np.arange(3, dtype=np.int64), 10),
+        })
+        out = cap_per_group(rd.from_pandas(df), group_col="grp",
+                            id_col="doc_id", n=4,
+                            group_type=pa.int64())
+        got = out.to_pandas() if not isinstance(out, pa.Table) else \
+            out.to_pandas()
+        assert (got.groupby("grp").size() == 4).all()
+        assert got["grp"].dtype == np.int64
