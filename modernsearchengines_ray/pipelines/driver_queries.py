@@ -3997,6 +3997,34 @@ SQL_PROFILE_LINEITEM = "\nUNION ALL\n".join(
     for c in _PROFILE_COLS)
 
 
+def q_temperature_sample(sf_dir: str):
+    """Temperature-based mixture rebalancing (T=2: target ∝ sqrt(n_k))
+    over the documents' language groups — the multilingual-LM
+    reweighting primitive.  One tiny groupby(lang).count() broadcast
+    once, then a streaming hash filter: keep iff
+    knuth_bucket(doc_id) % 1000 < floor(1000 * sqrt(n_min / n_lang)).
+    sqrt is IEEE-correctly-rounded on both engines (unlike pow), so the
+    integer rates — and therefore the kept set — gate hash-exact."""
+    from ..stages.sampling import temperature_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return temperature_sample(ds, group_col="lang", id_col="doc_id")
+
+
+SQL_TEMPERATURE_SAMPLE = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS nmin FROM c),
+r AS (SELECT lang,
+             CAST(floor(1000 * sqrt(nmin::DOUBLE / n)) AS BIGINT)
+               AS permille
+      FROM c, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE ((d.doc_id::HUGEINT * {_SAMPLE_HASH_MULT}) % 4294967296) % 1000
+      < r.permille
+"""
+
+
 _CAP_PER_DOMAIN_N = 15
 
 
@@ -4187,6 +4215,7 @@ QUERY_FUNCS = {
     "dedup_incremental": q_dedup_incremental,
     "cap_per_domain": q_cap_per_domain,
     "profile_lineitem": q_profile_lineitem,
+    "temperature_sample": q_temperature_sample,
     "cap_per_domain_partitioned":
         lambda sf_dir: q_cap_per_domain(sf_dir, reduce="partitioned"),
     "dedup_incremental_partitioned":
@@ -4298,6 +4327,7 @@ ORACLE_SQL = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "cap_per_domain": SQL_CAP_PER_DOMAIN,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
+    "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "cap_per_domain_partitioned": SQL_CAP_PER_DOMAIN,
     "dedup_incremental_partitioned": SQL_DEDUP_INCREMENTAL,
     "quality": SQL_QUALITY,

@@ -54,6 +54,51 @@ def _keep_topn_block(batch: pa.Table, group_col: str, id_col: str,
     })
 
 
+def temperature_sample(ds, group_col: str, id_col: str,
+                       permille_scale: int = 1000):
+    """Temperature-based mixture rebalancing (the multilingual-LM
+    reweighting primitive, temperature T=2 i.e. p ∝ n^(1/2)): keep
+    each group-``k`` row with probability ∝ 1/sqrt(n_k), normalized so
+    the SMALLEST group keeps everything — large groups downsample
+    toward the sqrt-flattened distribution.
+
+    Determinism contract: the keep decision is
+    ``knuth_bucket(id) % permille_scale < floor(permille_scale *
+    sqrt(n_min / n_k))`` — group counts come from one tiny
+    ``groupby(group).count()`` (broadcast once), sqrt is the
+    IEEE-correctly-rounded hardware op (bit-identical in numpy and
+    SQL, unlike pow), and the floor()ed integer rate makes the
+    per-row comparison exact.  Same rows survive on any cluster size
+    / block order; no RNG state; one streaming filter, no data
+    shuffle.  Returns a Dataset (id_col, group_col)."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    counts = ds.select_columns([group_col]) \
+        .groupby(group_col).aggregate(Count(alias_name="n")).take_all()
+    if not counts:
+        return ds.select_columns([id_col, group_col])
+    n_by_group = {r[group_col]: r["n"] for r in counts}
+    n_min = min(n_by_group.values())
+    rates = {g: int(np.floor(permille_scale * np.sqrt(n_min / n)))
+             for g, n in n_by_group.items()}
+    rates_ref = ray.put(rates)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        bucket = ((ids * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)) \
+            % np.uint64(permille_scale)
+        lim = np.array([r[g] for g in batch[group_col].to_pylist()],
+                       dtype=np.uint64)
+        return batch.select([id_col, group_col]).filter(
+            pa.array(bucket < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def cap_per_group(ds, group_col: str, id_col: str, n: int,
                   reduce: str = "driver",
                   num_partitions: int | None = None,

@@ -93,3 +93,44 @@ class TestIntegerGroups:
             out.to_pandas()
         assert (got.groupby("grp").size() == 4).all()
         assert got["grp"].dtype == np.int64
+
+
+class TestTemperatureSample:
+    def test_rates_follow_inverse_sqrt(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.sampling import (
+            temperature_sample,
+        )
+
+        # group a: 100 rows, group b: 400 rows -> rate_b = 500 permille
+        df = pd.DataFrame({
+            "doc_id": np.arange(500, dtype=np.int64),
+            "lang": ["a"] * 100 + ["b"] * 400,
+        })
+        out = temperature_sample(rd.from_pandas(df), group_col="lang",
+                                 id_col="doc_id").to_pandas()
+        kept = out.groupby("lang").size()
+        # smallest group: rate 1000 -> every row kept
+        assert kept["a"] == 100
+        # b keeps iff bucket < 500: deterministic per-row, roughly half
+        assert 120 <= kept["b"] <= 280  # hash-dependent, pinned below
+
+        # exact determinism: same input -> identical kept set
+        out2 = temperature_sample(rd.from_pandas(df), group_col="lang",
+                                  id_col="doc_id").to_pandas()
+        assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.sampling import (
+            temperature_sample,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+        }))
+        out = temperature_sample(ds, group_col="lang", id_col="doc_id")
+        assert out.count() == 0
