@@ -2793,6 +2793,53 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def q_running_totals(sf_dir: str, reduce: str = "driver"):
+    """Distributed window functions over the event log — row_number,
+    inclusive running sum, and lag(value) per user ordered by
+    (ts, event_id), i.e. ``... OVER (PARTITION BY user_id ORDER BY
+    ts, event_id)``.
+
+    Plan in stages/windows.py: ONE range sort (the same exchange the
+    SQL window needs), a vectorized per-block segmented pass emitting
+    block-local values + one summary row per (block, key), and an
+    associative stitch adding each row's per-key prefix over earlier
+    blocks' summaries.  The running sum accumulates
+    ``floor(value*1000)`` as int64 so the block-partial plan is
+    EXACT (integer addition is associative where a float cumsum
+    would drift with block boundaries) and gates hash-identical
+    against DuckDB's sequential window accumulate.
+    ``reduce="partitioned"`` stitches per hash-shuffled block with
+    zero driver state; tiers are bit-identical."""
+    from ..stages.windows import window_functions
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    out = window_functions(ds, key_col="user_id", ts_col="ts",
+                           id_col="event_id", value_col="value",
+                           scale=1000.0, reduce=reduce)
+    rename = {"id": "event_id", "key": "user_id"}
+    if reduce == "partitioned":
+        return out.map_batches(
+            lambda b: b.rename_columns(
+                [rename.get(c, c) for c in b.schema.names]),
+            batch_format="pyarrow")
+    return out.rename_columns(
+        [rename.get(c, c) for c in out.schema.names])
+
+
+SQL_RUNNING_TOTALS = """
+SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us,
+       (row_number() OVER w)::BIGINT AS rn,
+       (sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING))::BIGINT AS run_sum_scaled,
+       COALESCE(lag(value) OVER w, 0.0) AS prev_value,
+       (lag(value) OVER w IS NOT NULL) AS has_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_json_extract(sf_dir: str):
     """JSON scalar extraction from the events props column (the
     reference stores nested data as JSON-in-TEXT, SURVEY §1.2) —
@@ -4264,6 +4311,9 @@ QUERY_FUNCS = {
     "sessionize": q_sessionize,
     "sessionize_partitioned":
         lambda sf_dir: q_sessionize(sf_dir, reduce="partitioned"),
+    "running_totals": q_running_totals,
+    "running_totals_partitioned":
+        lambda sf_dir: q_running_totals(sf_dir, reduce="partitioned"),
     "domain_hist": q_domain_hist,
     "json_extract": q_json_extract,
     "top_events_per_user": q_top_events_per_user,
@@ -4355,6 +4405,8 @@ ORACLE_SQL = {
     "frame_samples": SQL_FRAME_SAMPLES,
     "sessionize": SQL_SESSIONIZE,
     "sessionize_partitioned": SQL_SESSIONIZE,
+    "running_totals": SQL_RUNNING_TOTALS,
+    "running_totals_partitioned": SQL_RUNNING_TOTALS,
     "domain_hist": SQL_DOMAIN_HIST,
     "json_extract": SQL_JSON_EXTRACT,
     "top_events_per_user": SQL_TOP_EVENTS_PER_USER,

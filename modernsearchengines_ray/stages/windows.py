@@ -1,0 +1,267 @@
+"""Distributed per-key ordered window functions: ``row_number``,
+running sum, and ``lag`` — the analytics family SQL spells
+``... OVER (PARTITION BY key ORDER BY ts, id)``.
+
+The reference engine has none of these (its only per-group work is
+the postings accumulation, A1); this is part of the training-data /
+event-analytics extension family, built on the same plan as the as-of
+join (stages/joins.py):
+
+1. ONE distributed range sort by ``(key, ts_us, id)`` — the only
+   exchange a SQL engine would need for the same window anyway;
+2. per sorted block, a vectorized segmented pass computes the
+   BLOCK-LOCAL window values (local row number, local running sum,
+   in-block lag) and emits one summary row per (block, key): the
+   segment's row count, sum, and last value — the only state any
+   later block can need;
+3. an associative stitch adds each row's offset from the running
+   per-key prefix over earlier blocks' summaries.  Range sort means
+   blocks hold disjoint ``(key, ts_us, id)`` ranges, so "earlier
+   summaries" is exactly "earlier rows" — the prefix is well-defined.
+
+``reduce="driver"`` stitches in one driver pass (test scale — the
+stitch input is O(input rows), same contract as the as-of driver
+tier); ``reduce="partitioned"`` hash-repartitions partials by key and
+stitches per block with zero driver state.  Both tiers are
+bit-identical.  A key hotter than one partition degrades to one block
+holding that key — the same behavior as PARTITION BY in any
+shuffle-based SQL engine; document, don't hide.
+
+Determinism / conformance notes:
+
+- ``(key, ts, id)`` must be unique (true for event logs keyed by a
+  unique event id).  The sort order — and therefore every output —
+  is then total and engine-independent.
+- The running sum is computed over ``floor(value * scale)`` as int64,
+  NOT over the raw double: integer addition is associative, so the
+  block-partial + offset plan is EXACT and hash-identical to a
+  sequential SQL accumulate, where a float cumsum would diverge in
+  the last bits depending on block boundaries.  ``floor`` (not cast,
+  not round) because numpy and DuckDB agree on floor semantics for
+  every finite double.
+- ``lag`` moves a value without arithmetic, so it stays a raw double;
+  rows with no predecessor carry ``has_prev=false`` with a 0.0
+  sentinel (no nulls in output — the driver's value-hash must not
+  depend on engine null encodings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("key", pa.int64()),
+    ("ts_us", pa.int64()),
+    ("id", pa.int64()),
+    ("side", pa.int8()),          # 0 = row, 1 = per-(block,key) summary
+    ("local_rn", pa.int64()),     # rows: in-block row number (1-based)
+    ("local_sum", pa.int64()),    # rows: in-block running sum (scaled)
+    ("prev_value", pa.float64()),  # rows: in-block lag value
+    ("has_prev", pa.bool_()),     # rows: in-block lag resolved
+    ("seg_count", pa.int64()),    # summaries: rows in this (block,key)
+    ("seg_sum", pa.int64()),      # summaries: scaled sum of the segment
+    ("last_value", pa.float64()),  # summaries: raw value of the last row
+])
+
+_OUT_SCHEMA = pa.schema([
+    ("id", pa.int64()),
+    ("key", pa.int64()),
+    ("ts_us", pa.int64()),
+    ("rn", pa.int64()),
+    ("run_sum_scaled", pa.int64()),
+    ("prev_value", pa.float64()),
+    ("has_prev", pa.bool_()),
+])
+
+
+def _segment_starts(keys: np.ndarray) -> np.ndarray:
+    """Boolean mask: True where a new key segment begins (input is
+    key-sorted)."""
+    new = np.empty(len(keys), dtype=bool)
+    new[0] = True
+    new[1:] = keys[1:] != keys[:-1]
+    return new
+
+
+def _window_partials(batch: pa.Table, scale: float) -> pa.Table:
+    """Per sorted block: segmented local window values + one summary
+    row per (block, key).  Fully vectorized."""
+    n = batch.num_rows
+    if n == 0:
+        return _PARTIAL_SCHEMA.empty_table()
+    keys = batch["key"].to_numpy(zero_copy_only=False)
+    ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+    ids = batch["id"].to_numpy(zero_copy_only=False)
+    raw = batch["value"].to_numpy(zero_copy_only=False)
+    v = np.floor(raw * scale).astype(np.int64)
+
+    idx = np.arange(n)
+    new = _segment_starts(keys)
+    # index of each row's segment start, propagated forward
+    seg_start = np.maximum.accumulate(np.where(new, idx, -1))
+    local_rn = idx - seg_start + 1
+    cs = np.cumsum(v)
+    local_sum = cs - cs[seg_start] + v[seg_start]
+    prev = np.empty(n, dtype=np.float64)
+    prev[0] = 0.0
+    prev[1:] = raw[:-1]
+    has_prev = ~new
+    prev = np.where(has_prev, prev, 0.0)
+
+    is_last = np.empty(n, dtype=bool)
+    is_last[-1] = True
+    is_last[:-1] = keys[1:] != keys[:-1]
+    s = idx[is_last]
+
+    zeros_i = np.zeros(n, dtype=np.int64)
+    zeros_f = np.zeros(len(s), dtype=np.float64)
+    rows = pa.table({
+        "key": pa.array(keys, pa.int64()),
+        "ts_us": pa.array(ts, pa.int64()),
+        "id": pa.array(ids, pa.int64()),
+        "side": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+        "local_rn": pa.array(local_rn, pa.int64()),
+        "local_sum": pa.array(local_sum, pa.int64()),
+        "prev_value": pa.array(prev, pa.float64()),
+        "has_prev": pa.array(has_prev, pa.bool_()),
+        "seg_count": pa.array(zeros_i, pa.int64()),
+        "seg_sum": pa.array(zeros_i, pa.int64()),
+        "last_value": pa.array(np.zeros(n), pa.float64()),
+    })
+    summaries = pa.table({
+        "key": pa.array(keys[s], pa.int64()),
+        "ts_us": pa.array(ts[s], pa.int64()),
+        "id": pa.array(ids[s], pa.int64()),
+        "side": pa.array(np.ones(len(s), dtype=np.int8), pa.int8()),
+        "local_rn": pa.array(np.zeros(len(s), dtype=np.int64), pa.int64()),
+        "local_sum": pa.array(np.zeros(len(s), dtype=np.int64), pa.int64()),
+        "prev_value": pa.array(zeros_f, pa.float64()),
+        "has_prev": pa.array(np.zeros(len(s), dtype=bool), pa.bool_()),
+        "seg_count": pa.array(local_rn[s], pa.int64()),
+        "seg_sum": pa.array(local_sum[s], pa.int64()),
+        "last_value": pa.array(raw[s], pa.float64()),
+    })
+    return pa.concat_tables([rows, summaries])
+
+
+def _stitch_windows(keys, ts, ids, side, local_rn, local_sum,
+                    prev_value, has_prev, seg_count, seg_sum,
+                    last_value) -> pa.Table:
+    """Associative stitch over partials sorted by (key, ts_us, id,
+    side): add each row's per-key prefix over earlier summaries.
+
+    A block's summary carries the (ts, id) of its LAST row and
+    side=1 > 0, so in sort order it lands immediately after its own
+    rows and before every row of any later block — the
+    maximum.accumulate trick then yields, for each row, the prefix
+    over exactly the earlier blocks of its key."""
+    n = len(keys)
+    if n == 0:
+        return _OUT_SCHEMA.empty_table()
+    idx = np.arange(n)
+    sum_mask = side == 1
+
+    # per-key running prefix over the summaries, in sort order
+    cum_count = np.zeros(n, dtype=np.int64)
+    cum_sum = np.zeros(n, dtype=np.int64)
+    s_pos = idx[sum_mask]
+    if len(s_pos):
+        s_keys = keys[s_pos]
+        s_new = _segment_starts(s_keys)
+        s_start = np.maximum.accumulate(
+            np.where(s_new, np.arange(len(s_pos)), -1))
+        cc = np.cumsum(seg_count[s_pos])
+        ss = np.cumsum(seg_sum[s_pos])
+        cum_count[s_pos] = cc - cc[s_start] + seg_count[s_pos][s_start]
+        cum_sum[s_pos] = ss - ss[s_start] + seg_sum[s_pos][s_start]
+
+    s_idx = np.where(sum_mask, idx, -1)
+    last = np.maximum.accumulate(s_idx)
+    safe = np.maximum(last, 0)
+    valid = (last >= 0) & (keys[safe] == keys)
+
+    off_count = np.where(valid, cum_count[safe], 0)
+    off_sum = np.where(valid, cum_sum[safe], 0)
+    fill_prev = valid & ~has_prev
+    out_prev = np.where(fill_prev, last_value[safe], prev_value)
+    out_has = has_prev | fill_prev
+
+    r = idx[~sum_mask]
+    return pa.table({
+        "id": pa.array(ids[r], pa.int64()),
+        "key": pa.array(keys[r], pa.int64()),
+        "ts_us": pa.array(ts[r], pa.int64()),
+        "rn": pa.array((off_count + local_rn)[r], pa.int64()),
+        "run_sum_scaled": pa.array((off_sum + local_sum)[r], pa.int64()),
+        "prev_value": pa.array(out_prev[r], pa.float64()),
+        "has_prev": pa.array(out_has[r], pa.bool_()),
+    })
+
+
+def _stitch_block(batch: pa.Table) -> pa.Table:
+    cols = {name: batch[name].to_numpy(zero_copy_only=False)
+            for name in batch.schema.names}
+    order = np.lexsort((cols["side"], cols["id"], cols["ts_us"],
+                        cols["key"]))
+    return _stitch_windows(
+        cols["key"][order], cols["ts_us"][order], cols["id"][order],
+        cols["side"][order], cols["local_rn"][order],
+        cols["local_sum"][order], cols["prev_value"][order],
+        cols["has_prev"][order], cols["seg_count"][order],
+        cols["seg_sum"][order], cols["last_value"][order])
+
+
+def window_functions(ds, key_col: str, ts_col: str, id_col: str,
+                     value_col: str, scale: float = 1000.0,
+                     reduce: str = "driver",
+                     num_partitions: int | None = None):
+    """Per-key ordered window functions over a Dataset; see module
+    docstring for the plan and determinism contract.  Returns columns
+    ``(id, key, ts_us, rn, run_sum_scaled, prev_value, has_prev)``
+    where ``rn`` is the 1-based row number within key ordered by
+    ``(ts, id)``, ``run_sum_scaled`` the inclusive running sum of
+    ``floor(value * scale)``, and ``prev_value`` the lag-1 value.
+    Driver tier returns a pyarrow Table; partitioned tier a Dataset."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch[key_col].cast(pa.int64()),
+            "ts_us": batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "id": batch[id_col].cast(pa.int64()),
+            "value": batch[value_col].cast(pa.float64()),
+        })
+
+    parts_ds = ds.map_batches(tag, batch_format="pyarrow") \
+        .sort(["key", "ts_us", "id"]) \
+        .map_batches(lambda b: _window_partials(b, scale),
+                     batch_size=None, batch_format="pyarrow")
+
+    if reduce == "partitioned":
+        from ray.data.context import ShuffleStrategy
+
+        from .dedup import default_join_partitions
+
+        # flip the CHAIN's captured context (see joins.py: descendants
+        # inherit the root dataset's DataContext snapshot)
+        parts_ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        shuffled = parts_ds.repartition(
+            num_partitions or default_join_partitions(),
+            keys=["key"], sort=False)
+        return shuffled.map_batches(_stitch_block, batch_size=None,
+                                    batch_format="pyarrow")
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
+
+    parts = parts_ds.to_pandas()
+    if parts.empty or "key" not in parts.columns:
+        return _OUT_SCHEMA.empty_table()
+    parts = parts.sort_values(["key", "ts_us", "id", "side"],
+                              kind="mergesort", ignore_index=True)
+    return _stitch_windows(
+        parts["key"].to_numpy(), parts["ts_us"].to_numpy(),
+        parts["id"].to_numpy(), parts["side"].to_numpy(),
+        parts["local_rn"].to_numpy(), parts["local_sum"].to_numpy(),
+        parts["prev_value"].to_numpy(), parts["has_prev"].to_numpy(),
+        parts["seg_count"].to_numpy(), parts["seg_sum"].to_numpy(),
+        parts["last_value"].to_numpy())
