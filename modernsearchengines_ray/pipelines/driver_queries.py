@@ -3735,6 +3735,76 @@ FROM qs JOIN s ON s.rn = CAST(floor((s.n - 1) * qs.q) AS BIGINT) + 1
 """
 
 
+_KMV_K = 4096
+_KMV_QS = (0.25, 0.5, 0.75)
+
+
+def q_quantile_sketch_check(sf_dir: str):
+    """Derived-invariant gate for the ONE-pass mergeable quantile
+    sketch (stages/quantiles.py approx_quantiles_kmv — the streaming
+    complement to the exact histogram-refinement path): estimate
+    quartiles of l_extendedprice from a bottom-k-by-hash sample
+    (k=4096, a few KB of driver state), then verify each estimate's
+    EXACT rank sits within eps = 4/sqrt(k) of its target in one more
+    counting pass.  SQL supplies the exact row count and TRUE, so a
+    broken sketch flips a bool and fails the hash compare (an
+    estimate can't be hash-compared directly)."""
+    from ray.data.aggregate import AggregateFn
+
+    from ..stages.quantiles import approx_quantiles_kmv
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def add_id(batch: pa.Table) -> pa.Table:
+        # l_linenumber is 1..7, so orderkey*16+linenumber is unique
+        rid = (batch["l_orderkey"].to_numpy(zero_copy_only=False) * 16
+               + batch["l_linenumber"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "rid": pa.array(rid, pa.int64()),
+            "l_extendedprice": batch["l_extendedprice"],
+        })
+
+    tagged = ds.map_batches(add_id, batch_format="pyarrow")
+    est = approx_quantiles_kmv(tagged, "l_extendedprice", "rid",
+                               _KMV_QS, k=_KMV_K)
+    ests = est["value"].to_numpy(zero_copy_only=False)
+
+    def acc_ranks(state: np.ndarray, block) -> np.ndarray:
+        v = block.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        lo = np.array([(v < e).sum() for e in ests], dtype=np.int64)
+        hi = np.array([(v <= e).sum() for e in ests], dtype=np.int64)
+        return state + np.concatenate([[len(v)], lo, hi])
+
+    rank_fn = AggregateFn(
+        init=lambda _: np.zeros(1 + 2 * len(ests), dtype=np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=acc_ranks,
+        name="ranks")
+    ranks = np.asarray(
+        ds.select_columns(["l_extendedprice"]).aggregate(rank_fn)["ranks"])
+    n = int(ranks[0])
+    lo, hi = ranks[1:1 + len(ests)], ranks[1 + len(ests):]
+    eps = 4.0 / np.sqrt(_KMV_K)
+    oks = [bool(lo[i] / n <= q + eps and hi[i] / n >= q - eps)
+           for i, q in enumerate(_KMV_QS)]
+    return pd.DataFrame({
+        "n_rows": pd.array([n], dtype="int64"),
+        "q25_ok": pd.array([oks[0]], dtype="boolean"),
+        "q50_ok": pd.array([oks[1]], dtype="boolean"),
+        "q75_ok": pd.array([oks[2]], dtype="boolean"),
+    })
+
+
+SQL_QUANTILE_SKETCH_CHECK = """
+SELECT count(l_extendedprice)::BIGINT AS n_rows,
+       TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+FROM lineitem
+"""
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroid (the k-means/analysis primitive):
     each batch collapses to one (label, dim, sum, count) long-format
@@ -4356,6 +4426,7 @@ QUERY_FUNCS = {
     "pagerank_partitioned":
         lambda sf_dir: q_pagerank(sf_dir, reduce="partitioned"),
     "price_ntile": q_price_ntile,
+    "quantile_sketch_check": q_quantile_sketch_check,
     "distinct_users_by_type_hll_check":
         q_distinct_users_by_type_hll_check,
     "decontaminate_bloom": q_decontaminate_bloom,
@@ -4447,6 +4518,7 @@ ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "pagerank_partitioned": SQL_PAGERANK,
     "price_ntile": SQL_PRICE_NTILE,
+    "quantile_sketch_check": SQL_QUANTILE_SKETCH_CHECK,
     "distinct_users_by_type_hll_check":
         SQL_DISTINCT_USERS_BY_TYPE_HLL_CHECK,
     "decontaminate_bloom": SQL_DECONTAMINATE,

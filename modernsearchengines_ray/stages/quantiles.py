@@ -257,3 +257,108 @@ def exact_quantiles_by_group(ds, col: str, group_col: str,
         "q": pa.array(out_q, pa.float64()),
         "value": pa.array(out_v, pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# One-pass MERGEABLE approximate quantiles (the 100-TB streaming path)
+# ---------------------------------------------------------------------------
+
+_KMV_MULT = np.uint64(0x9E3779B97F4A7C15)  # odd (golden-ratio) => bijective
+
+
+def _kmv_hash(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix of a unique row id: multiply by an odd
+    constant mod 2^64 (a bijection, so distinct ids never collide and
+    the bottom-k set is a true uniform-without-replacement sample of
+    the rows, identical on every cluster size and block order)."""
+    with np.errstate(over="ignore"):
+        return ids.astype(np.uint64) * _KMV_MULT
+
+
+def _kmv_truncate(h: np.ndarray, v: np.ndarray, k: int):
+    """Keep the k smallest (hash, value) pairs; the value tie-break
+    keeps the selection total even under adversarial equal hashes."""
+    if len(h) > k:
+        order = np.lexsort((v, h))[:k]
+        return h[order], v[order]
+    return h, v
+
+
+def approx_quantiles_kmv(ds, col: str, id_col: str,
+                         qs: tuple[float, ...],
+                         k: int = 4096) -> pa.Table:
+    """ONE-pass mergeable approximate quantiles via bottom-k-by-hash
+    sampling (the KMV / min-hash sample, Bar-Yossef et al. 2002).
+
+    :func:`exact_quantiles` above is exact but needs a second
+    candidate-pull pass plus a refinement guard; this is the
+    streaming-scale complement: each block keeps its k smallest
+    ``(hash(id), value)`` pairs (a few KB), partials merge by
+    concat+truncate — ASSOCIATIVE and commutative, so Ray's aggregate
+    tree can combine them in any order and the final sample is
+    bit-identical on any partitioning.  The driver only ever holds
+    k pairs.  The bottom-k-by-bijective-hash set is a simple random
+    sample without replacement, so the sample quantile's rank error
+    is O(sqrt(q(1-q)/k)) (~1.6% at k=4096, q=0.5) — gated as a
+    derived invariant by ``quantile_sketch_check``, never
+    hash-compared directly.
+
+    Requires ``id_col`` unique (int64); nulls/NaN in ``col`` are
+    excluded.  Returns ``(q float64, value float64)``, one row per
+    requested quantile, using the same lower order-statistic rule as
+    :func:`exact_quantiles` applied to the sample.
+
+    The accumulator is ONE flat float64 vector ``[m, h_0..h_{k-1},
+    v_0..v_{k-1}]`` (hashes bit-cast uint64<->float64, losslessly) so
+    Ray's aggregate exchange ships a native Arrow tensor instead of
+    falling back to pickled Python objects.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def pack(h: np.ndarray, v: np.ndarray) -> np.ndarray:
+        state = np.zeros(1 + 2 * k, dtype=np.float64)
+        m = len(h)
+        state[0] = m
+        state[1:1 + m] = h.view(np.float64)
+        state[1 + k:1 + k + m] = v
+        return state
+
+    def unpack(state: np.ndarray):
+        m = int(state[0])
+        return (state[1:1 + m].view(np.uint64).copy(),
+                state[1 + k:1 + k + m].copy())
+
+    def acc_block(state, block):
+        sh, sv = unpack(state)
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        vals = block.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        finite = ~np.isnan(vals)
+        h = _kmv_hash(ids[finite])
+        v = vals[finite]
+        return pack(*_kmv_truncate(np.concatenate([sh, h]),
+                                   np.concatenate([sv, v]), k))
+
+    def merge(a, b):
+        ah, av = unpack(a)
+        bh, bv = unpack(b)
+        return pack(*_kmv_truncate(np.concatenate([ah, bh]),
+                                   np.concatenate([av, bv]), k))
+
+    kmv_fn = AggregateFn(
+        init=lambda _: np.zeros(1 + 2 * k, dtype=np.float64),
+        merge=merge,
+        accumulate_block=acc_block,
+        name="kmv")
+    final = np.asarray(
+        ds.select_columns([id_col, col]).aggregate(kmv_fn)["kmv"])
+    _, sample_v = unpack(final)
+    m = len(sample_v)
+    if m == 0:
+        return pa.table({"q": pa.array(list(qs), pa.float64()),
+                         "value": pa.array([None] * len(qs),
+                                           pa.float64())})
+    sv = np.sort(sample_v)
+    out = [float(sv[int(np.floor((m - 1) * q))]) for q in qs]
+    return pa.table({"q": pa.array(list(qs), pa.float64()),
+                     "value": pa.array(out, pa.float64())})

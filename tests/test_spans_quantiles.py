@@ -4,6 +4,7 @@ distributed quantiles, and the DuckDB-parity rounding helper."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -266,3 +267,89 @@ class TestExactQuantilesByGroup:
             ds, "v", "g", (0.5,), bins=64).to_pandas()
         assert float(got[got["g"] == "a"]["value"].iloc[0]) == 50.0
         assert float(got[got["g"] == "b"]["value"].iloc[0]) == 20.0
+
+
+class TestApproxQuantilesKMV:
+    """One-pass mergeable quantile sketch: the properties the driver
+    gate (quantile_sketch_check) can't pin — partitioning invariance,
+    sample-exactness at k >= n, and the rank-error bound."""
+
+    @staticmethod
+    def _data(n, seed=3):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "rid": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "v": pa.array(rng.lognormal(3.0, 1.0, n), pa.float64()),
+        })
+
+    def test_partitioning_invariance_bit_identical(self, ray_session):
+        # the sample is a deterministic function of the DATA (bottom-k
+        # of a bijective hash), so any block layout gives the same
+        # estimates bit-for-bit
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            approx_quantiles_kmv)
+
+        tab = self._data(20_000)
+        outs = []
+        for blocks in (1, 7, 32):
+            ds = rd.from_arrow(tab).repartition(blocks)
+            outs.append(approx_quantiles_kmv(
+                ds, "v", "rid", (0.1, 0.5, 0.9), k=512).to_pandas())
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        pd.testing.assert_frame_equal(outs[0], outs[2])
+
+    def test_exact_when_k_covers_input(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            approx_quantiles_kmv, exact_quantiles)
+
+        tab = self._data(1000)
+        ds = rd.from_arrow(tab).repartition(5)
+        approx = approx_quantiles_kmv(
+            ds, "v", "rid", (0.25, 0.5, 0.75), k=2000).to_pandas()
+        exact = exact_quantiles(
+            ds, "v", (0.25, 0.5, 0.75)).to_pandas()
+        pd.testing.assert_frame_equal(approx, exact)
+
+    def test_rank_error_within_bound(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            approx_quantiles_kmv)
+
+        k = 1024
+        tab = self._data(50_000)
+        ds = rd.from_arrow(tab).repartition(16)
+        got = approx_quantiles_kmv(
+            ds, "v", "rid", (0.25, 0.5, 0.75), k=k).to_pandas()
+        v = tab["v"].to_numpy()
+        eps = 4.0 / np.sqrt(k)
+        for _, row in got.iterrows():
+            rank = float((v < row["value"]).sum()) / len(v)
+            assert abs(rank - row["q"]) <= eps, (row["q"], rank)
+
+    def test_nulls_excluded_and_empty(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            approx_quantiles_kmv)
+
+        tab = pa.table({
+            "rid": pa.array(np.arange(6, dtype=np.int64), pa.int64()),
+            "v": pa.array([1.0, None, 2.0, None, 3.0, None],
+                          pa.float64()),
+        })
+        got = approx_quantiles_kmv(
+            rd.from_arrow(tab), "v", "rid", (0.5,), k=10).to_pandas()
+        assert float(got["value"].iloc[0]) == 2.0
+
+        empty = pa.table({
+            "rid": pa.array([], pa.int64()),
+            "v": pa.array([], pa.float64()),
+        })
+        got = approx_quantiles_kmv(
+            rd.from_arrow(empty), "v", "rid", (0.5,), k=10).to_pandas()
+        assert got["value"].isna().all()
