@@ -1618,6 +1618,134 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_pricing_rollup(sf_dir: str):
+    """Hierarchical ROLLUP aggregate (finest level + per-returnflag
+    subtotals + grand total — the OLAP GROUPING SETS primitive).
+
+    Plan: map-side partials at the FINEST level only (the one
+    groupby exchange SQL's ROLLUP also needs), then the coarser
+    levels derive from the finest aggregate table — |flags|x|status|
+    rows, driver-side by construction, never row data.  Sums run
+    over integer units (whole quantities / price cents via rint —
+    both engines round identically since no input sits at an exact
+    .5 after scaling), so every level is EXACT integer arithmetic:
+    associative, partition-order-free, hash-identical to DuckDB's
+    sequential ROLLUP at any scale.  Rollup label is 'ALL' (no nulls
+    in output — engine null encodings differ)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["qty_i"] = np.rint(
+            df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        df["cents"] = np.rint(
+            df["l_extendedprice"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        g = df.groupby(["l_returnflag", "l_linestatus"],
+                       as_index=False).agg(
+            qty=("qty_i", "sum"), cents=("cents", "sum"),
+            n=("qty_i", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fin = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("qty", alias_name="sum_qty"),
+                   Sum("cents", alias_name="sum_price_cents"),
+                   Sum("n", alias_name="count_order")).to_pandas()
+    metrics = ["sum_qty", "sum_price_cents", "count_order"]
+    fin[metrics] = fin[metrics].astype("int64")
+
+    sub = fin.groupby("l_returnflag", as_index=False)[metrics].sum()
+    sub["l_linestatus"] = "ALL"
+    tot = fin[metrics].sum().to_frame().T
+    tot["l_returnflag"] = "ALL"
+    tot["l_linestatus"] = "ALL"
+    cols = ["l_returnflag", "l_linestatus", *metrics]
+    return pd.concat([fin[cols], sub[cols], tot[cols]],
+                     ignore_index=True)
+
+
+SQL_PRICING_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       sum(CAST(round(l_quantity, 0) AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT
+         AS sum_price_cents,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Distributed ANTI join (the NOT EXISTS / EXCEPT primitive):
+    customers that never placed an URGENT order (the priority filter
+    keeps the gate non-vacuous — every customer in the fixture has
+    SOME order).  The right side filters at the read, then collapses
+    to distinct keys through a groupby (map-side partials make the
+    exchange carry keys, not orders), then one hash-shuffle
+    ``left_anti`` join — both sides stream, no driver state, no
+    broadcast (customer is NOT small by contract at scale)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import default_join_partitions
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])
+    nparts = default_join_partitions()
+    with _hash_shuffle_context():
+        urgent = orders.map_batches(
+            lambda b: b.filter(
+                pc.equal(b["o_orderpriority"], "1-URGENT")
+            ).select(["o_custkey"]),
+            batch_format="pyarrow")
+        distinct = urgent.groupby("o_custkey", num_partitions=nparts) \
+            .aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+        return cust.join(distinct, "left_anti", num_partitions=nparts,
+                         on=("c_custkey",), right_on=("o_custkey",))
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_suppliers_with_shipments(sf_dir: str):
+    """Distributed SEMI join (the EXISTS / IN primitive): suppliers
+    with at least one lineitem shipment.  Same plan as the anti join
+    — distinct right keys, one hash-shuffle ``left_semi``."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import default_join_partitions
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name", "s_nationkey"])
+    items = _read(sf_dir, "lineitem", columns=["l_suppkey"])
+    nparts = default_join_partitions()
+    with _hash_shuffle_context():
+        distinct = items.groupby("l_suppkey", num_partitions=nparts) \
+            .aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+        return supp.join(distinct, "left_semi", num_partitions=nparts,
+                         on=("s_suppkey",), right_on=("l_suppkey",))
+
+
+SQL_SUPPLIERS_WITH_SHIPMENTS = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+"""
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour window per event type (streaming-shaped workload)."""
     from ray.data.aggregate import Sum
@@ -4358,6 +4486,9 @@ QUERY_FUNCS = {
     "language_id": q_language_id,
     "top_customers": q_top_customers,
     "pricing_summary": q_pricing_summary,
+    "pricing_rollup": q_pricing_rollup,
+    "customers_without_orders": q_customers_without_orders,
+    "suppliers_with_shipments": q_suppliers_with_shipments,
     "events_window": q_events_window,
     "distinct_users": q_distinct_users,
     "distinct_users_approx": q_distinct_users_approx,
@@ -4466,6 +4597,9 @@ ORACLE_SQL = {
     "lang_hist": SQL_LANG_HIST,
     "top_customers": SQL_TOP_CUSTOMERS,
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "pricing_rollup": SQL_PRICING_ROLLUP,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "suppliers_with_shipments": SQL_SUPPLIERS_WITH_SHIPMENTS,
     "events_window": SQL_EVENTS_WINDOW,
     "distinct_users": SQL_DISTINCT_USERS,
     "region_nations": SQL_REGION_NATIONS,
