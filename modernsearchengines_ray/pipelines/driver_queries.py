@@ -3863,6 +3863,111 @@ FROM qs JOIN s ON s.rn = CAST(floor((s.n - 1) * qs.q) AS BIGINT) + 1
 """
 
 
+_KEYWORDS_TOP_N = 3
+
+
+def q_doc_keywords(sf_dir: str, reduce: str = "driver"):
+    """Per-document keyword extraction: the top-3 terms per doc by a
+    tf-idf-flavored rank — ``(tf DESC, df ASC, term ASC)``.  Integer
+    comparisons only: the float product tf*ln(N/df) orders the same
+    way per doc whenever tf dominates, and an integer rank gates
+    hash-exact where a float score could flip on libm last-ulp
+    differences between engines.
+
+    Plan: per-batch Counter collapse to (doc_id, term, tf) rows
+    (tokens never leave the task); the tf table is materialized ONCE
+    for its two consumers (df derivation + join probe — the dup_spans
+    precedent: recomputing would tokenize the corpus twice; at real
+    scale this is a parquet spill, not object-store pinning); df is
+    a groupby(term) count; one hash join ships df back onto the tf
+    rows; then grouped top-n runs as a map-side per-(block, doc)
+    prefilter (<= 3 rows per doc per block survive) + one
+    hash-repartition by doc_id + the same kernel per block
+    (``reduce="partitioned"``) or a driver pass over the prefiltered
+    rows (``reduce="driver"``).  Tiers are bit-identical."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import default_join_partitions
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    nparts = default_join_partitions()
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for t, c in Counter(simple_tokens(text)).items():
+                ids.append(did)
+                terms.append(t)
+                tfs.append(c)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    def topn_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas()
+        df = df.sort_values(["doc_id", "tf", "df", "term"],
+                            ascending=[True, False, True, True],
+                            kind="mergesort", ignore_index=True)
+        out = df.groupby("doc_id", sort=False).head(_KEYWORDS_TOP_N)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    with _hash_shuffle_context():
+        tf_ds = ds.map_batches(tf_rows,
+                               batch_format="pyarrow").materialize()
+        df_ds = tf_ds.select_columns(["term"]) \
+            .groupby("term", num_partitions=nparts) \
+            .aggregate(Count(alias_name="df"))
+        joined = tf_ds.join(df_ds, "inner", num_partitions=nparts,
+                            on=("term",))
+        pref = joined.map_batches(topn_block, batch_format="pyarrow")
+        if reduce == "partitioned":
+            from ray.data.context import ShuffleStrategy
+
+            # flip the CHAIN's captured context (joins.py: descendants
+            # inherit the root dataset's DataContext snapshot, which
+            # materialize() re-roots outside the with-block)
+            pref.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            shuffled = pref.repartition(nparts, keys=["doc_id"],
+                                        sort=False)
+            return shuffled.map_batches(topn_block, batch_size=None,
+                                        batch_format="pyarrow")
+        if reduce != "driver":
+            raise ValueError(f"unknown reduce mode: {reduce!r}")
+        tabs = pref.to_pandas()
+    if tabs.empty:
+        return pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                          ("tf", pa.int64()),
+                          ("df", pa.int64())]).empty_table()
+    return topn_block(pa.Table.from_pandas(tabs, preserve_index=False))
+
+
+SQL_DOC_KEYWORDS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+)
+SELECT doc_id, term, tf, df FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC,
+                                     tf.term ASC) AS rn
+  FROM tf JOIN df USING (term))
+WHERE rn <= {_KEYWORDS_TOP_N}
+"""
+
+
 _KMV_K = 4096
 _KMV_QS = (0.25, 0.5, 0.75)
 
@@ -4558,6 +4663,9 @@ QUERY_FUNCS = {
         lambda sf_dir: q_pagerank(sf_dir, reduce="partitioned"),
     "price_ntile": q_price_ntile,
     "quantile_sketch_check": q_quantile_sketch_check,
+    "doc_keywords": q_doc_keywords,
+    "doc_keywords_partitioned":
+        lambda sf_dir: q_doc_keywords(sf_dir, reduce="partitioned"),
     "distinct_users_by_type_hll_check":
         q_distinct_users_by_type_hll_check,
     "decontaminate_bloom": q_decontaminate_bloom,
@@ -4653,6 +4761,8 @@ ORACLE_SQL = {
     "pagerank_partitioned": SQL_PAGERANK,
     "price_ntile": SQL_PRICE_NTILE,
     "quantile_sketch_check": SQL_QUANTILE_SKETCH_CHECK,
+    "doc_keywords": SQL_DOC_KEYWORDS,
+    "doc_keywords_partitioned": SQL_DOC_KEYWORDS,
     "distinct_users_by_type_hll_check":
         SQL_DISTINCT_USERS_BY_TYPE_HLL_CHECK,
     "decontaminate_bloom": SQL_DECONTAMINATE,
