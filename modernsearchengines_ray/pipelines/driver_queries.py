@@ -3863,6 +3863,47 @@ FROM qs JOIN s ON s.rn = CAST(floor((s.n - 1) * qs.q) AS BIGINT) + 1
 """
 
 
+def q_validate_documents(sf_dir: str):
+    """Data-validation gate over the corpus (stages/validate.py —
+    Great-Expectations semantics as ONE streaming aggregate plus one
+    groupby per uniqueness rule).  Rules chosen so the fixture
+    produces a MIX of zero and non-zero violation counts (an
+    all-zeros gate can't catch a broken counter): doc_id unique /
+    text not-null are structurally clean, the 300-char cap and the
+    en/de whitelist are violated by real rows."""
+    from ..stages import validate as v
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "n_chars"])
+    return v.validate(ds, [
+        v.unique("doc_id"),
+        v.not_null("text"),
+        v.in_range("n_chars", 0, 300),
+        v.accepted_values("lang", ("en", "de")),
+    ])
+
+
+SQL_VALIDATE_DOCUMENTS = """
+SELECT 'doc_id_unique' AS rule,
+       (count(*) - count(DISTINCT doc_id))::BIGINT AS violations,
+       count(*)::BIGINT AS checked FROM documents
+UNION ALL
+SELECT 'text_not_null',
+       (count(*) FILTER (WHERE text IS NULL))::BIGINT,
+       count(*)::BIGINT FROM documents
+UNION ALL
+SELECT 'n_chars_range',
+       (count(*) FILTER (WHERE n_chars IS NOT NULL
+                           AND (n_chars < 0 OR n_chars > 300)))::BIGINT,
+       count(*)::BIGINT FROM documents
+UNION ALL
+SELECT 'lang_accepted',
+       (count(*) FILTER (WHERE lang IS NOT NULL
+                           AND lang NOT IN ('en', 'de')))::BIGINT,
+       count(*)::BIGINT FROM documents
+"""
+
+
 _KEYWORDS_TOP_N = 3
 
 
@@ -4664,6 +4705,7 @@ QUERY_FUNCS = {
     "price_ntile": q_price_ntile,
     "quantile_sketch_check": q_quantile_sketch_check,
     "doc_keywords": q_doc_keywords,
+    "validate_documents": q_validate_documents,
     "doc_keywords_partitioned":
         lambda sf_dir: q_doc_keywords(sf_dir, reduce="partitioned"),
     "distinct_users_by_type_hll_check":
@@ -4762,6 +4804,7 @@ ORACLE_SQL = {
     "price_ntile": SQL_PRICE_NTILE,
     "quantile_sketch_check": SQL_QUANTILE_SKETCH_CHECK,
     "doc_keywords": SQL_DOC_KEYWORDS,
+    "validate_documents": SQL_VALIDATE_DOCUMENTS,
     "doc_keywords_partitioned": SQL_DOC_KEYWORDS,
     "distinct_users_by_type_hll_check":
         SQL_DISTINCT_USERS_BY_TYPE_HLL_CHECK,
