@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     # round-4 additions (keys above stay stable for cross-round compare)
     "dedup_incremental", "cap_per_domain", "connected_components",
     "range_join_bucketed", "image_features_real",
+    "running_totals", "doc_keywords", "quantile_sketch_check",
+    "customers_without_orders", "validate_documents",
 ]
 
 SEARCH_QUERIES = [
