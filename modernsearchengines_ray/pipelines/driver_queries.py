@@ -3863,6 +3863,65 @@ FROM qs JOIN s ON s.rn = CAST(floor((s.n - 1) * qs.q) AS BIGINT) + 1
 """
 
 
+_VOCAB_MIN_COUNT = 2
+
+
+def q_vocab_build(sf_dir: str):
+    """Tokenizer-vocabulary construction (the LLM-pipeline staple:
+    term -> dense id by global frequency rank).  Corpus term counts
+    via map-side Counter partials + one ``groupby(term)`` sum, a
+    min-count cutoff, then GLOBAL dense numbering by
+    ``(count DESC, term ASC)`` through
+    stages/rank.py::global_row_number — the distributed zipWithIndex:
+    one range sort (the exchange SQL's global-ORDER-BY window also
+    needs), per-block (first key, row count) summaries (#blocks rows
+    of driver state, independent of vocab size), offsets broadcast
+    once, local arange per block."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.rank import global_row_number
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            counter.update(simple_tokens(text))
+        return pa.table({
+            "term": pa.array(list(counter.keys()), pa.string()),
+            "n": pa.array(list(counter.values()), pa.int64()),
+        })
+
+    counts = ds.map_batches(term_counts, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n", alias_name="n"))
+    kept = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b["n"].cast(pa.int64()), _VOCAB_MIN_COUNT)).set_column(
+                b.schema.get_field_index("n"), "n",
+                b["n"].cast(pa.int64())),
+        batch_format="pyarrow")
+    return global_row_number(kept, ["n", "term"], out_col="vocab_id",
+                             descending=[True, False])
+
+
+SQL_VOCAB_BUILD = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x <> '')) AS term
+  FROM documents
+), c AS (
+  SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY 1
+  HAVING count(*) >= {_VOCAB_MIN_COUNT}
+)
+SELECT term, n,
+       (row_number() OVER (ORDER BY n DESC, term ASC))::BIGINT
+         AS vocab_id
+FROM c
+"""
+
+
 def q_validate_documents(sf_dir: str):
     """Data-validation gate over the corpus (stages/validate.py —
     Great-Expectations semantics as ONE streaming aggregate plus one
@@ -4706,6 +4765,7 @@ QUERY_FUNCS = {
     "quantile_sketch_check": q_quantile_sketch_check,
     "doc_keywords": q_doc_keywords,
     "validate_documents": q_validate_documents,
+    "vocab_build": q_vocab_build,
     "doc_keywords_partitioned":
         lambda sf_dir: q_doc_keywords(sf_dir, reduce="partitioned"),
     "distinct_users_by_type_hll_check":
@@ -4805,6 +4865,7 @@ ORACLE_SQL = {
     "quantile_sketch_check": SQL_QUANTILE_SKETCH_CHECK,
     "doc_keywords": SQL_DOC_KEYWORDS,
     "validate_documents": SQL_VALIDATE_DOCUMENTS,
+    "vocab_build": SQL_VOCAB_BUILD,
     "doc_keywords_partitioned": SQL_DOC_KEYWORDS,
     "distinct_users_by_type_hll_check":
         SQL_DISTINCT_USERS_BY_TYPE_HLL_CHECK,
