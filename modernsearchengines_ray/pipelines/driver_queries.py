@@ -2921,6 +2921,123 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_block(batch: pa.Table) -> pa.Table:
+    """Per-block funnel kernel: all events of a user are co-located
+    (hash partition by user_id — the same shuffle SQL's PARTITION BY
+    needs), so each user resolves wholly in one pass.  Vectorized
+    across users: one filtered groupby-min per step, each
+    inner-joined on the previous step's time with a strict ``>``
+    (a step only counts after the prior step completed)."""
+    if batch.num_rows == 0:
+        return pa.schema(
+            [("user_id", pa.int64())]
+            + [(f"t{i + 1}_us", pa.int64())
+               for i in range(len(_FUNNEL_STEPS))]
+            + [("stage", pa.int64())]).empty_table()
+    df = batch.to_pandas()
+    res = pd.DataFrame(
+        {"user_id": np.sort(df["user_id"].unique())}
+    ).set_index("user_id")
+    prev = None
+    for i, _ in enumerate(_FUNNEL_STEPS):
+        cand = df[df["step"] == i]
+        if prev is not None:
+            cand = cand.join(prev.rename("prev"), on="user_id",
+                             how="inner")
+            cand = cand[cand["ts_us"] > cand["prev"]]
+        cur = cand.groupby("user_id")["ts_us"].min()
+        res[f"t{i + 1}_us"] = cur
+        prev = cur
+    # each step's join requires the prior one, so reached stages are
+    # a prefix: stage = #non-null step times
+    res["stage"] = res.notna().sum(axis=1).astype(np.int64)
+    res = res.fillna(-1).reset_index()
+    for c in res.columns:
+        res[c] = res[c].astype(np.int64)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def q_event_funnel(sf_dir: str, reduce: str = "partitioned"):
+    """Funnel analysis (view -> click -> purchase): per user, the
+    first time each step completed STRICTLY after the previous step,
+    and the furthest stage reached (0 = user has events but never
+    viewed).  The classic product-analytics sequence operator.
+
+    Plan: map event_type to a step ordinal (narrow ints, not
+    strings, cross the wire), ONE hash exchange by user_id — the
+    same shuffle SQL's PARTITION BY window needs — then the
+    vectorized per-block kernel above; no driver state.
+    ``reduce="driver"`` runs the kernel once on the collected rows
+    (test scale) — tiers are bit-identical."""
+    from ..stages.dedup import default_join_partitions
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+    step_of = {s: i for i, s in enumerate(_FUNNEL_STEPS)}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        types = batch["event_type"].to_pylist()
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "step": pa.array(
+                np.array([step_of.get(t, -1) for t in types],
+                         dtype=np.int8), pa.int8()),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    if reduce == "partitioned":
+        from ray.data.context import ShuffleStrategy
+
+        # flip the CHAIN's captured context (joins.py: descendants
+        # inherit the root dataset's DataContext snapshot)
+        tagged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        shuffled = tagged.repartition(default_join_partitions(),
+                                      keys=["user_id"], sort=False)
+        return shuffled.map_batches(_funnel_block, batch_size=None,
+                                    batch_format="pyarrow")
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
+    tab = tagged.to_pandas()
+    if tab.empty:
+        return _funnel_block(pa.schema([
+            ("user_id", pa.int64()), ("ts_us", pa.int64()),
+            ("step", pa.int8())]).empty_table())
+    return _funnel_block(pa.Table.from_pandas(tab,
+                                              preserve_index=False))
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT u.user_id,
+       COALESCE(epoch_us(s1.t1), -1)::BIGINT AS t1_us,
+       COALESCE(epoch_us(s2.t2), -1)::BIGINT AS t2_us,
+       COALESCE(epoch_us(s3.t3), -1)::BIGINT AS t3_us,
+       (CASE WHEN s3.t3 IS NOT NULL THEN 3
+             WHEN s2.t2 IS NOT NULL THEN 2
+             WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_running_totals(sf_dir: str, reduce: str = "driver"):
     """Distributed window functions over the event log — row_number,
     inclusive running sum, and lag(value) per user ordered by
@@ -4718,6 +4835,9 @@ QUERY_FUNCS = {
     "sessionize_partitioned":
         lambda sf_dir: q_sessionize(sf_dir, reduce="partitioned"),
     "running_totals": q_running_totals,
+    "event_funnel": q_event_funnel,
+    "event_funnel_driver":
+        lambda sf_dir: q_event_funnel(sf_dir, reduce="driver"),
     "running_totals_partitioned":
         lambda sf_dir: q_running_totals(sf_dir, reduce="partitioned"),
     "domain_hist": q_domain_hist,
@@ -4821,6 +4941,8 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "sessionize_partitioned": SQL_SESSIONIZE,
     "running_totals": SQL_RUNNING_TOTALS,
+    "event_funnel": SQL_EVENT_FUNNEL,
+    "event_funnel_driver": SQL_EVENT_FUNNEL,
     "running_totals_partitioned": SQL_RUNNING_TOTALS,
     "domain_hist": SQL_DOMAIN_HIST,
     "json_extract": SQL_JSON_EXTRACT,
