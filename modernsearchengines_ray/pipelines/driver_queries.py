@@ -1693,7 +1693,7 @@ def q_customers_without_orders(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
-    from ..stages.dedup import default_join_partitions
+    from ..stages.dedup import default_join_partitions, ensure_schema
 
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_name", "c_acctbal"])
@@ -1708,6 +1708,12 @@ def q_customers_without_orders(sf_dir: str):
             batch_format="pyarrow")
         distinct = urgent.groupby("o_custkey", num_partitions=nparts) \
             .aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+        # sentinel guard against no-right-rows join partitions (see
+        # dedup.ensure_schema); the sentinel key matches no customer,
+        # so left_anti output is unchanged
+        distinct = ensure_schema(
+            distinct, pa.schema([("o_custkey", pa.int64())]),
+            num_blocks=nparts)
         return cust.join(distinct, "left_anti", num_partitions=nparts,
                          on=("c_custkey",), right_on=("o_custkey",))
 
@@ -1726,7 +1732,7 @@ def q_suppliers_with_shipments(sf_dir: str):
     — distinct right keys, one hash-shuffle ``left_semi``."""
     from ray.data.aggregate import Count
 
-    from ..stages.dedup import default_join_partitions
+    from ..stages.dedup import default_join_partitions, ensure_schema
 
     supp = _read(sf_dir, "supplier",
                  columns=["s_suppkey", "s_name", "s_nationkey"])
@@ -1735,6 +1741,11 @@ def q_suppliers_with_shipments(sf_dir: str):
     with _hash_shuffle_context():
         distinct = items.groupby("l_suppkey", num_partitions=nparts) \
             .aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+        # sentinel guard (see dedup.ensure_schema); the sentinel key
+        # matches no supplier, so left_semi output is unchanged
+        distinct = ensure_schema(
+            distinct, pa.schema([("l_suppkey", pa.int64())]),
+            num_blocks=nparts)
         return supp.join(distinct, "left_semi", num_partitions=nparts,
                          on=("s_suppkey",), right_on=("l_suppkey",))
 
@@ -2050,6 +2061,83 @@ walk(node, comp) AS (
 )
 SELECT node::BIGINT AS node, min(comp)::BIGINT AS component
 FROM walk GROUP BY node
+"""
+
+
+def q_triangle_count(sf_dir: str):
+    """Distributed triangle counting (node-iterator MapReduce, Suri &
+    Vassilvitskii 2011): canonical a<b edges -> wedge self-join on the
+    shared LOWER endpoint (each triangle is generated exactly once,
+    at its minimum vertex) -> one more hash join confirms the closing
+    edge -> count.  Two exchanges total, both keyed joins SQL needs
+    too; nothing materializes beyond the final scalar.  Degree skew
+    note: wedge fan-out is sum(deg choose 2) over lower endpoints —
+    the canonical a<b orientation is itself the classic mitigation
+    (each vertex only wedges its HIGHER neighbors).
+
+    Graph: deterministic near-chain edges over the event users
+    (u -> u+1 and u -> u+2 within a decade, the connected_components
+    convention), which contains real triangles (u, u+1, u+2)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import ensure_schema, join_partitions_for
+
+    users = _read(sf_dir, "events", columns=["user_id"]) \
+        .groupby("user_id").aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+    nparts = join_partitions_for(users.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        u1 = u[u % 10 < 9]
+        u2 = u[u % 10 < 8]
+        return pa.table({
+            "a": pa.array(np.concatenate([u1, u2]), pa.int64()),
+            "b": pa.array(np.concatenate([u1 + 1, u2 + 2]), pa.int64()),
+        })
+
+    with _hash_shuffle_context():
+        edges = users.map_batches(
+            mk_edges, batch_format="pyarrow").materialize()
+        edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        # sentinel guard on each join's RIGHT side only (see
+        # dedup.ensure_schema) — the left sides carry no sentinel, so
+        # the inner joins drop it
+        edges_r = ensure_schema(edges, edge_schema, num_blocks=nparts)
+        wedges = edges.join(edges_r, "inner", num_partitions=nparts,
+                            on=("a",), left_suffix="_l",
+                            right_suffix="_r")
+        wedges = wedges.map_batches(
+            lambda t: pa.table({
+                "v": t["b_l"].filter(pc.less(t["b_l"], t["b_r"])),
+                "w": t["b_r"].filter(pc.less(t["b_l"], t["b_r"])),
+            }), batch_format="pyarrow")
+        closing = edges.map_batches(
+            lambda t: t.rename_columns(["v", "w"]),
+            batch_format="pyarrow")
+        closing = ensure_schema(
+            closing, pa.schema([("v", pa.int64()), ("w", pa.int64())]),
+            num_blocks=nparts)
+        tri = wedges.join(closing, "inner", num_partitions=nparts,
+                          on=("v", "w"))
+        n = tri.count()
+    return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
+
+
+SQL_TRIANGLE_COUNT = """
+WITH users AS (SELECT DISTINCT user_id AS u FROM events),
+edges AS (
+  SELECT u AS a, u + 1 AS b FROM users WHERE u % 10 < 9
+  UNION ALL
+  SELECT u AS a, u + 2 AS b FROM users WHERE u % 10 < 8
+),
+wedges AS (
+  SELECT e1.b AS v, e2.b AS w
+  FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+)
+SELECT count(*)::BIGINT AS n_triangles
+FROM wedges JOIN edges e ON e.a = wedges.v AND e.b = wedges.w
 """
 
 
@@ -4133,12 +4221,20 @@ def q_doc_keywords(sf_dir: str, reduce: str = "driver"):
         out = df.groupby("doc_id", sort=False).head(_KEYWORDS_TOP_N)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    from ..stages.dedup import ensure_schema
+
     with _hash_shuffle_context():
         tf_ds = ds.map_batches(tf_rows,
                                batch_format="pyarrow").materialize()
         df_ds = tf_ds.select_columns(["term"]) \
             .groupby("term", num_partitions=nparts) \
             .aggregate(Count(alias_name="df"))
+        # sentinel guard: a join partition with no right rows builds a
+        # no-column table and Acero fails (see dedup.ensure_schema);
+        # the inner join drops the sentinel term automatically
+        df_ds = ensure_schema(
+            df_ds, pa.schema([("term", pa.string()),
+                              ("df", pa.int64())]), num_blocks=nparts)
         joined = tf_ds.join(df_ds, "inner", num_partitions=nparts,
                             on=("term",))
         pref = joined.map_batches(topn_block, batch_format="pyarrow")
@@ -4878,6 +4974,7 @@ QUERY_FUNCS = {
     "corr_stats": q_corr_stats,
     "price_quantiles_by_flag": q_price_quantiles_by_flag,
     "pagerank": q_pagerank,
+    "triangle_count": q_triangle_count,
     "connected_components": q_connected_components,
     "pagerank_partitioned":
         lambda sf_dir: q_pagerank(sf_dir, reduce="partitioned"),
@@ -4983,6 +5080,7 @@ ORACLE_SQL = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "pagerank": SQL_PAGERANK,
     "pagerank_partitioned": SQL_PAGERANK,
+    "triangle_count": SQL_TRIANGLE_COUNT,
     "price_ntile": SQL_PRICE_NTILE,
     "quantile_sketch_check": SQL_QUANTILE_SKETCH_CHECK,
     "doc_keywords": SQL_DOC_KEYWORDS,
