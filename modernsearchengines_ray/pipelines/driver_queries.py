@@ -3160,6 +3160,45 @@ def q_running_totals(sf_dir: str, reduce: str = "driver"):
         [rename.get(c, c) for c in out.schema.names])
 
 
+def q_moving_window(sf_dir: str, reduce: str = "driver"):
+    """Moving 3-row window sum per user ordered by (ts, event_id) —
+    SQL's ``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW`` — via
+    stages/windows.py::moving_window_sum: the same one-sort +
+    block-partials + stitch plan as running_totals, with summaries
+    carrying each block-segment's last w-1 scaled values (the only
+    history a w-row window can ever reach back for).  Integer units
+    (floor(value*1000)) keep every tier hash-identical to DuckDB's
+    sequential accumulate."""
+    from ..stages.windows import moving_window_sum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    out = moving_window_sum(ds, key_col="user_id", ts_col="ts",
+                            id_col="event_id", value_col="value",
+                            w=3, scale=1000.0, reduce=reduce)
+    rename = {"id": "event_id", "key": "user_id"}
+    if reduce == "partitioned":
+        return out.map_batches(
+            lambda b: b.rename_columns(
+                [rename.get(c, c) for c in b.schema.names]),
+            batch_format="pyarrow")
+    return out.rename_columns(
+        [rename.get(c, c) for c in out.schema.names])
+
+
+SQL_MOVING_WINDOW = """
+SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us,
+       (row_number() OVER w)::BIGINT AS rn,
+       (sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT
+         AS win_sum_scaled,
+       least(row_number() OVER w, 3)::BIGINT AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 SQL_RUNNING_TOTALS = """
 SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us,
        (row_number() OVER w)::BIGINT AS rn,
@@ -4932,6 +4971,9 @@ QUERY_FUNCS = {
         lambda sf_dir: q_sessionize(sf_dir, reduce="partitioned"),
     "running_totals": q_running_totals,
     "event_funnel": q_event_funnel,
+    "moving_window": q_moving_window,
+    "moving_window_partitioned":
+        lambda sf_dir: q_moving_window(sf_dir, reduce="partitioned"),
     "event_funnel_driver":
         lambda sf_dir: q_event_funnel(sf_dir, reduce="driver"),
     "running_totals_partitioned":
@@ -5039,6 +5081,8 @@ ORACLE_SQL = {
     "sessionize_partitioned": SQL_SESSIONIZE,
     "running_totals": SQL_RUNNING_TOTALS,
     "event_funnel": SQL_EVENT_FUNNEL,
+    "moving_window": SQL_MOVING_WINDOW,
+    "moving_window_partitioned": SQL_MOVING_WINDOW,
     "event_funnel_driver": SQL_EVENT_FUNNEL,
     "running_totals_partitioned": SQL_RUNNING_TOTALS,
     "domain_hist": SQL_DOMAIN_HIST,

@@ -265,3 +265,242 @@ def window_functions(ds, key_col: str, ts_col: str, id_col: str,
         parts["prev_value"].to_numpy(), parts["has_prev"].to_numpy(),
         parts["seg_count"].to_numpy(), parts["seg_sum"].to_numpy(),
         parts["last_value"].to_numpy())
+
+
+# ---------------------------------------------------------------------------
+# Moving-window aggregate: ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW
+# ---------------------------------------------------------------------------
+
+_MW_OUT_SCHEMA = pa.schema([
+    ("id", pa.int64()),
+    ("key", pa.int64()),
+    ("ts_us", pa.int64()),
+    ("rn", pa.int64()),
+    ("win_sum_scaled", pa.int64()),
+    ("win_n", pa.int64()),
+])
+
+
+def _mw_partial_schema(w: int) -> pa.Schema:
+    return pa.schema(
+        [("key", pa.int64()), ("ts_us", pa.int64()), ("id", pa.int64()),
+         ("side", pa.int8()), ("local_rn", pa.int64()),
+         ("local_win", pa.int64()), ("seg_count", pa.int64()),
+         ("tail_n", pa.int64())]
+        + [(f"tail_{k}", pa.int64()) for k in range(w - 1)])
+
+
+def _mw_partials(batch: pa.Table, scale: float, w: int) -> pa.Table:
+    """Per sorted block: segmented in-block window sums + one summary
+    row per (block, key) carrying the segment's last min(w-1, len)
+    scaled values (tail_0 = most recent) — the only history any later
+    block can need, since a window spans at most w rows."""
+    n = batch.num_rows
+    if n == 0:
+        return _mw_partial_schema(w).empty_table()
+    keys = batch["key"].to_numpy(zero_copy_only=False)
+    ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+    ids = batch["id"].to_numpy(zero_copy_only=False)
+    v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                 * scale).astype(np.int64)
+
+    idx = np.arange(n)
+    new = _segment_starts(keys)
+    seg_start = np.maximum.accumulate(np.where(new, idx, -1))
+    pos = idx - seg_start           # 0-based position in segment
+    cs = np.cumsum(v)
+    seg_cs0 = cs[seg_start] - v[seg_start]   # cumsum just before seg
+    # in-block window: last min(pos+1, w) values of the segment —
+    # full windows subtract cs one-left of the window, open windows
+    # (pos < w) cover the whole segment so far
+    back = idx - w                   # index of cs one-left of window
+    base = np.where(pos >= w, cs[np.maximum(back, 0)], seg_cs0)
+    local_win = cs - base
+
+    is_last = np.empty(n, dtype=bool)
+    is_last[-1] = True
+    is_last[:-1] = keys[1:] != keys[:-1]
+    s = idx[is_last]
+    seg_len = pos[s] + 1
+    tail_n = np.minimum(seg_len, w - 1)
+
+    zeros_i = np.zeros(n, dtype=np.int64)
+    row_cols = {
+        "key": keys, "ts_us": ts, "id": ids,
+        "side": np.zeros(n, dtype=np.int8),
+        "local_rn": pos + 1, "local_win": local_win,
+        "seg_count": zeros_i, "tail_n": zeros_i,
+    }
+    for k in range(w - 1):
+        row_cols[f"tail_{k}"] = zeros_i
+    sum_cols = {
+        "key": keys[s], "ts_us": ts[s], "id": ids[s],
+        "side": np.ones(len(s), dtype=np.int8),
+        "local_rn": np.zeros(len(s), dtype=np.int64),
+        "local_win": np.zeros(len(s), dtype=np.int64),
+        "seg_count": seg_len.astype(np.int64),
+        "tail_n": tail_n.astype(np.int64),
+    }
+    for k in range(w - 1):
+        # value at distance k from the segment end, 0 where absent
+        src = s - k
+        valid = k < seg_len
+        sum_cols[f"tail_{k}"] = np.where(valid, v[np.maximum(src, 0)], 0)
+
+    schema = _mw_partial_schema(w)
+    rows = pa.table({f.name: pa.array(row_cols[f.name], f.type)
+                     for f in schema})
+    sums = pa.table({f.name: pa.array(sum_cols[f.name], f.type)
+                     for f in schema})
+    return pa.concat_tables([rows, sums])
+
+
+def _mw_stitch(cols: dict, w: int) -> pa.Table:
+    """Stitch sorted partials: fold per-key prefix tails across
+    summaries, then open rows (local_rn < w) borrow the missing
+    window values from their preceding summary's prefix tail.
+
+    The prefix tail at a summary needs at most the last w-1 values of
+    the key's prefix; a summary whose own segment has >= w-1 rows is
+    self-contained (the vectorized common path).  Shorter segments
+    chain into earlier summaries — each contributes >= 1 value, so
+    the chain is at most w-1 long; those rare rows fold in a python
+    loop (O(#short-segment summaries), not O(rows))."""
+    keys = cols["key"]
+    n = len(keys)
+    if n == 0:
+        return _MW_OUT_SCHEMA.empty_table()
+    idx = np.arange(n)
+    side = cols["side"]
+    sum_mask = side == 1
+    s_pos = idx[sum_mask]
+
+    # per-key prefix over summary seg_counts (for global rn)
+    cum_count = np.zeros(n, dtype=np.int64)
+    if len(s_pos):
+        s_keys = keys[s_pos]
+        s_new = _segment_starts(s_keys)
+        s_start = np.maximum.accumulate(
+            np.where(s_new, np.arange(len(s_pos)), -1))
+        cc = np.cumsum(cols["seg_count"][s_pos])
+        cum_count[s_pos] = cc - cc[s_start] \
+            + cols["seg_count"][s_pos][s_start]
+
+        # prefix tails at summaries: (n_summaries, w-1), col k = value
+        # at distance k from the prefix end
+        own = np.stack([cols[f"tail_{k}"][s_pos]
+                        for k in range(w - 1)], axis=1)
+        own_n = cols["tail_n"][s_pos]
+        pref = own.copy()
+        pref_n = own_n.copy()
+        # chain the short segments (rare path); s_new marks key starts
+        for j in np.nonzero(own_n < w - 1)[0]:
+            if s_new[j]:
+                continue  # first summary of its key: prefix = own
+            take = int(own_n[j])
+            room = w - 1 - take
+            # shift own values up, fill the rest from the previous
+            # summary's (already folded) prefix tail
+            pref[j, take:take + room] = pref[j - 1, :room]
+            pref_n[j] = min(take + int(pref_n[j - 1]), w - 1)
+        # suffix sums over slots: borrow_sum(k) = sum of tail_0..k-1
+        pref_sfx = np.concatenate(
+            [np.zeros((len(s_pos), 1), dtype=np.int64),
+             np.cumsum(pref, axis=1)], axis=1)
+    else:
+        pref_sfx = np.zeros((0, w), dtype=np.int64)
+        pref_n = np.zeros(0, dtype=np.int64)
+
+    # map each partial row to its preceding summary
+    s_idx = np.where(sum_mask, idx, -1)
+    last = np.maximum.accumulate(s_idx)
+    safe = np.maximum(last, 0)
+    valid = (last >= 0) & (keys[safe] == keys)
+
+    # summary ordinal (position within s_pos) for gather
+    ord_of = np.zeros(n, dtype=np.int64)
+    ord_of[s_pos] = np.arange(len(s_pos))
+    prev_ord = ord_of[safe]
+
+    off_count = np.where(valid, cum_count[safe], 0)
+    rn = off_count + cols["local_rn"]
+    win_n = np.minimum(rn, w)
+    need = np.maximum(win_n - cols["local_rn"], 0)
+    need = np.where(valid, need, 0)
+    borrow = np.zeros(n, dtype=np.int64)
+    if len(s_pos):
+        borrow = pref_sfx[prev_ord, np.minimum(need, w - 1)]
+        borrow = np.where(need > 0, borrow, 0)
+    win_sum = cols["local_win"] + borrow
+
+    r = idx[~sum_mask]
+    return pa.table({
+        "id": pa.array(cols["id"][r], pa.int64()),
+        "key": pa.array(keys[r], pa.int64()),
+        "ts_us": pa.array(cols["ts_us"][r], pa.int64()),
+        "rn": pa.array(rn[r], pa.int64()),
+        "win_sum_scaled": pa.array(win_sum[r], pa.int64()),
+        "win_n": pa.array(win_n[r], pa.int64()),
+    })
+
+
+def _mw_sorted_cols(batch_or_df, names) -> dict:
+    if isinstance(batch_or_df, pa.Table):
+        cols = {c: batch_or_df[c].to_numpy(zero_copy_only=False)
+                for c in names}
+    else:
+        cols = {c: batch_or_df[c].to_numpy() for c in names}
+    order = np.lexsort((cols["side"], cols["id"], cols["ts_us"],
+                        cols["key"]))
+    return {c: a[order] for c, a in cols.items()}
+
+
+def moving_window_sum(ds, key_col: str, ts_col: str, id_col: str,
+                      value_col: str, w: int = 3,
+                      scale: float = 1000.0, reduce: str = "driver",
+                      num_partitions: int | None = None):
+    """Moving-window sum per key ordered by (ts, id) — SQL's
+    ``sum(...) OVER (PARTITION BY key ORDER BY ts, id ROWS BETWEEN
+    w-1 PRECEDING AND CURRENT ROW)`` — over ``floor(value*scale)``
+    int64 (exact-associative, hash-identical to a sequential SQL
+    accumulate; see :func:`window_functions`).  Returns
+    ``(id, key, ts_us, rn, win_sum_scaled, win_n)`` where win_n =
+    min(rn, w) is the number of rows the window actually covered.
+    Same uniqueness contract and tier semantics as
+    :func:`window_functions`."""
+    if w < 2:
+        raise ValueError("w must be >= 2 (w=1 is the identity)")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch[key_col].cast(pa.int64()),
+            "ts_us": batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "id": batch[id_col].cast(pa.int64()),
+            "value": batch[value_col].cast(pa.float64()),
+        })
+
+    parts_ds = ds.map_batches(tag, batch_format="pyarrow") \
+        .sort(["key", "ts_us", "id"]) \
+        .map_batches(lambda b: _mw_partials(b, scale, w),
+                     batch_size=None, batch_format="pyarrow")
+    names = [f.name for f in _mw_partial_schema(w)]
+
+    if reduce == "partitioned":
+        from ray.data.context import ShuffleStrategy
+
+        from .dedup import default_join_partitions
+
+        parts_ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        shuffled = parts_ds.repartition(
+            num_partitions or default_join_partitions(),
+            keys=["key"], sort=False)
+        return shuffled.map_batches(
+            lambda b: _mw_stitch(_mw_sorted_cols(b, names), w),
+            batch_size=None, batch_format="pyarrow")
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
+
+    parts = parts_ds.to_pandas()
+    if parts.empty or "key" not in parts.columns:
+        return _MW_OUT_SCHEMA.empty_table()
+    return _mw_stitch(_mw_sorted_cols(parts, names), w)

@@ -114,3 +114,79 @@ class TestWindowFunctions:
         with pytest.raises(ValueError):
             window_functions(ds, "user_id", "ts", "event_id", "value",
                              reduce="nope")
+
+
+class TestMovingWindowSum:
+    """Moving w-row window (the SQL parity gate runs in
+    test_driver_queries): pandas-rolling parity across many tiny
+    blocks (forcing the short-segment chain path), hot keys, larger
+    w, and tier parity."""
+
+    @staticmethod
+    def _oracle(tab: pa.Table, w: int, scale: float = 1000.0):
+        df = tab.to_pandas()
+        df["ts_us"] = df["ts"].astype("int64")
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort", ignore_index=True)
+        v = np.floor(df["value"] * scale).astype("int64")
+        g = df.groupby("user_id", sort=False)
+        df["rn"] = g.cumcount() + 1
+        df["win_sum_scaled"] = (
+            v.groupby(df["user_id"], sort=False)
+            .rolling(w, min_periods=1).sum()
+            .reset_index(level=0, drop=True).astype("int64"))
+        df["win_n"] = np.minimum(df["rn"], w)
+        out = df[["event_id", "user_id", "ts_us", "rn",
+                  "win_sum_scaled", "win_n"]].rename(
+                      columns={"event_id": "id", "user_id": "key"})
+        return out.sort_values("id", ignore_index=True)
+
+    @staticmethod
+    def _run(tab: pa.Table, w: int, reduce: str, blocks: int = 12):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.windows import (
+            moving_window_sum)
+
+        ds = rd.from_arrow(tab).repartition(blocks)
+        out = moving_window_sum(ds, "user_id", "ts", "event_id",
+                                "value", w=w, reduce=reduce)
+        df = out.to_pandas()
+        return df.sort_values("id", ignore_index=True)
+
+    def test_matches_pandas_rolling(self, ray_session):
+        tab = _make_events(3000, 40)
+        got = self._run(tab, 3, "driver")
+        want = self._oracle(tab, 3)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_tiny_blocks_force_chain_path(self, ray_session):
+        # 60 rows over 30 blocks: segments of 1-2 rows, so prefix
+        # tails must chain across MULTIPLE summaries
+        tab = _make_events(60, 3, seed=13)
+        got = self._run(tab, 4, "driver", blocks=30)
+        want = self._oracle(tab, 4)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_hot_key_and_larger_w(self, ray_session):
+        tab = _make_events(1500, 1, seed=9)
+        got = self._run(tab, 6, "driver")
+        want = self._oracle(tab, 6)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_tier_parity_bit_identical(self, ray_session):
+        tab = _make_events(2000, 11)
+        a = self._run(tab, 3, "driver")
+        b = self._run(tab, 3, "partitioned")
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_w_validation(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.windows import (
+            moving_window_sum)
+
+        with pytest.raises(ValueError):
+            moving_window_sum(rd.from_arrow(_make_events(5, 1)),
+                              "user_id", "ts", "event_id", "value",
+                              w=1)
