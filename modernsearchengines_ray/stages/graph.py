@@ -241,6 +241,19 @@ def connected_components(edges, num_partitions: int | None = None,
     round).  Rounds needed = graph diameter in the worst case —
     ``max_iters`` bounds pathological chains; the loop exits early the
     round after convergence.
+
+    Before the global loop a MAP-SIDE LOCAL CONTRACTION pass runs per
+    edge block: a fully-vectorized union-find (numpy hook +
+    pointer-jump to local fixpoint, no Python per-edge loop) replaces
+    the block's edges with one star per local component
+    (``member → local-min-root``, roots keep a self-edge so isolated /
+    self-loop nodes survive).  Replacing a block's edge set with a
+    spanning star preserves connectivity of the union, so the result
+    is identical; the win is that global rounds now scale with how
+    many BLOCKS a component spans, not its diameter — a chain that
+    lives in one block converges in a single global round, and at web
+    scale the contraction shrinks the first exchange's payload from
+    |E| to ≤ |V(block)| rows per block.
     """
     import ray.data as rd
     from ray.data.aggregate import Count, Min
@@ -248,6 +261,31 @@ def connected_components(edges, num_partitions: int | None = None,
     from .dedup import default_join_partitions, ensure_schema
 
     nparts = num_partitions or default_join_partitions()
+
+    def local_contract(batch: pa.Table) -> pa.Table:
+        s = batch["src"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = batch["dst"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nodes = np.unique(np.concatenate([s, d]))
+        ui = np.searchsorted(nodes, s)
+        vi = np.searchsorted(nodes, d)
+        parent = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            before = parent.copy()
+            # hook: each endpoint adopts the smaller current parent
+            np.minimum.at(parent, ui, parent[vi])
+            np.minimum.at(parent, vi, parent[ui])
+            # compress to local fixpoint: parent <- parent[parent]
+            while True:
+                pp = parent[parent]
+                if np.array_equal(pp, parent):
+                    break
+                parent = pp
+            if np.array_equal(parent, before):
+                break
+        return pa.table({
+            "src": pa.array(nodes, pa.int64()),
+            "dst": pa.array(nodes[parent], pa.int64()),
+        })
 
     def sym(batch: pa.Table) -> pa.Table:
         s = batch["src"].cast(pa.int64())
@@ -259,7 +297,8 @@ def connected_components(edges, num_partitions: int | None = None,
                                      s.combine_chunks()]),
         })
 
-    e = edges.map_batches(sym, batch_format="pyarrow") \
+    e = edges.map_batches(local_contract, batch_format="pyarrow") \
+        .map_batches(sym, batch_format="pyarrow") \
         .groupby(["src", "dst"]).aggregate(Count(alias_name="_n")) \
         .drop_columns(["_n"])
     e = ensure_schema(e, pa.schema([("src", pa.int64()),
@@ -279,6 +318,8 @@ def connected_components(edges, num_partitions: int | None = None,
             batch_format="pyarrow"),
         label_schema, num_blocks=nparts).materialize()
 
+    from .dedup import drop_sentinels as _drop
+
     prev_sum = None
     for _ in range(max_iters):
         # hop step: node <- min(label over neighbors)
@@ -291,8 +332,10 @@ def connected_components(edges, num_partitions: int | None = None,
             lambda b: pa.table({"node": b["dst"],
                                 "label": b["src_label"]}),
             batch_format="pyarrow")
-        hopped = labels.union(incoming).groupby("node") \
-            .aggregate(Min("label", alias_name="label"))
+        hopped = ensure_schema(
+            labels.union(incoming).groupby("node")
+            .aggregate(Min("label", alias_name="label")),
+            label_schema, num_blocks=nparts)
         # pointer-jumping step (Shiloach–Vishkin): label <- label(label).
         # Every label IS a node id (init = self, min only moves to other
         # node ids), labels only decrease, so label(label) <= label and
@@ -300,7 +343,6 @@ def connected_components(edges, num_partitions: int | None = None,
         # Distances contract geometrically: rounds = O(log diameter)
         # instead of O(diameter) — at web-graph diameters the difference
         # between ~30 exchanges and ~10^2.
-        hopped = ensure_schema(hopped, label_schema, num_blocks=nparts)
         as_target = hopped.map_batches(
             lambda b: pa.table({"label": b["node"],
                                 "label2": b["label"]}),
@@ -315,8 +357,6 @@ def connected_components(edges, num_partitions: int | None = None,
         # witness over REAL rows only: sentinel rows multiply through
         # the compress join (bounded, deduped next round) and their
         # -2^63 labels would overflow an int64 sum
-        from .dedup import drop_sentinels as _drop
-
         label_sum = _drop(labels, "node").sum("label")
         if label_sum == prev_sum:
             break
