@@ -24,6 +24,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.quality import detect_language, whitespace_token_count
 from ..functions.simple_tokens import simple_tokens
@@ -4899,6 +4900,250 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# paragraph dedup / dataset split / salted join / percentile filter / bigrams
+# ---------------------------------------------------------------------------
+
+_PARA_WORDS = 10
+
+
+def q_paragraph_dedup(sf_dir: str, reduce: str = "driver"):
+    """Corpus-wide exact paragraph dedup (stages/dedup.py
+    dedup_paragraphs — the Dolma/C4 curation primitive).  The corpus
+    has no newlines, so the query paragraphizes deterministically
+    first: one '\\n' after every 10th word (both sides mirror the
+    split exactly); the OP under test is the global
+    first-occurrence election + per-doc reassembly.  Output = one row
+    per doc retaining >= 1 paragraph: (doc_id, text, n_paras,
+    n_kept)."""
+    from ..stages.dedup import dedup_paragraphs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def paragraphize(batch: pa.Table) -> pa.Table:
+        texts = []
+        for t in batch["text"].to_pylist():
+            words = t.split(" ")
+            texts.append("\n".join(
+                " ".join(words[i:i + _PARA_WORDS])
+                for i in range(0, len(words), _PARA_WORDS)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": pa.array(texts, pa.string()),
+        })
+
+    paged = ds.map_batches(paragraphize, batch_format="pyarrow")
+    return dedup_paragraphs(paged, key_col="doc_id", text_col="text",
+                            sep="\n", reduce=reduce)
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), paras AS (
+  SELECT doc_id, i AS pidx,
+         array_to_string(
+           t[(i*{_PARA_WORDS}+1):(i*{_PARA_WORDS}+{_PARA_WORDS})],
+           ' ') AS para
+  FROM toks,
+       UNNEST(range(0, CAST(ceil(len(t)/{_PARA_WORDS}.0) AS BIGINT)))
+       AS u(i)
+), ranked AS (
+  SELECT doc_id, pidx, para,
+         row_number() OVER (PARTITION BY para
+                            ORDER BY doc_id, pidx) AS rn
+  FROM paras
+), totals AS (
+  SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id
+), kept AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) ORDER BY pidx) AS text,
+         count(*) AS n_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT k.doc_id, k.text, t.n_paras, k.n_kept
+FROM kept k JOIN totals t USING (doc_id)
+"""
+
+
+_SPLIT_TRAIN_PERMILLE, _SPLIT_VALID_PERMILLE = 900, 950
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/valid/test assignment — the
+    reproducible-split primitive every training pipeline needs.  The
+    split is a pure Knuth-multiplicative hash of doc_id (900/50/50
+    permille), so it is identical across runs, cluster sizes and
+    block orders, needs no RNG state and no shuffle: one streaming
+    map."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(_SAMPLE_HASH_MULT)) & np.uint64(0xFFFFFFFF)
+        bucket = (h % np.uint64(1000)).astype(np.int64)
+        split = np.where(
+            bucket < _SPLIT_TRAIN_PERMILLE, "train",
+            np.where(bucket < _SPLIT_VALID_PERMILLE, "valid", "test"))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "split": pa.array(split, pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_DATASET_SPLIT = f"""
+SELECT doc_id,
+  CASE
+    WHEN ((doc_id::HUGEINT * {_SAMPLE_HASH_MULT}) % 4294967296) % 1000
+         < {_SPLIT_TRAIN_PERMILLE} THEN 'train'
+    WHEN ((doc_id::HUGEINT * {_SAMPLE_HASH_MULT}) % 4294967296) % 1000
+         < {_SPLIT_VALID_PERMILLE} THEN 'valid'
+    ELSE 'test'
+  END AS split
+FROM documents
+"""
+
+
+def q_salted_revenue_join(sf_dir: str):
+    """Skew-aware salted join (stages/joins.py salted_join): lineitem
+    (large, potentially key-skewed) x orders on orderkey with the left
+    side salted by l_linenumber into 8 sub-partitions and the right
+    side replicated 8x, then revenue per order priority.  The salt is
+    a pure row hash, so the join result — and the aggregate — is
+    byte-identical to the unsalted plan; the oracle is the PLAIN SQL
+    join, which is exactly the point: salting changes the
+    partitioning, never the answer."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import salted_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber",
+                        "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+            "rev": rev,
+        })
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["l_orderkey", "o_orderpriority"]), batch_format="pyarrow")
+
+    joined = salted_join(li, orders, on="l_orderkey",
+                         salt_col="l_linenumber", num_salts=8)
+    agg = joined.groupby("o_orderpriority") \
+        .aggregate(Sum("rev", alias_name="revenue"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "revenue": pc.round(b["revenue"], 4),
+        }), batch_format="pyarrow")
+
+
+SQL_SALTED_REVENUE_JOIN = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+_LENGTH_PERCENTILE = 0.9
+
+
+def q_length_percentile_filter(sf_dir: str):
+    """Percentile-threshold filtering (keep the longest 10% of the
+    corpus): the threshold is the EXACT order statistic
+    ``floor((n-1)*0.9)+1`` from stages/quantiles.py (histogram
+    refinement, no full sort), then one streaming filter keeps rows
+    >= threshold — ties included on both sides, so the result is
+    deterministic.  The two stages compose without materializing the
+    corpus: the quantile pass reads one int column, the filter
+    re-streams the pruned read."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    thr = float(exact_quantiles(ds, "n_chars",
+                                (_LENGTH_PERCENTILE,))["value"][0].as_py())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["n_chars"], pa.scalar(thr).cast(
+                batch["n_chars"].type)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_LENGTH_PERCENTILE_FILTER = f"""
+WITH ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars) AS rn,
+         count(*) OVER () AS n
+  FROM documents
+), thr AS (
+  SELECT n_chars AS t FROM ranked
+  WHERE rn = CAST(floor((n - 1) * {_LENGTH_PERCENTILE}) AS BIGINT) + 1
+)
+SELECT doc_id, n_chars FROM documents, thr WHERE n_chars >= thr.t
+"""
+
+
+_BIGRAM_TOP_N = 50
+
+
+def q_bigram_counts(sf_dir: str):
+    """Corpus bigram frequencies, top-50 — the n-gram LM / collocation
+    primitive.  Tokens = ``text.split(' ')`` (exact SQL parity with
+    ``string_split``); per-batch Counter partials collapse each
+    block's bigrams before the ONE groupby (exchange rows = distinct
+    bigrams per block, not token count); final order (count DESC, a,
+    b) is total, so top-50 is deterministic."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            toks = t.split(" ")
+            counts.update(zip(toks, toks[1:]))
+        ab = list(counts.keys())
+        return pa.table({
+            "a": pa.array([p[0] for p in ab], pa.string()),
+            "b": pa.array([p[1] for p in ab], pa.string()),
+            "c": pa.array([counts[p] for p in ab], pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Sum("c", alias_name="c"))
+    return agg.sort(["c", "a", "b"],
+                    descending=[True, False, False]).limit(_BIGRAM_TOP_N)
+
+
+SQL_BIGRAM_COUNTS = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), bi AS (
+  SELECT t[i] AS a, t[i+1] AS b
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+)
+SELECT a, b, count(*) AS c
+FROM bi GROUP BY a, b
+ORDER BY c DESC, a, b
+LIMIT {_BIGRAM_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5030,6 +5275,13 @@ QUERY_FUNCS = {
     "distinct_users_by_type_hll_check":
         q_distinct_users_by_type_hll_check,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "paragraph_dedup": q_paragraph_dedup,
+    "paragraph_dedup_partitioned":
+        lambda sf_dir: q_paragraph_dedup(sf_dir, reduce="partitioned"),
+    "dataset_split": q_dataset_split,
+    "salted_revenue_join": q_salted_revenue_join,
+    "length_percentile_filter": q_length_percentile_filter,
+    "bigram_counts": q_bigram_counts,
 }
 
 ORACLE_SQL = {
@@ -5140,6 +5392,12 @@ ORACLE_SQL = {
     "trec_run": SQL_TREC_RUN,
     "wand_search": SQL_WAND_SEARCH,
     "distinct_users_approx": SQL_DISTINCT_USERS_APPROX,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "paragraph_dedup_partitioned": SQL_PARAGRAPH_DEDUP,
+    "dataset_split": SQL_DATASET_SPLIT,
+    "salted_revenue_join": SQL_SALTED_REVENUE_JOIN,
+    "length_percentile_filter": SQL_LENGTH_PERCENTILE_FILTER,
+    "bigram_counts": SQL_BIGRAM_COUNTS,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its

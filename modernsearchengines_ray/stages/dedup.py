@@ -365,6 +365,96 @@ def dedup_incremental(new_ds, ref_ds, key_col: str = "text_hash",
     return new_ds.map_batches(filter_new, batch_format="pyarrow")
 
 
+# -- paragraph-level exact dedup -------------------------------------------
+
+#: positions per document for the packed (key, pidx) winner rank.
+#: 2^20 paragraphs/doc leaves 2^43 document keys before int64 overflow.
+_PARA_SHIFT = 1 << 20
+
+
+def dedup_paragraphs(ds, key_col: str = "doc_id", text_col: str = "text",
+                     sep: str = "\n", reduce: str = "driver",
+                     num_partitions: int | None = None):
+    """Corpus-wide exact PARAGRAPH dedup — the Dolma/C4 curation
+    primitive: split every document on ``sep``, keep only the FIRST
+    occurrence of each distinct paragraph corpus-wide, and reassemble
+    each document from its surviving paragraphs in original order.
+    "First" = minimum (key, position) lexicographic, so the result is
+    identical on any cluster size / block order.  Documents whose
+    every paragraph already appeared elsewhere drop from the output
+    (a curation pipeline drops now-empty docs).
+
+    Output columns: (key_col, text_col, n_paras, n_kept) with
+    ``text_col`` = surviving paragraphs joined by ``sep``.
+
+    Plan: flat-map explode to one row per paragraph carrying
+    ``md5(para)`` and the packed rank ``key * 2^20 + pidx``; winner
+    election + (hash, rank) pair semi-join via the shared exact-dedup
+    machinery (``reduce`` tiers as the module docstring); then ONE
+    hash exchange co-locates each document's survivors and a
+    vectorized per-block kernel stitches the text back together.
+    Requires ``0 <= key < 2^43`` and < 2^20 paragraphs per document
+    (asserted)."""
+    import ray.data as rd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, pidxs, paras, hashes, ranks, totals = [], [], [], [], [], []
+        for key, text in zip(batch[key_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            parts = text.split(sep) if text else []
+            if not (0 <= key < (1 << 43)):
+                raise ValueError(f"{key_col}={key} outside packed range")
+            if len(parts) >= _PARA_SHIFT:
+                raise ValueError(f"{key_col}={key}: {len(parts)} paragraphs "
+                                 f"exceeds the 2^20 packing bound")
+            for pidx, para in enumerate(parts):
+                keys.append(key)
+                pidxs.append(pidx)
+                paras.append(para)
+                hashes.append(text_fingerprint(para))
+                ranks.append(key * _PARA_SHIFT + pidx)
+                totals.append(len(parts))
+        return pa.table({
+            key_col: pa.array(keys, pa.int64()),
+            "pidx": pa.array(pidxs, pa.int64()),
+            "para": pa.array(paras, pa.string()),
+            "para_hash": pa.array(hashes, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "n_paras": pa.array(totals, pa.int64()),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    survivors = _dedup_exact_by_hash_col(exploded, "para_hash", "rank",
+                                         reduce, num_partitions)
+
+    out_schema = pa.schema([
+        (key_col, pa.int64()), (text_col, pa.string()),
+        ("n_paras", pa.int64()), ("n_kept", pa.int64()),
+    ])
+
+    def reassemble(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        df = batch.select([key_col, "pidx", "para", "n_paras"]) \
+            .to_pandas().sort_values([key_col, "pidx"], kind="mergesort")
+        g = df.groupby(key_col, sort=False)
+        out = pd.DataFrame({
+            key_col: g[key_col].first(),
+            text_col: g["para"].agg(sep.join),
+            "n_paras": g["n_paras"].first(),
+            "n_kept": g["para"].size(),
+        })
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+
+    nparts = num_partitions or default_join_partitions()
+    with hash_shuffle_context():
+        shuffled = survivors.repartition(nparts, keys=[key_col], sort=False)
+        return rd.from_arrow(out_schema.empty_table()).union(
+            shuffled.map_batches(reassemble, batch_size=None,
+                                 batch_format="pyarrow"))
+
+
 # -- MinHash + LSH near-dup ------------------------------------------------
 
 #: per-worker-process MinHasher cache (the permutation family is

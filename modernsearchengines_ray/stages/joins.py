@@ -460,3 +460,53 @@ def interval_join_bucketed(ds, intervals_ds, ts_col: str, id_col: str,
                           num_blocks=num_partitions
                           or default_join_partitions()),
             "window_id")
+
+
+def salted_join(left_ds, right_ds, on: str, salt_col: str,
+                num_salts: int = 8, num_partitions: int | None = None):
+    """Skew-aware inner equi-join: hash joins partition by key, so one
+    hot key (the '' referer, the null user, the template domain) lands
+    its entire row set on ONE aggregator while the rest of the cluster
+    idles.  Salting splits every key's left rows across ``num_salts``
+    sub-partitions deterministically and replicates the RIGHT side
+    once per salt, turning the hottest key into ``num_salts``
+    even-sized join groups.
+
+    - ``left_ds``: the large / skewed side.  Each row gets
+      ``salt = knuth_hash(salt_col) % num_salts`` — a pure function of
+      the row (no RNG state), so results are identical on any cluster
+      size or block order.  ``salt_col`` must be an integer column
+      with per-key spread (a line number, event id, timestamp ...).
+    - ``right_ds``: the dimension side, replicated ``num_salts``x —
+      choose ``num_salts`` so ``|right| * num_salts`` stays well under
+      the object store (the standard salted-join trade).
+
+    Returns the plain inner-join result (salt column dropped) —
+    byte-identical rows to an unsalted join, only the partitioning
+    differs."""
+    from .dedup import default_join_partitions
+
+    if num_salts < 1:
+        raise ValueError("num_salts must be >= 1")
+    nparts = num_partitions or default_join_partitions()
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        vals = batch[salt_col].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        salt = ((vals * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) \
+            % np.uint64(num_salts)
+        return batch.append_column(
+            "__salt", pa.array(salt.astype(np.int64), pa.int64()))
+
+    def replicate_right(batch: pa.Table) -> pa.Table:
+        reps = [batch.append_column(
+            "__salt", pa.array(np.full(batch.num_rows, s, dtype=np.int64),
+                               pa.int64()))
+            for s in range(num_salts)]
+        return pa.concat_tables(reps)
+
+    left = left_ds.map_batches(salt_left, batch_format="pyarrow")
+    right = right_ds.map_batches(replicate_right, batch_format="pyarrow")
+    joined = left.join(right, "inner", num_partitions=nparts,
+                       on=(on, "__salt"))
+    return joined.drop_columns(["__salt"])

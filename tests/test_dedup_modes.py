@@ -730,3 +730,47 @@ class TestDedupIncremental:
         out = dedup_incremental(new, ref, key_col="text_hash",
                                 reduce=reduce, num_partitions=2)
         assert sorted(out.to_pandas()["doc_id"].tolist()) == [1, 2]
+
+
+class TestParagraphDedup:
+    def _corpus(self):
+        import ray.data as rd
+
+        # P1 appears in docs 0, 1 and twice in doc 2; P2 only in doc 1
+        return rd.from_items([
+            {"doc_id": 0, "text": "P1\nA"},
+            {"doc_id": 1, "text": "P2\nP1\nB"},
+            {"doc_id": 2, "text": "P1\nP1"},
+            {"doc_id": 3, "text": "C"},
+        ])
+
+    def test_first_occurrence_semantics(self):
+        from modernsearchengines_ray.stages.dedup import dedup_paragraphs
+
+        out = dedup_paragraphs(self._corpus()).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        by_id = {r.doc_id: r for r in out.itertuples()}
+        assert by_id[0].text == "P1\nA"          # doc 0 keeps everything
+        assert by_id[1].text == "P2\nB"          # P1 already seen in doc 0
+        assert by_id[1].n_paras == 3 and by_id[1].n_kept == 2
+        assert 2 not in by_id                    # fully-duplicate doc drops
+        assert by_id[3].text == "C"
+
+    def test_tier_parity(self):
+        from modernsearchengines_ray.stages.dedup import dedup_paragraphs
+
+        a = dedup_paragraphs(self._corpus(), reduce="driver") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = dedup_paragraphs(self._corpus(), reduce="partitioned") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_intra_doc_duplicates_keep_first_position(self):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.dedup import dedup_paragraphs
+
+        ds = rd.from_items([{"doc_id": 5, "text": "X\nY\nX"}])
+        out = dedup_paragraphs(ds).to_pandas()
+        assert out.iloc[0].text == "X\nY"
+        assert out.iloc[0].n_paras == 3 and out.iloc[0].n_kept == 2

@@ -263,3 +263,52 @@ class TestIntervalJoinBucketed:
         # Dataset level — to_pandas flattens zero-row data to no columns
         assert out.count() == 0
         assert out.schema().names == ["event_id", "window_id"]
+
+
+class TestSaltedJoin:
+    def test_matches_unsalted_join_on_skewed_keys(self):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.joins import salted_join
+
+        # one hot key (0) holding 80% of the left rows
+        n = 500
+        keys = np.where(np.arange(n) % 5 == 0, np.arange(n) % 7, 0)
+        left = pa.table({
+            "k": pa.array(keys.astype(np.int64), pa.int64()),
+            "row_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "x": pa.array(np.arange(n, dtype=np.float64), pa.float64()),
+        })
+        right = pa.table({
+            "k": pa.array(np.arange(7, dtype=np.int64), pa.int64()),
+            "name": pa.array([f"dim{i}" for i in range(7)], pa.string()),
+        })
+        out = salted_join(rd.from_arrow(left), rd.from_arrow(right),
+                          on="k", salt_col="row_id", num_salts=4) \
+            .to_pandas().sort_values("row_id").reset_index(drop=True)
+        want = left.to_pandas().merge(right.to_pandas(), on="k") \
+            .sort_values("row_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)], want[sorted(want.columns)])
+
+    def test_salt_is_deterministic_and_dropped(self):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.joins import salted_join
+
+        left = pa.table({
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "row_id": pa.array([10, 11, 12], pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "v": pa.array([100, 200], pa.int64()),
+        })
+        a = salted_join(rd.from_arrow(left), rd.from_arrow(right),
+                        on="k", salt_col="row_id", num_salts=3).to_pandas()
+        b = salted_join(rd.from_arrow(left), rd.from_arrow(right),
+                        on="k", salt_col="row_id", num_salts=3).to_pandas()
+        assert "__salt" not in a.columns
+        pd.testing.assert_frame_equal(
+            a.sort_values("row_id").reset_index(drop=True),
+            b.sort_values("row_id").reset_index(drop=True))
