@@ -5144,6 +5144,284 @@ LIMIT {_BIGRAM_TOP_N}
 
 
 # ---------------------------------------------------------------------------
+# co-occurrence / histogram / group z-score / cohort retention
+# ---------------------------------------------------------------------------
+
+
+def q_event_type_cooccurrence(sf_dir: str):
+    """Item-item co-occurrence (the recommender / association-mining
+    primitive): unordered pairs of event types sharing a user, with
+    counts.  Plan: ONE distinct exchange collapses events to
+    (user, type) rows (exchange rows = users x types, not events);
+    a hash repartition co-locates each user; the per-block kernel
+    emits each user's type pairs (a < b, so every pair counts once);
+    one groupby sums.  Pairs per user are bounded by the type-domain
+    squared — the classic reason co-occurrence mines the DISTINCT
+    projection, never raw events."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import (default_join_partitions,
+                                hash_shuffle_context)
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    distinct = ds.groupby(["user_id", "event_type"]) \
+        .aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("c", pa.int64())])
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        df = batch.to_pandas().sort_values(["user_id", "event_type"])
+        counts: Counter = Counter()
+        for _, grp in df.groupby("user_id", sort=False):
+            types = grp["event_type"].tolist()
+            for i in range(len(types)):
+                for j in range(i + 1, len(types)):
+                    counts[(types[i], types[j])] += 1
+        ab = list(counts.keys())
+        return pa.table({
+            "a": pa.array([p[0] for p in ab], pa.string()),
+            "b": pa.array([p[1] for p in ab], pa.string()),
+            "c": pa.array([counts[p] for p in ab], pa.int64()),
+        })
+
+    import ray.data as rd
+
+    nparts = default_join_partitions()
+    with hash_shuffle_context():
+        shuffled = distinct.repartition(nparts, keys=["user_id"],
+                                        sort=False)
+        partials = shuffled.map_batches(pairs_block, batch_size=None,
+                                        batch_format="pyarrow")
+        partials = rd.from_arrow(pair_schema.empty_table()).union(partials)
+        return partials.groupby(["a", "b"]) \
+            .aggregate(Sum("c", alias_name="c"))
+
+
+SQL_EVENT_TYPE_COOCCURRENCE = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT x.event_type AS a, y.event_type AS b, count(*) AS c
+FROM d x JOIN d y ON x.user_id = y.user_id
+WHERE x.event_type < y.event_type
+GROUP BY 1, 2
+"""
+
+
+_HIST_BIN_WIDTH = 5000.0
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-width histogram over l_extendedprice (the plotting /
+    data-profiling primitive): bin = floor(price / 5000).  Per-batch
+    np.bincount partials collapse each block to one row per occupied
+    bin BEFORE the exchange, so shuffle rows = blocks x bins, not
+    table rows — the canonical map-side-combine aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        prices = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        bins = np.floor(prices / _HIST_BIN_WIDTH).astype(np.int64)
+        uniq, counts = np.unique(bins, return_counts=True)
+        return pa.table({
+            "bin": pa.array(uniq, pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("n", alias_name="n"))
+
+
+SQL_PRICE_HISTOGRAM = f"""
+SELECT CAST(floor(l_extendedprice / {_HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       count(*) AS n
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def q_zscore_by_source(sf_dir: str):
+    """Group-wise z-score normalization (the feature-engineering
+    primitive: normalize a signal within its domain/source before
+    mixing).  Per-source moments (n, sum, sumsq) reduce via ONE
+    distributed groupby over map-side partials; the small stats table
+    ships back onto the rows with a hash join (zero driver state —
+    works when sources number in the millions); z rounds to 6dp so
+    libm last-ulp differences between engines can't flip the hash.
+    Constant-valued sources (stddev 0) emit z = 0 on both sides."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import default_join_partitions, ensure_schema
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = batch.select(["source", "n_chars"]).to_pandas()
+        g = df.groupby("source")["n_chars"]
+        out = pd.DataFrame({
+            "source": g.size().index,
+            "mn": g.size().values.astype(np.int64),
+            "msum": g.sum().values.astype(np.float64),
+            "msumsq": (df.assign(sq=df.n_chars.astype(np.float64) ** 2)
+                       .groupby("source")["sq"].sum().values),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(moments, batch_format="pyarrow")
+    stats = parts.groupby("source").aggregate(
+        Sum("mn", alias_name="n"), Sum("msum", alias_name="s"),
+        Sum("msumsq", alias_name="ss"))
+    stats = ensure_schema(stats, pa.schema([
+        ("source", pa.string()), ("n", pa.int64()),
+        ("s", pa.float64()), ("ss", pa.float64())]))
+
+    nparts = default_join_partitions()
+    joined = ds.join(stats, "inner", num_partitions=nparts,
+                     on=("source",))
+
+    def zscore(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        ss = batch["ss"].to_numpy(zero_copy_only=False)
+        mean = s / n
+        var = np.maximum(ss / n - mean * mean, 0.0)
+        std = np.sqrt(var)
+        z = np.where(std > 0, (x - mean) / np.where(std > 0, std, 1.0),
+                     0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "z": pa.array(np.round(z, 6), pa.float64()),
+        })
+
+    return joined.map_batches(zscore, batch_format="pyarrow")
+
+
+SQL_ZSCORE_BY_SOURCE = """
+SELECT doc_id, source,
+  CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY source) > 0
+  THEN round((n_chars - avg(n_chars) OVER (PARTITION BY source))
+       / (stddev_pop(n_chars) OVER (PARTITION BY source)), 6)
+  ELSE 0.0 END AS z
+FROM documents
+"""
+
+
+_RETENTION_DAYS = 7
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention (the product-analytics primitive): users
+    grouped by first-active day; retained = active again exactly
+    ``first_day + 7``.  Plan: one distinct exchange to (user, day)
+    rows; first day per user = one min-groupby; a hash join marks
+    each (user, day) row with the user's first day (no driver state);
+    retained counts come from the day == first+7 filter — on the
+    DISTINCT projection, count(*) IS distinct users.  Cohort sizes
+    and retained counts stitch with a union + groupby instead of an
+    outer join, so zero-retention cohorts still emit a row and no
+    null handling leaks into the hash."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..stages.dedup import default_join_partitions, ensure_schema
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000  # us -> epoch days
+        return pa.table({
+            "user_id": batch["user_id"],
+            "day": pa.array(day, pa.int64()),
+        })
+
+    # materialized ONCE for its two consumers (firsts + the join
+    # probe) — recomputing would re-scan events twice; the distinct
+    # projection is users x active-days, far smaller than the input
+    days = ds.map_batches(to_days, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]) \
+        .aggregate(Count(alias_name="_n")).drop_columns(["_n"]) \
+        .materialize()
+    firsts = days.groupby("user_id") \
+        .aggregate(Min("day", alias_name="first_day"))
+    firsts = ensure_schema(firsts, pa.schema([
+        ("user_id", pa.int64()), ("first_day", pa.int64())]))
+
+    nparts = default_join_partitions()
+    marked = days.join(firsts, "inner", num_partitions=nparts,
+                       on=("user_id",))
+
+    def retained_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            batch["day"],
+            pc.add(batch["first_day"], pa.scalar(_RETENTION_DAYS,
+                                                 pa.int64())))
+        kept = batch.filter(keep)
+        return pa.table({
+            "first_day": kept["first_day"],
+            "cohort_size": pa.array(
+                np.zeros(kept.num_rows, dtype=np.int64), pa.int64()),
+            "retained": pa.array(
+                np.ones(kept.num_rows, dtype=np.int64), pa.int64()),
+        })
+
+    retained = marked.map_batches(retained_rows, batch_format="pyarrow")
+    # the ensure_schema sentinel user vanishes in the inner join above
+    # but would survive into the cohort-size branch — drop it here
+    from ..stages.dedup import drop_sentinels
+
+    sizes = drop_sentinels(firsts, "user_id").map_batches(
+        lambda b: pa.table({
+            "first_day": b["first_day"],
+            "cohort_size": pa.array(np.ones(b.num_rows, dtype=np.int64),
+                                    pa.int64()),
+            "retained": pa.array(np.zeros(b.num_rows, dtype=np.int64),
+                                 pa.int64()),
+        }), batch_format="pyarrow")
+
+    out = sizes.union(retained).groupby("first_day").aggregate(
+        Sum("cohort_size", alias_name="cohort_size"),
+        Sum("retained", alias_name="retained"))
+
+    def to_date(batch: pa.Table) -> pa.Table:
+        days_arr = batch["first_day"].to_numpy(zero_copy_only=False)
+        dates = (np.array(days_arr, dtype="datetime64[D]")
+                 .astype("datetime64[us]").astype("datetime64[D]"))
+        return pa.table({
+            "first_day": pa.array([str(d) for d in dates], pa.string()),
+            "cohort_size": batch["cohort_size"],
+            "retained": batch["retained"],
+        })
+
+    return out.map_batches(to_date, batch_format="pyarrow")
+
+
+SQL_COHORT_RETENTION = f"""
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), f AS (
+  SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id
+), r AS (
+  SELECT f.first_day, count(*) AS retained
+  FROM d JOIN f USING (user_id)
+  WHERE d.day = f.first_day + INTERVAL {_RETENTION_DAYS} DAY
+  GROUP BY f.first_day
+)
+SELECT strftime(f.first_day, '%Y-%m-%d') AS first_day,
+       count(*) AS cohort_size,
+       coalesce(any_value(r.retained), 0) AS retained
+FROM f LEFT JOIN r ON f.first_day = r.first_day
+GROUP BY f.first_day
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5282,6 +5560,10 @@ QUERY_FUNCS = {
     "salted_revenue_join": q_salted_revenue_join,
     "length_percentile_filter": q_length_percentile_filter,
     "bigram_counts": q_bigram_counts,
+    "event_type_cooccurrence": q_event_type_cooccurrence,
+    "price_histogram": q_price_histogram,
+    "zscore_by_source": q_zscore_by_source,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -5398,6 +5680,10 @@ ORACLE_SQL = {
     "salted_revenue_join": SQL_SALTED_REVENUE_JOIN,
     "length_percentile_filter": SQL_LENGTH_PERCENTILE_FILTER,
     "bigram_counts": SQL_BIGRAM_COUNTS,
+    "event_type_cooccurrence": SQL_EVENT_TYPE_COOCCURRENCE,
+    "price_histogram": SQL_PRICE_HISTOGRAM,
+    "zscore_by_source": SQL_ZSCORE_BY_SOURCE,
+    "cohort_retention": SQL_COHORT_RETENTION,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
