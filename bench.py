@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "range_join_bucketed", "image_features_real",
     "running_totals", "doc_keywords", "quantile_sketch_check",
     "customers_without_orders", "validate_documents",
+    "paragraph_dedup", "salted_revenue_join", "cohort_retention",
+    "event_type_cooccurrence",
 ]
 
 SEARCH_QUERIES = [

@@ -178,3 +178,25 @@ def sum_scores_for_docs(candidates: np.ndarray,
                       np.searchsorted(candidates, ids[mask]),
                       scores[mask])
     return totals
+
+
+def contains_near(stream: list[str], first: str, second: str,
+                  slop: int) -> bool:
+    """Ordered span-near check (Lucene SpanNearQuery, inOrder=true):
+    some occurrence of ``first`` is followed by ``second`` with at
+    most ``slop`` intervening tokens.  ``slop=0`` degenerates to the
+    exact two-token phrase.  Vectorized over the occurrence position
+    lists — for each ``second`` position, one searchsorted probe finds
+    whether a ``first`` sits within the window."""
+    pa_ = [i for i, t in enumerate(stream) if t == first]
+    if not pa_:
+        return False
+    pb = [i for i, t in enumerate(stream) if t == second]
+    if not pb:
+        return False
+    a = np.asarray(pa_, dtype=np.int64)
+    b = np.asarray(pb, dtype=np.int64)
+    # window for b at position j: exists a in [j - slop - 1, j - 1]
+    lo = np.searchsorted(a, b - slop - 1, side="left")
+    hi = np.searchsorted(a, b - 1, side="right")
+    return bool(np.any(hi > lo))

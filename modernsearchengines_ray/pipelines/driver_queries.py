@@ -5422,6 +5422,151 @@ GROUP BY f.first_day
 
 
 # ---------------------------------------------------------------------------
+# span-near search / PMI collocations
+# ---------------------------------------------------------------------------
+
+_NEAR_FIRST, _NEAR_SECOND, _NEAR_SLOP = "data", "stream", 3
+
+
+def q_near_match(sf_dir: str):
+    """Ordered span-near match (Lucene SpanNearQuery, inOrder=true):
+    docs where 'data' is followed by 'stream' with at most 3
+    intervening tokens — one streaming map over the corpus token
+    stream, no shuffle.  This SQL-gates the span *semantics* (window
+    adjacency == the bounded-gap regex oracle); the exact 0-slop
+    phrase path over the positional INDEX is gated separately
+    (`phrase_match`, `index_phrase_boolean_check`)."""
+    from ..functions.phrase import contains_near
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def match(batch: pa.Table) -> pa.Table:
+        keep = [contains_near(simple_tokens(t), _NEAR_FIRST,
+                              _NEAR_SECOND, _NEAR_SLOP)
+                for t in batch["text"].to_pylist()]
+        return batch.filter(pa.array(keep)).select(["doc_id"])
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+SQL_NEAR_MATCH = (
+    "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), "
+    f"'(^|[^a-z0-9]){_NEAR_FIRST}([^a-z0-9]+[a-z0-9]+)"
+    "{0," + str(_NEAR_SLOP) + "}"
+    f"[^a-z0-9]+{_NEAR_SECOND}($|[^a-z0-9])')"
+)
+
+
+_PMI_MIN_COUNT, _PMI_TOP_N = 25, 20
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Pointwise mutual information over corpus bigrams — the
+    collocation-mining primitive: ``pmi = ln(c_ab * Nu^2 / (Nb * c_a
+    * c_b))`` with Nu/Nb the unigram/bigram totals.  Plan: the same
+    map-side Counter partials as `bigram_counts` feed TWO groupbys
+    (unigrams, bigrams); totals are streaming scalar aggregates;
+    bigram rows prune to c_ab >= 25 BEFORE the two hash joins that
+    attach unigram counts (at web scale the vocab outgrows any
+    driver, so joins, not a broadcast).  pmi rounds to 6dp and the
+    top-20 orders on the ROUNDED value (pmi DESC, a, b) — a total
+    order both engines agree on."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import default_join_partitions, ensure_schema
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(t.split(" "))
+        ws = list(counts.keys())
+        return pa.table({
+            "w": pa.array(ws, pa.string()),
+            "c": pa.array([counts[w] for w in ws], pa.int64()),
+        })
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            toks = t.split(" ")
+            counts.update(zip(toks, toks[1:]))
+        ab = list(counts.keys())
+        return pa.table({
+            "a": pa.array([p[0] for p in ab], pa.string()),
+            "b": pa.array([p[1] for p in ab], pa.string()),
+            "c": pa.array([counts[p] for p in ab], pa.int64()),
+        })
+
+    # one corpus read feeds both count families
+    uni = ds.map_batches(uni_partial, batch_format="pyarrow") \
+        .groupby("w").aggregate(Sum("c", alias_name="cw")).materialize()
+    bi = ds.map_batches(bi_partial, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Sum("c", alias_name="cab")) \
+        .materialize()
+    nu = float(uni.sum("cw"))
+    nb = float(bi.sum("cab"))
+
+    pruned = bi.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cab"],
+                                            pa.scalar(_PMI_MIN_COUNT))),
+        batch_format="pyarrow")
+
+    nparts = default_join_partitions()
+    uni_a = ensure_schema(
+        uni.map_batches(lambda t: t.rename_columns(["a", "ca"]),
+                        batch_format="pyarrow"),
+        pa.schema([("a", pa.string()), ("ca", pa.int64())]))
+    uni_b = ensure_schema(
+        uni.map_batches(lambda t: t.rename_columns(["b", "cb"]),
+                        batch_format="pyarrow"),
+        pa.schema([("b", pa.string()), ("cb", pa.int64())]))
+    joined = pruned.join(uni_a, "inner", num_partitions=nparts,
+                         on=("a",)) \
+        .join(uni_b, "inner", num_partitions=nparts, on=("b",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cab = batch["cab"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ca = batch["ca"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = batch["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.round(np.log(cab * nu * nu / (nb * ca * cb)), 6)
+        return pa.table({
+            "a": batch["a"], "b": batch["b"],
+            "cab": batch["cab"],
+            "pmi": pa.array(pmi, pa.float64()),
+        })
+
+    return joined.map_batches(score, batch_format="pyarrow") \
+        .sort(["pmi", "a", "b"], descending=[True, False, False]) \
+        .limit(_PMI_TOP_N)
+
+
+SQL_BIGRAM_PMI = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), uc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), bc AS (
+  SELECT a, b, count(*) AS c FROM (
+    SELECT t[i] AS a, t[i+1] AS b
+    FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  ) GROUP BY a, b
+), nu AS (SELECT sum(c)::DOUBLE AS s FROM uc),
+   nb AS (SELECT sum(c)::DOUBLE AS s FROM bc)
+SELECT bc.a, bc.b, bc.c AS cab,
+  round(ln(bc.c::DOUBLE * (SELECT s FROM nu) * (SELECT s FROM nu)
+        / ((SELECT s FROM nb) * ca.c * cb.c)), 6) AS pmi
+FROM bc JOIN uc ca ON bc.a = ca.w JOIN uc cb ON bc.b = cb.w
+WHERE bc.c >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, bc.a, bc.b
+LIMIT {_PMI_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5564,6 +5709,8 @@ QUERY_FUNCS = {
     "price_histogram": q_price_histogram,
     "zscore_by_source": q_zscore_by_source,
     "cohort_retention": q_cohort_retention,
+    "near_match": q_near_match,
+    "bigram_pmi": q_bigram_pmi,
 }
 
 ORACLE_SQL = {
@@ -5684,6 +5831,8 @@ ORACLE_SQL = {
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "zscore_by_source": SQL_ZSCORE_BY_SOURCE,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "near_match": SQL_NEAR_MATCH,
+    "bigram_pmi": SQL_BIGRAM_PMI,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
