@@ -2225,6 +2225,91 @@ SELECT node, round(rank, 8) AS rank FROM r3
 """
 
 
+HITS_ITERS = 2
+
+
+def q_hits(sf_dir: str, reduce: str = "broadcast"):
+    """HITS hubs/authorities over the DIRECTED customer→part purchase
+    graph (one edge per distinct (customer, part) purchase): customers
+    score as hubs, parts as authorities, 2 L1-normalized iterations
+    (stages/graph.py:hits).  SQL oracle = the recurrence unrolled as 4
+    CTE half-steps, shared by both reduce tiers."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import default_join_partitions
+    from ..stages.graph import hits
+
+    nparts = default_join_partitions()
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"])
+    joined = li.rename_columns({"l_orderkey": "o_orderkey"}) \
+        .join(orders, "inner", num_partitions=nparts,
+              on=("o_orderkey",))
+
+    def to_edge(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array([f"c{c}" for c in
+                             batch["o_custkey"].to_pylist()],
+                            pa.string()),
+            "dst": pa.array([f"p{p}" for p in
+                             batch["l_partkey"].to_pylist()],
+                            pa.string()),
+        })
+
+    edges = joined.map_batches(to_edge, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="n")) \
+        .drop_columns(["n"])
+
+    scored = hits(edges, iters=HITS_ITERS, reduce=reduce)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "hub": pa.array(
+                [_round_half_away(v, 8) for v in
+                 batch["hub"].to_numpy(zero_copy_only=False)],
+                pa.float64()),
+            "authority": pa.array(
+                [_round_half_away(v, 8) for v in
+                 batch["authority"].to_numpy(zero_copy_only=False)],
+                pa.float64()),
+        })
+
+    return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_hits_half(state: str, out: str, from_key: str,
+                   to_key: str) -> str:
+    return f"""{out}_raw AS (
+  SELECT n.node, coalesce(sum({state}.val), 0) AS v
+  FROM nodes n
+  LEFT JOIN edges e ON e.{to_key} = n.node
+  LEFT JOIN {state} ON {state}.node = e.{from_key}
+  GROUP BY n.node
+), {out} AS (
+  SELECT node, v / (SELECT sum(v) FROM {out}_raw) AS val
+  FROM {out}_raw
+)"""
+
+
+SQL_HITS = f"""
+WITH edges AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 'p' || l_partkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), h0 AS (SELECT node, 1.0 AS val FROM nodes),
+{_sql_hits_half('h0', 'a1', 'src', 'dst')},
+{_sql_hits_half('a1', 'h1', 'dst', 'src')},
+{_sql_hits_half('h1', 'a2', 'src', 'dst')},
+{_sql_hits_half('a2', 'h2', 'dst', 'src')}
+SELECT h2.node, round(h2.val, 8) AS hub,
+       round(a2.val, 8) AS authority
+FROM h2 JOIN a2 ON h2.node = a2.node
+"""
+
+
 def q_corr_stats(sf_dir: str):
     """Distributed second-moment aggregates (Pearson correlation,
     sample covariance, sample stddevs) over lineitem quantity×price
@@ -5688,6 +5773,9 @@ QUERY_FUNCS = {
     "connected_components": q_connected_components,
     "pagerank_partitioned":
         lambda sf_dir: q_pagerank(sf_dir, reduce="partitioned"),
+    "hits": q_hits,
+    "hits_partitioned":
+        lambda sf_dir: q_hits(sf_dir, reduce="partitioned"),
     "price_ntile": q_price_ntile,
     "quantile_sketch_check": q_quantile_sketch_check,
     "doc_keywords": q_doc_keywords,
@@ -5805,6 +5893,8 @@ ORACLE_SQL = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "pagerank": SQL_PAGERANK,
     "pagerank_partitioned": SQL_PAGERANK,
+    "hits": SQL_HITS,
+    "hits_partitioned": SQL_HITS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "price_ntile": SQL_PRICE_NTILE,
     "quantile_sketch_check": SQL_QUANTILE_SKETCH_CHECK,

@@ -224,6 +224,132 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85,
     return ranks.select_columns(["node", "rank"])
 
 
+def hits(edges, iters: int = 2, num_partitions: int | None = None,
+         reduce: str = "broadcast"):
+    """HITS (Kleinberg 1999) hubs & authorities over a DIRECTED edge
+    Dataset (src, dst), L1-normalized each half-step (sum-normalization
+    instead of the classical L2 keeps the recurrence exactly
+    SQL-unrollable for the oracle; the rankings are identical since
+    normalization is a positive scalar).
+
+    Per iteration: ``auth(v) = Σ_{u→v} hub(u)`` then normalize;
+    ``hub(u) = Σ_{u→v} auth(v)`` then normalize.  Nodes with no
+    in-edges hold authority 0 (zero-row union keeps them in the
+    state); nodes with no out-edges hold hub 0.
+
+    Tiers mirror :func:`pagerank`: ``"broadcast"`` ships the
+    (sorted-node, value) state via ``ray.put`` per half-step and joins
+    inside the map with one ``np.searchsorted`` per batch (right while
+    nodes ≪ edges); ``"partitioned"`` keeps state as a Dataset with a
+    hash join per half-step — zero driver state at any node count.
+    Both aggregate contributions map-side before the groupby.
+    Returns a Dataset ``(node, hub float64, authority float64)``."""
+    import ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import default_join_partitions
+
+    if reduce not in ("broadcast", "partitioned"):
+        raise ValueError(f"unknown reduce tier: {reduce!r}")
+    nparts = num_partitions or default_join_partitions()
+
+    both = edges.select_columns(["src"]).rename_columns({"src": "node"}) \
+        .union(edges.select_columns(["dst"]).rename_columns({"dst": "node"}))
+    nodes = both.groupby("node").aggregate(Count(alias_name="_n")) \
+        .select_columns(["node"]).materialize()
+    if nodes.count() == 0:
+        sch = edges.schema()
+        src_type = sch.types[sch.names.index("src")]
+        return rd.from_arrow(pa.schema(
+            [("node", src_type), ("hub", pa.float64()),
+             ("authority", pa.float64())]).empty_table())
+
+    edges = edges.materialize()
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "val": pa.array(np.zeros(len(batch)), pa.float64()),
+        })
+
+    zero_vals = nodes.map_batches(
+        zero_rows, batch_format="pyarrow").materialize()
+
+    def combine_to(batch: pa.Table, key: str, vals) -> pa.Table:
+        """Map-side combine: per-batch value sums keyed by ``key``."""
+        import pandas as pd
+
+        df = pd.DataFrame({"node": batch[key].to_pandas(), "val": vals})
+        agg = df.groupby("node", as_index=False, sort=False)["val"].sum()
+        return pa.table({
+            "node": pa.Array.from_pandas(agg["node"]).cast(
+                batch.schema.field(key).type),
+            "val": pa.array(agg["val"].to_numpy(), pa.float64()),
+        })
+
+    def push(state, from_key: str, to_key: str):
+        """state(node,val) → Σ over edges of val(from_key) keyed by
+        to_key, normalized to sum 1; zero rows keep every node."""
+        if reduce == "broadcast":
+            df = state.to_pandas()
+            order = np.argsort(df["node"].to_numpy(), kind="stable")
+            s_nodes = df["node"].to_numpy()[order]
+            s_vals = df["val"].to_numpy()[order]
+            ref = ray.put((s_nodes, s_vals))
+
+            def contribute(batch: pa.Table, ref=ref) -> pa.Table:
+                n_arr, v_arr = ray.get(ref)
+                src = _col_np(batch[from_key])
+                vals = v_arr[np.searchsorted(n_arr, src)]
+                return combine_to(batch, to_key, vals)
+
+            raw = edges.map_batches(contribute, batch_format="pyarrow")
+        else:
+            joined = edges.rename_columns({from_key: "node"}) \
+                .join(state, "inner", num_partitions=nparts,
+                      on=("node",))
+
+            def contribute_joined(batch: pa.Table) -> pa.Table:
+                return combine_to(
+                    batch, to_key,
+                    batch["val"].to_numpy(zero_copy_only=False))
+
+            raw = joined.map_batches(
+                contribute_joined, batch_format="pyarrow")
+
+        summed = raw.union(zero_vals).groupby("node") \
+            .aggregate(Sum("val", alias_name="acc")).materialize()
+        total = float(summed.sum("acc") or 0.0)
+
+        def norm(batch: pa.Table) -> pa.Table:
+            # true division (not multiply-by-reciprocal) so each value
+            # matches the SQL oracle's v / SUM(v) bit pattern
+            acc = batch["acc"].to_numpy(zero_copy_only=False)
+            vals = acc / total if total else np.zeros(len(acc))
+            return pa.table({"node": batch["node"],
+                             "val": pa.array(vals, pa.float64())})
+
+        return summed.map_batches(
+            norm, batch_format="pyarrow").materialize()
+
+    hubs = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "val": pa.array(np.ones(len(b)),
+                                            pa.float64())}),
+        batch_format="pyarrow").materialize()
+    auths = zero_vals
+    for _ in range(iters):
+        auths = push(hubs, "src", "dst")
+        hubs = push(auths, "dst", "src")
+
+    out = hubs.rename_columns({"val": "hub"}).join(
+        auths.rename_columns({"val": "authority"}), "inner",
+        num_partitions=nparts, on=("node",))
+    return out.select_columns(["node", "hub", "authority"])
+
+
 def connected_components(edges, num_partitions: int | None = None,
                          max_iters: int = 64):
     """Undirected connected components over an int64 (src, dst) edge

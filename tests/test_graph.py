@@ -193,3 +193,76 @@ class TestConnectedComponents:
         out = connected_components(rd.from_arrow(t), num_partitions=2)
         assert out.count() == 0
         assert out.schema().names == ["node", "component"]
+
+
+class TestHITS:
+    """stages/graph.py:hits — L1-normalized hubs/authorities."""
+
+    def _run(self, edges, reduce="broadcast", iters=2):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.graph import hits
+
+        t = pa.table({
+            "src": pa.array([a for a, _ in edges], pa.string()),
+            "dst": pa.array([b for _, b in edges], pa.string()),
+        })
+        out = hits(rd.from_arrow(t), iters=iters, num_partitions=2,
+                   reduce=reduce).to_pandas()
+        return {r.node: (r.hub, r.authority) for r in out.itertuples()}
+
+    def _reference(self, edges, iters=2):
+        nodes = sorted({n for e in edges for n in e})
+        h = {n: 1.0 for n in nodes}
+        a = {n: 0.0 for n in nodes}
+        for _ in range(iters):
+            a = {n: sum(h[s] for s, d in edges if d == n)
+                 for n in nodes}
+            tot = sum(a.values())
+            a = {n: v / tot for n, v in a.items()}
+            h = {n: sum(a[d] for s, d in edges if s == n)
+                 for n in nodes}
+            tot = sum(h.values())
+            h = {n: v / tot for n, v in h.items()}
+        return {n: (h[n], a[n]) for n in nodes}
+
+    EDGES = [("u1", "v1"), ("u1", "v2"), ("u2", "v1"), ("u3", "v3"),
+             ("v1", "u1")]
+
+    def test_matches_reference(self, ray_session):
+        got = self._run(self.EDGES)
+        want = self._reference(self.EDGES)
+        assert set(got) == set(want)
+        for n in want:
+            assert got[n][0] == pytest.approx(want[n][0], abs=1e-12)
+            assert got[n][1] == pytest.approx(want[n][1], abs=1e-12)
+
+    def test_tier_parity(self, ray_session):
+        b = self._run(self.EDGES, reduce="broadcast")
+        p = self._run(self.EDGES, reduce="partitioned")
+        assert set(b) == set(p)
+        for n in b:
+            assert b[n] == pytest.approx(p[n], abs=1e-12)
+
+    def test_sums_normalized(self, ray_session):
+        got = self._run(self.EDGES)
+        assert sum(v[0] for v in got.values()) == pytest.approx(1.0)
+        assert sum(v[1] for v in got.values()) == pytest.approx(1.0)
+
+    def test_no_inedge_node_has_zero_authority(self, ray_session):
+        got = self._run([("a", "b")])
+        assert got["a"][1] == 0.0  # nothing points at a
+        assert got["b"][0] == 0.0  # b points at nothing
+        assert got["a"][0] == 1.0
+        assert got["b"][1] == 1.0
+
+    def test_empty_edges(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.graph import hits
+
+        t = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+        out = hits(rd.from_arrow(t), num_partitions=2)
+        assert out.count() == 0
+        assert out.schema().names == ["node", "hub", "authority"]
