@@ -5328,6 +5328,106 @@ GROUP BY 1
 """
 
 
+def q_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy (nats) of the event-type distribution
+    — the diversity / concentration signal used for bot filtering and
+    engagement scoring.  Two pre-aggregated exchanges: map-side
+    (user, type) count partials → one groupby sums exact int counts;
+    a vectorized map turns each (user, type, c) row into ``c`` and
+    ``c·ln c`` partials → one groupby(user) sum; entropy folds as
+    ``ln T − (Σ c ln c)/T`` (algebraically equal to −Σ p ln p, but
+    needing only SUM-mergeable partials).  Shuffle rows ∝ distinct
+    (user, type) pairs, never event rows.  6dp rounding absorbs libm
+    last-ulp differences between engines."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"user_id": batch["user_id"].to_pandas(),
+                           "event_type": batch["event_type"].to_pandas()})
+        agg = df.groupby(["user_id", "event_type"], as_index=False,
+                         sort=False).size()
+        return pa.table({
+            "user_id": pa.array(agg["user_id"].to_numpy(), pa.int64()),
+            "event_type": pa.Array.from_pandas(agg["event_type"]),
+            "c": pa.array(agg["size"].to_numpy(), pa.int64()),
+        })
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]) \
+        .aggregate(Sum("c", alias_name="c"))
+
+    def ent_partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "t": pa.array(c, pa.float64()),
+            "s": pa.array(c * np.log(c), pa.float64()),
+        })
+
+    per_user = counts.map_batches(ent_partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("t", alias_name="t"),
+                                      Sum("s", alias_name="s"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        ent = np.log(t) - s / t
+        return pa.table({
+            "user_id": batch["user_id"],
+            "entropy": pa.array(
+                [_round_half_away(v) for v in ent], pa.float64()),
+        })
+
+    return per_user.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENT_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT user_id, sum(c) AS t, sum(c * ln(c)) AS s
+  FROM c GROUP BY 1
+)
+SELECT user_id, round(ln(t) - s / t, 6) AS entropy FROM t
+"""
+
+
+def q_price_skyline(sf_dir: str):
+    """Skyline / Pareto frontier over parts — cheapest price per size
+    tier (minimize p_retailprice, maximize p_size): the multi-
+    objective curation primitive (e.g. best quality-per-cost corpus
+    mix).  Local per-block frontier via one vectorized sort +
+    running-max scan, then the exact frontier over the tiny candidate
+    union (stages/skyline.py — no shuffle, candidates ∝ blocks × log
+    block size, never input rows)."""
+    from ..stages.skyline import skyline_2d
+
+    ds = _read(sf_dir, "part", columns=["p_retailprice", "p_size"])
+    out = skyline_2d(ds, "p_retailprice", "p_size")
+    return out.rename_columns(["price", "size"])
+
+
+SQL_PRICE_SKYLINE = """
+WITH pts AS (
+  SELECT DISTINCT p_retailprice AS price,
+         CAST(p_size AS DOUBLE) AS size
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+)
+SELECT price, size FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.price <= a.price AND b.size >= a.size
+    AND (b.price < a.price OR b.size > a.size)
+)
+"""
+
+
 def q_zscore_by_source(sf_dir: str):
     """Group-wise z-score normalization (the feature-engineering
     primitive: normalize a signal within its domain/source before
@@ -5796,6 +5896,8 @@ QUERY_FUNCS = {
     "event_type_cooccurrence": q_event_type_cooccurrence,
     "price_histogram": q_price_histogram,
     "zscore_by_source": q_zscore_by_source,
+    "event_entropy": q_event_entropy,
+    "price_skyline": q_price_skyline,
     "cohort_retention": q_cohort_retention,
     "near_match": q_near_match,
     "bigram_pmi": q_bigram_pmi,
@@ -5920,6 +6022,8 @@ ORACLE_SQL = {
     "event_type_cooccurrence": SQL_EVENT_TYPE_COOCCURRENCE,
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "zscore_by_source": SQL_ZSCORE_BY_SOURCE,
+    "event_entropy": SQL_EVENT_ENTROPY,
+    "price_skyline": SQL_PRICE_SKYLINE,
     "cohort_retention": SQL_COHORT_RETENTION,
     "near_match": SQL_NEAR_MATCH,
     "bigram_pmi": SQL_BIGRAM_PMI,
