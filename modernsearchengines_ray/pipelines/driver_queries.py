@@ -2547,6 +2547,120 @@ LIMIT 10
 """
 
 
+RRF_K = 60
+RRF_DEPTH = 20
+
+
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid search: reciprocal rank fusion (Cormack, Clarke &
+    Buettcher 2009) of the lexical BM25 top-20 and the dense cosine
+    top-20 — the standard way modern search blends a fulltext index
+    with an embedding index.  Each leg runs distributed (the same
+    kernels as `bm25_topk` / `ann_topk`); fusion is a driver-side
+    merge over ≤2×depth rows: ``rrf(d) = Σ_legs 1/(K + rank_leg(d))``
+    over the union, missing-leg docs contribute nothing.  Top-10 by
+    (rrf desc, doc_id)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    # lexical leg — the full distributed BM25 computation
+    bm25 = q_bm25_topk(sf_dir).head(RRF_DEPTH)
+    bm25_rank = {int(d): i + 1 for i, d in enumerate(bm25["doc_id"])}
+
+    # dense leg — brute cosine vs the vec_id=0 query vector
+    table = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "=", 0)])
+    query = np.asarray(table["embedding"][0].as_py(), dtype=np.float64)
+    q_ref = ray.put(query)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def cosine(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy()
+        from ..functions.arrowlist import list_matrix
+
+        mat = list_matrix(batch["embedding"], len(ids))
+        sims = (mat @ qv) / (np.linalg.norm(mat, axis=1)
+                             * np.linalg.norm(qv))
+        keep = ids != 0
+        return pa.table({
+            "vec_id": pa.array(ids[keep], pa.int64()),
+            "cos_sim": pa.array(np.round(sims[keep], 6), pa.float64()),
+        })
+
+    cos = ds.map_batches(cosine, batch_format="pyarrow").to_pandas() \
+        .sort_values(["cos_sim", "vec_id"], ascending=[False, True]) \
+        .head(RRF_DEPTH)
+    cos_rank = {int(d): i + 1 for i, d in enumerate(cos["vec_id"])}
+
+    fused = []
+    for d in sorted(set(bm25_rank) | set(cos_rank)):
+        score = 0.0
+        if d in bm25_rank:
+            score += 1.0 / (RRF_K + bm25_rank[d])
+        if d in cos_rank:
+            score += 1.0 / (RRF_K + cos_rank[d])
+        fused.append((d, score))
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    top = fused[:10]
+    return pd.DataFrame({
+        "doc_id": pd.array([d for d, _ in top], dtype="int64"),
+        "rrf": pd.array([_round_half_away(s, 8) for _, s in top],
+                        dtype="float64"),
+    })
+
+
+SQL_HYBRID_RRF = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl FROM dl),
+n AS (SELECT count(*)::DOUBLE AS c FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2
+  WHERE term IN ('data', 'join', 'stream') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+bm25 AS (
+  SELECT tf.doc_id AS doc_id,
+         round(sum(ln((n.c - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * {K1 + 1.0}
+                   / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))),
+               6) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats, n
+  GROUP BY tf.doc_id
+),
+bm25r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm25 QUALIFY r <= {RRF_DEPTH}
+),
+cos AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(
+             embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings
+              WHERE vec_id = 0)), 6) AS cos_sim
+  FROM embeddings WHERE vec_id <> 0
+),
+cosr AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+  FROM cos QUALIFY r <= {RRF_DEPTH}
+)
+SELECT coalesce(b.doc_id, c.vec_id) AS doc_id,
+       round(coalesce(1.0 / ({RRF_K} + b.r), 0)
+             + coalesce(1.0 / ({RRF_K} + c.r), 0), 8) AS rrf
+FROM bm25r b FULL OUTER JOIN cosr c ON b.doc_id = c.vec_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
 ANN_MULTI_QUERY_IDS = (0, 1, 2)
 
 
@@ -5897,6 +6011,7 @@ QUERY_FUNCS = {
     "price_histogram": q_price_histogram,
     "zscore_by_source": q_zscore_by_source,
     "event_entropy": q_event_entropy,
+    "hybrid_rrf": q_hybrid_rrf,
     "price_skyline": q_price_skyline,
     "cohort_retention": q_cohort_retention,
     "near_match": q_near_match,
@@ -6023,6 +6138,7 @@ ORACLE_SQL = {
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "zscore_by_source": SQL_ZSCORE_BY_SOURCE,
     "event_entropy": SQL_EVENT_ENTROPY,
+    "hybrid_rrf": SQL_HYBRID_RRF,
     "price_skyline": SQL_PRICE_SKYLINE,
     "cohort_retention": SQL_COHORT_RETENTION,
     "near_match": SQL_NEAR_MATCH,
