@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "customers_without_orders", "validate_documents",
     "paragraph_dedup", "salted_revenue_join", "cohort_retention",
     "event_type_cooccurrence",
+    "hybrid_rrf", "event_entropy", "price_skyline",
 ]
 
 SEARCH_QUERIES = [

@@ -5511,6 +5511,86 @@ SELECT user_id, round(ln(t) - s / t, 6) AS entropy FROM t
 """
 
 
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot / reshape-to-wide: one row per user with a count column
+    per event type (the feature-matrix layout model training wants).
+    Scale shape = conditional aggregation: each batch collapses to
+    wide PARTIAL rows (distinct users in the batch × 6 narrow int
+    columns) via a vectorized pandas pivot, then ONE groupby(user_id)
+    sums the partials — shuffle rows ∝ users per block, never events.
+    The pivoted column set is the operator's contract (fixed,
+    schema-stable), exactly like SQL's PIVOT ... IN (...)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"user_id": batch["user_id"].to_pandas(),
+                           "event_type": batch["event_type"].to_pandas()})
+        wide = df.pivot_table(index="user_id", columns="event_type",
+                              aggfunc="size", fill_value=0)
+        wide = wide.reindex(columns=list(PIVOT_EVENT_TYPES),
+                            fill_value=0)
+        cols = {"user_id": pa.array(wide.index.to_numpy(), pa.int64())}
+        for t in PIVOT_EVENT_TYPES:
+            cols[f"n_{t}"] = pa.array(
+                wide[t].to_numpy().astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}")
+            for t in PIVOT_EVENT_TYPES]
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(*aggs)
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_unpivot(sf_dir: str):
+    """Unpivot / melt-to-long: the wide per-user feature matrix back
+    to (user_id, event_type, n) rows, zero cells dropped — the inverse
+    reshape, one vectorized map over the pivot output (each wide row
+    fans out to ≤|types| long rows; no extra shuffle beyond the
+    pivot's own groupby)."""
+    wide = q_events_pivot(sf_dir)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy()
+        ids, types, ns = [], [], []
+        for t in PIVOT_EVENT_TYPES:
+            n = batch[f"n_{t}"].to_numpy()
+            nz = n > 0
+            ids.append(users[nz])
+            types.extend([t] * int(nz.sum()))
+            ns.append(n[nz])
+        return pa.table({
+            "user_id": pa.array(np.concatenate(ids), pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array(np.concatenate(ns), pa.int64()),
+        })
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_EVENTS_UNPIVOT = """
+SELECT user_id, event_type, count(*) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
 def q_price_skyline(sf_dir: str):
     """Skyline / Pareto frontier over parts — cheapest price per size
     tier (minimize p_retailprice, maximize p_size): the multi-
@@ -6012,6 +6092,8 @@ QUERY_FUNCS = {
     "zscore_by_source": q_zscore_by_source,
     "event_entropy": q_event_entropy,
     "hybrid_rrf": q_hybrid_rrf,
+    "events_pivot": q_events_pivot,
+    "events_unpivot": q_events_unpivot,
     "price_skyline": q_price_skyline,
     "cohort_retention": q_cohort_retention,
     "near_match": q_near_match,
@@ -6139,6 +6221,8 @@ ORACLE_SQL = {
     "zscore_by_source": SQL_ZSCORE_BY_SOURCE,
     "event_entropy": SQL_EVENT_ENTROPY,
     "hybrid_rrf": SQL_HYBRID_RRF,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "events_unpivot": SQL_EVENTS_UNPIVOT,
     "price_skyline": SQL_PRICE_SKYLINE,
     "cohort_retention": SQL_COHORT_RETENTION,
     "near_match": SQL_NEAR_MATCH,
