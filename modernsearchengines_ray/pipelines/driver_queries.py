@@ -5511,6 +5511,67 @@ SELECT user_id, round(ln(t) - s / t, 6) AS entropy FROM t
 """
 
 
+#: 7-day half-life decay rate, one shared constant so Ray and the SQL
+#: oracle compute bit-identical weights
+DECAY_LAMBDA = 0.0990210257942779
+
+
+def q_decayed_value(sf_dir: str):
+    """Exponentially time-decayed per-user value sum (7-day
+    half-life) — the recency-weighted engagement feature.  One cheap
+    global max(ts) aggregate anchors the decay, then a single
+    vectorized map computes ``value·exp(−λ·age_days)`` and map-side
+    per-user partials feed ONE groupby — shuffle rows ∝ users per
+    block.  6dp rounding absorbs libm exp() last-ulp differences
+    between engines."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    tmax = ds.max("ts")  # numpy datetime64[us] | pandas Timestamp
+    tmax_us = int(np.datetime64(tmax, "us").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts_us = batch["ts"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        age_days = (tmax_us - ts_us) / 86400.0e6
+        w = batch["value"].to_numpy(zero_copy_only=False) \
+            * np.exp(-DECAY_LAMBDA * age_days)
+        df = pd.DataFrame({"user_id": batch["user_id"].to_pandas(),
+                           "v": w})
+        agg = df.groupby("user_id", as_index=False, sort=False)["v"] \
+            .sum()
+        return pa.table({
+            "user_id": pa.array(agg["user_id"].to_numpy(), pa.int64()),
+            "v": pa.array(agg["v"].to_numpy(), pa.float64()),
+        })
+
+    summed = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("v", alias_name="v"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "decayed_value": pa.array(
+                [_round_half_away(v) for v in
+                 batch["v"].to_numpy(zero_copy_only=False)],
+                pa.float64()),
+        })
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DECAYED_VALUE = f"""
+WITH m AS (SELECT max(ts) AS tmax FROM events)
+SELECT user_id,
+       round(sum(value * exp(-{DECAY_LAMBDA!r}
+                             * (epoch(tmax - ts) / 86400.0))), 6)
+         AS decayed_value
+FROM events, m GROUP BY user_id
+"""
+
+
 PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -6093,6 +6154,7 @@ QUERY_FUNCS = {
     "event_entropy": q_event_entropy,
     "hybrid_rrf": q_hybrid_rrf,
     "events_pivot": q_events_pivot,
+    "decayed_value": q_decayed_value,
     "events_unpivot": q_events_unpivot,
     "price_skyline": q_price_skyline,
     "cohort_retention": q_cohort_retention,
@@ -6222,6 +6284,7 @@ ORACLE_SQL = {
     "event_entropy": SQL_EVENT_ENTROPY,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "decayed_value": SQL_DECAYED_VALUE,
     "events_unpivot": SQL_EVENTS_UNPIVOT,
     "price_skyline": SQL_PRICE_SKYLINE,
     "cohort_retention": SQL_COHORT_RETENTION,
