@@ -5347,56 +5347,112 @@ LIMIT {_BIGRAM_TOP_N}
 # ---------------------------------------------------------------------------
 
 
+#: bitmask plan ceiling — past this the 2^T mask histogram stops
+#: being "tiny" and a pairwise-key plan (groupby on (user, a, b)
+#: exploded pairs) should take over
+_COOC_MAX_TYPES = 16
+
+
 def q_event_type_cooccurrence(sf_dir: str):
     """Item-item co-occurrence (the recommender / association-mining
     primitive): unordered pairs of event types sharing a user, with
-    counts.  Plan: ONE distinct exchange collapses events to
-    (user, type) rows (exchange rows = users x types, not events);
-    a hash repartition co-locates each user; the per-block kernel
-    emits each user's type pairs (a < b, so every pair counts once);
-    one groupby sums.  Pairs per user are bounded by the type-domain
-    squared — the classic reason co-occurrence mines the DISTINCT
-    projection, never raw events."""
+    counts = how many users exhibit both.
+
+    Plan — small-domain bitmask encoding, NO keyed repartition (the
+    round-4 rewrite: the previous hash-repartition plan dragged every
+    groupby in its plan into 200-partition hash aggregation, paying
+    ~15 s of aggregator spin-up to co-locate 7,500 rows):
+
+    1. map-side distinct collapses each batch to its unique
+       (user, type) pairs BEFORE the only real exchange;
+    2. one sort groupby dedups globally (exchange rows ∝ users ×
+       types, never events) — materialized once, two tiny consumers;
+    3. the type domain (≤ ``_COOC_MAX_TYPES``) maps each type to a
+       bit; summing ``2^bit`` per user over the now-unique pairs IS
+       the set-union OR, so one narrow groupby(user) yields each
+       user's type-set mask;
+    4. per-batch mask histograms (≤ 2^T bins) reduce driver-side, and
+       every pair count reads off the histogram:
+       ``c(i,j) = Σ_m hist[m]·[i∈m]·[j∈m]`` — vectorized, exact.
+
+    Total: two sort exchanges on pre-aggregated inputs; driver state
+    = 2^T counters.  The classic reason co-occurrence mines the
+    DISTINCT projection, never raw events."""
     from ray.data.aggregate import Count, Sum
 
-    from ..stages.dedup import (default_join_partitions,
-                                hash_shuffle_context)
-
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
-    distinct = ds.groupby(["user_id", "event_type"]) \
-        .aggregate(Count(alias_name="_n")).drop_columns(["_n"])
 
-    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
-                             ("c", pa.int64())])
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        import pandas as pd
 
-    def pairs_block(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pair_schema.empty_table()
-        df = batch.to_pandas().sort_values(["user_id", "event_type"])
-        counts: Counter = Counter()
-        for _, grp in df.groupby("user_id", sort=False):
-            types = grp["event_type"].tolist()
-            for i in range(len(types)):
-                for j in range(i + 1, len(types)):
-                    counts[(types[i], types[j])] += 1
-        ab = list(counts.keys())
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_pandas(),
+            "event_type": batch["event_type"].to_pandas(),
+        }).drop_duplicates()
         return pa.table({
-            "a": pa.array([p[0] for p in ab], pa.string()),
-            "b": pa.array([p[1] for p in ab], pa.string()),
-            "c": pa.array([counts[p] for p in ab], pa.int64()),
+            "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            "event_type": pa.Array.from_pandas(df["event_type"]),
         })
 
-    import ray.data as rd
+    distinct = ds.map_batches(batch_distinct, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]) \
+        .aggregate(Count(alias_name="_n")).drop_columns(["_n"]) \
+        .materialize()
 
-    nparts = default_join_partitions()
-    with hash_shuffle_context():
-        shuffled = distinct.repartition(nparts, keys=["user_id"],
-                                        sort=False)
-        partials = shuffled.map_batches(pairs_block, batch_size=None,
-                                        batch_format="pyarrow")
-        partials = rd.from_arrow(pair_schema.empty_table()).union(partials)
-        return partials.groupby(["a", "b"]) \
-            .aggregate(Sum("c", alias_name="c"))
+    def batch_types(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"t": pc.unique(batch["event_type"])})
+
+    types = sorted(set(distinct.map_batches(
+        batch_types, batch_format="pyarrow").to_pandas()["t"]))
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("c", pa.int64())])
+    if not types:
+        return pair_schema.empty_table()
+    if len(types) > _COOC_MAX_TYPES:
+        raise ValueError(
+            f"{len(types)} event types exceeds the bitmask plan's "
+            f"ceiling ({_COOC_MAX_TYPES}); use a pairwise-key plan")
+    bit_of = {t: i for i, t in enumerate(types)}
+
+    def to_bits(batch: pa.Table) -> pa.Table:
+        bits = np.array([1 << bit_of[t] for t in
+                         batch["event_type"].to_pylist()], np.int64)
+        return pa.table({"user_id": batch["user_id"],
+                         "bit": pa.array(bits, pa.int64())})
+
+    masks = distinct.map_batches(to_bits, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("bit", alias_name="mask"))
+
+    n_masks = 1 << len(types)
+
+    def mask_hist(batch: pa.Table) -> pa.Table:
+        m = batch["mask"].to_numpy(zero_copy_only=False)
+        hist = np.bincount(m, minlength=n_masks)
+        nz = np.nonzero(hist)[0]
+        return pa.table({"m": pa.array(nz, pa.int64()),
+                         "n": pa.array(hist[nz], pa.int64())})
+
+    parts = masks.map_batches(mask_hist, batch_format="pyarrow") \
+        .to_pandas()
+    hist = np.zeros(n_masks, np.int64)
+    np.add.at(hist, parts["m"].to_numpy(), parts["n"].to_numpy())
+
+    m_arr = np.arange(n_masks, dtype=np.int64)
+    rows_a, rows_b, rows_c = [], [], []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            both = ((m_arr >> i) & 1).astype(bool) \
+                & ((m_arr >> j) & 1).astype(bool)
+            c = int(hist[both].sum())
+            if c:
+                rows_a.append(types[i])
+                rows_b.append(types[j])
+                rows_c.append(c)
+    return pa.table({"a": pa.array(rows_a, pa.string()),
+                     "b": pa.array(rows_b, pa.string()),
+                     "c": pa.array(rows_c, pa.int64())})
 
 
 SQL_EVENT_TYPE_COOCCURRENCE = """
