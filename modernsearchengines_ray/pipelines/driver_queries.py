@@ -5628,6 +5628,130 @@ FROM events, m GROUP BY user_id
 """
 
 
+def q_corpus_diff(sf_dir: str):
+    """Table diff / reconciliation (the anti-entropy + CDC
+    primitive): compare the corpus against a deterministically
+    perturbed copy (drop doc_id%17, rewrite text for doc_id%13, add
+    doc_id%29 back under new keys) and report every differing key as
+    added / removed / changed.  Both sides collapse to (key, md5)
+    fingerprints in one streaming map each — 16-byte digests travel,
+    not documents — and ONE full-outer hash join classifies every key
+    block-locally (stages/diff.py); output rows ∝ actual
+    differences."""
+    from ..stages.diff import dataset_diff
+
+    left = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        keep = ids % 17 != 0
+        out_ids = list(ids[keep])
+        out_texts = [t + " v2" if i % 13 == 0 else t
+                     for i, t in zip(ids[keep], np.array(texts,
+                                                         object)[keep])]
+        added = ids % 29 == 0
+        out_ids.extend(ids[added] + 1000000)
+        out_texts.extend(np.array(texts, object)[added])
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_texts, pa.string())})
+
+    right = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(perturb, batch_format="pyarrow")
+    return dataset_diff(left, right, "doc_id", "text")
+
+
+SQL_CORPUS_DIFF = """
+WITH l AS (SELECT doc_id, text FROM documents),
+r AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0
+)
+SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+       CASE WHEN l.doc_id IS NULL THEN 'added'
+            WHEN r.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id
+WHERE l.doc_id IS NULL OR r.doc_id IS NULL OR l.text <> r.text
+"""
+
+
+def q_value_drift_by_type(sf_dir: str):
+    """Per-group ordinary-least-squares drift: regression slope +
+    intercept of ``value`` against time for each event type — the
+    metric-drift / trend-detection primitive.  One cheap global
+    min(ts) anchors x (slope is shift-invariant, and centering keeps
+    x small so plain power sums cannot cancel — the corr_stats lesson
+    applied), then per-batch pandas partials (n, Σx, Σy, Σx², Σxy)
+    reduce via ONE groupby of Sums; the closed form
+    ``slope = (Σxy − ΣxΣy/n) / (Σx² − (Σx)²/n)`` folds in a final
+    map.  Shuffle rows ∝ types per block, never events.  6dp rounding
+    absorbs the difference between this and DuckDB's Welford-style
+    regr_slope accumulation."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts", "value"])
+    t0 = ds.min("ts")
+    t0_us = int(np.datetime64(t0, "us").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        x = (batch["ts"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False) - t0_us) / 86400.0e6
+        y = batch["value"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "n": np.ones(len(x), np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "sxy": x * y,
+        })
+        agg = df.groupby("event_type", as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    summed = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"),
+                   Sum("sxx", alias_name="sxx"),
+                   Sum("sxy", alias_name="sxy"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = batch["sx"].to_numpy(zero_copy_only=False)
+        sy = batch["sy"].to_numpy(zero_copy_only=False)
+        sxx = batch["sxx"].to_numpy(zero_copy_only=False)
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False)
+        slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        intercept = sy / n - slope * sx / n
+        return pa.table({
+            "event_type": batch["event_type"],
+            "slope": pa.array(
+                [_round_half_away(v) for v in slope], pa.float64()),
+            "intercept": pa.array(
+                [_round_half_away(v) for v in intercept], pa.float64()),
+            "n": batch["n"],
+        })
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_VALUE_DRIFT_BY_TYPE = """
+WITH m AS (SELECT min(ts) AS t0 FROM events)
+SELECT event_type,
+       round(regr_slope(value, epoch(ts - t0) / 86400.0), 6)
+         AS slope,
+       round(regr_intercept(value, epoch(ts - t0) / 86400.0), 6)
+         AS intercept,
+       count(*) AS n
+FROM events, m GROUP BY event_type
+"""
+
+
 PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -6211,6 +6335,8 @@ QUERY_FUNCS = {
     "hybrid_rrf": q_hybrid_rrf,
     "events_pivot": q_events_pivot,
     "decayed_value": q_decayed_value,
+    "value_drift_by_type": q_value_drift_by_type,
+    "corpus_diff": q_corpus_diff,
     "events_unpivot": q_events_unpivot,
     "price_skyline": q_price_skyline,
     "cohort_retention": q_cohort_retention,
@@ -6341,6 +6467,8 @@ ORACLE_SQL = {
     "hybrid_rrf": SQL_HYBRID_RRF,
     "events_pivot": SQL_EVENTS_PIVOT,
     "decayed_value": SQL_DECAYED_VALUE,
+    "value_drift_by_type": SQL_VALUE_DRIFT_BY_TYPE,
+    "corpus_diff": SQL_CORPUS_DIFF,
     "events_unpivot": SQL_EVENTS_UNPIVOT,
     "price_skyline": SQL_PRICE_SKYLINE,
     "cohort_retention": SQL_COHORT_RETENTION,
