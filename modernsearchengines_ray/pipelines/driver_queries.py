@@ -2547,6 +2547,151 @@ LIMIT 10
 """
 
 
+_COLLAPSE_PER_GROUP = 2
+
+
+def q_bm25_collapse(sf_dir: str):
+    """Field-collapsed BM25 (Solr collapse / ES field_collapse): the
+    standard search-result diversification — keep the best
+    ``_COLLAPSE_PER_GROUP`` documents per source, then global top-10.
+    Scoring reuses the distributed bm25_topk kernels with ``source``
+    carried through the (doc, source) groupby (same cardinality —
+    source is functionally dependent on doc).  The cap applies the
+    local-prune-then-verify shape (skyline's argument): a doc in the
+    global per-source top-2 is in its block's per-source top-2, so
+    per-block vectorized pruning bounds the candidate pull to
+    blocks × sources × 2 rows, never matched docs."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "source"])
+    n_docs = ds.count()
+    query = set(BM25_QUERY_TERMS)
+
+    def posting_rows(batch: pa.Table) -> pa.Table:
+        ids, srcs, terms, tfs, dls = [], [], [], [], []
+        for doc_id, src, text in zip(batch["doc_id"].to_pylist(),
+                                     batch["source"].to_pylist(),
+                                     batch["text"].to_pylist()):
+            tokens = simple_tokens(text)
+            counts = Counter(tokens)
+            for term in sorted(query & counts.keys()):
+                ids.append(doc_id)
+                srcs.append(src)
+                terms.append(term)
+                tfs.append(counts[term])
+                dls.append(len(tokens))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(srcs, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "doc_len": pa.array(dls, pa.int64()),
+        })
+
+    def doc_lens(batch: pa.Table) -> pa.Table:
+        lens = [len(simple_tokens(t))
+                for t in batch["text"].to_pylist()]
+        lens = [x for x in lens if x > 0]
+        return pa.table({
+            "n": pa.array([len(lens)], pa.int64()),
+            "token_sum": pa.array([int(sum(lens))], pa.int64()),
+        })
+
+    len_partials = ds.map_batches(
+        doc_lens, batch_format="pyarrow").to_pandas()
+    avgdl = len_partials["token_sum"].sum() / len_partials["n"].sum()
+
+    postings = ds.map_batches(
+        posting_rows, batch_format="pyarrow").materialize()
+    df_map = postings.to_pandas().groupby("term")["doc_id"] \
+        .nunique().to_dict()
+    idf_map = {
+        t: float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        for t, df in df_map.items()
+    }
+    idf_ref = ray.put(idf_map)
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        idfs = ray.get(idf_ref)
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        dl = batch["doc_len"].to_numpy().astype(np.float64)
+        idf = np.array([idfs[t] for t in batch["term"].to_pylist()])
+        part = idf * (tf * (K1 + 1.0)) \
+            / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "part": pa.array(part, pa.float64()),
+        })
+
+    scores = postings.map_batches(score_rows, batch_format="pyarrow") \
+        .groupby(["doc_id", "source"]) \
+        .aggregate(Sum("part", alias_name="score"))
+
+    def local_cap(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_pandas(),
+            "source": batch["source"].to_pandas(),
+            "score": np.round(
+                batch["score"].to_numpy(zero_copy_only=False), 6),
+        }).sort_values(["source", "score", "doc_id"],
+                       ascending=[True, False, True])
+        kept = df.groupby("source", sort=False) \
+            .head(_COLLAPSE_PER_GROUP)
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
+    cand = scores.map_batches(
+        local_cap, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["source", "score", "doc_id"],
+                            ascending=[True, False, True])
+    kept = cand.groupby("source", sort=False) \
+        .head(_COLLAPSE_PER_GROUP)
+    out = kept.sort_values(["score", "doc_id"],
+                           ascending=[False, True]).head(10)
+    return out[["doc_id", "source", "score"]].reset_index(drop=True)
+
+
+SQL_BM25_COLLAPSE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl FROM dl),
+n AS (SELECT count(*)::DOUBLE AS c FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2
+  WHERE term IN ('data', 'join', 'stream') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+bm25 AS (
+  SELECT tf.doc_id AS doc_id,
+         round(sum(ln((n.c - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * {K1 + 1.0}
+                   / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))),
+               6) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats, n
+  GROUP BY tf.doc_id
+),
+capped AS (
+  SELECT b.doc_id, d.source, b.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY b.score DESC, b.doc_id) AS rn
+  FROM bm25 b JOIN documents d ON b.doc_id = d.doc_id
+)
+SELECT doc_id, source, score FROM capped
+WHERE rn <= {_COLLAPSE_PER_GROUP}
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 RRF_K = 60
 RRF_DEPTH = 20
 
@@ -6333,6 +6478,7 @@ QUERY_FUNCS = {
     "zscore_by_source": q_zscore_by_source,
     "event_entropy": q_event_entropy,
     "hybrid_rrf": q_hybrid_rrf,
+    "bm25_collapse": q_bm25_collapse,
     "events_pivot": q_events_pivot,
     "decayed_value": q_decayed_value,
     "value_drift_by_type": q_value_drift_by_type,
@@ -6465,6 +6611,7 @@ ORACLE_SQL = {
     "zscore_by_source": SQL_ZSCORE_BY_SOURCE,
     "event_entropy": SQL_EVENT_ENTROPY,
     "hybrid_rrf": SQL_HYBRID_RRF,
+    "bm25_collapse": SQL_BM25_COLLAPSE,
     "events_pivot": SQL_EVENTS_PIVOT,
     "decayed_value": SQL_DECAYED_VALUE,
     "value_drift_by_type": SQL_VALUE_DRIFT_BY_TYPE,
