@@ -5498,31 +5498,21 @@ LIMIT {_BIGRAM_TOP_N}
 _COOC_MAX_TYPES = 16
 
 
-def q_event_type_cooccurrence(sf_dir: str):
-    """Item-item co-occurrence (the recommender / association-mining
-    primitive): unordered pairs of event types sharing a user, with
-    counts = how many users exhibit both.
+def _user_type_mask_hist(sf_dir: str):
+    """Shared bitmask kernel for the type-set family: returns
+    (types, hist) where ``types`` is the sorted event-type domain
+    (≤ ``_COOC_MAX_TYPES``) and ``hist[m]`` counts users whose
+    DISTINCT type set encodes to bitmask ``m``.
 
-    Plan — small-domain bitmask encoding, NO keyed repartition (the
-    round-4 rewrite: the previous hash-repartition plan dragged every
-    groupby in its plan into 200-partition hash aggregation, paying
-    ~15 s of aggregator spin-up to co-locate 7,500 rows):
-
-    1. map-side distinct collapses each batch to its unique
-       (user, type) pairs BEFORE the only real exchange;
-    2. one sort groupby dedups globally (exchange rows ∝ users ×
-       types, never events) — materialized once, two tiny consumers;
-    3. the type domain (≤ ``_COOC_MAX_TYPES``) maps each type to a
-       bit; summing ``2^bit`` per user over the now-unique pairs IS
-       the set-union OR, so one narrow groupby(user) yields each
-       user's type-set mask;
-    4. per-batch mask histograms (≤ 2^T bins) reduce driver-side, and
-       every pair count reads off the histogram:
-       ``c(i,j) = Σ_m hist[m]·[i∈m]·[j∈m]`` — vectorized, exact.
-
-    Total: two sort exchanges on pre-aggregated inputs; driver state
-    = 2^T counters.  The classic reason co-occurrence mines the
-    DISTINCT projection, never raw events."""
+    Plan: map-side distinct → one sort groupby dedups (user, type)
+    globally (exchange rows ∝ users × types, never events) → summing
+    ``2^bit`` per user over the now-unique pairs IS the set-union OR
+    (one narrow groupby) → per-batch mask histograms (≤ 2^T bins)
+    reduce driver-side.  Two sort exchanges on pre-aggregated inputs,
+    driver state = 2^T counters, NO keyed repartition (the round-4
+    rewrite: a hash-repartition plan dragged every groupby into
+    200-partition hash aggregation, ~15 s of aggregator spin-up to
+    co-locate 7,500 rows)."""
     from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
@@ -5551,10 +5541,8 @@ def q_event_type_cooccurrence(sf_dir: str):
 
     types = sorted(set(distinct.map_batches(
         batch_types, batch_format="pyarrow").to_pandas()["t"]))
-    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
-                             ("c", pa.int64())])
     if not types:
-        return pair_schema.empty_table()
+        return [], np.zeros(1, np.int64)
     if len(types) > _COOC_MAX_TYPES:
         raise ValueError(
             f"{len(types)} event types exceeds the bitmask plan's "
@@ -5583,8 +5571,25 @@ def q_event_type_cooccurrence(sf_dir: str):
         .to_pandas()
     hist = np.zeros(n_masks, np.int64)
     np.add.at(hist, parts["m"].to_numpy(), parts["n"].to_numpy())
+    return types, hist
 
-    m_arr = np.arange(n_masks, dtype=np.int64)
+
+def q_event_type_cooccurrence(sf_dir: str):
+    """Item-item co-occurrence (the recommender / association-mining
+    primitive): unordered pairs of event types sharing a user, with
+    counts = how many users exhibit both — every pair count reads off
+    the shared type-set mask histogram:
+    ``c(i,j) = Σ_m hist[m]·[i∈m]·[j∈m]`` (vectorized, exact; see
+    :func:`_user_type_mask_hist` for the distribution plan).  The
+    classic reason co-occurrence mines the DISTINCT projection, never
+    raw events."""
+    types, hist = _user_type_mask_hist(sf_dir)
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("c", pa.int64())])
+    if not types:
+        return pair_schema.empty_table()
+
+    m_arr = np.arange(len(hist), dtype=np.int64)
     rows_a, rows_b, rows_c = [], [], []
     for i in range(len(types)):
         for j in range(i + 1, len(types)):
@@ -5598,6 +5603,36 @@ def q_event_type_cooccurrence(sf_dir: str):
     return pa.table({"a": pa.array(rows_a, pa.string()),
                      "b": pa.array(rows_b, pa.string()),
                      "c": pa.array(rows_c, pa.int64())})
+
+
+def q_user_cohorts(sf_dir: str):
+    """Behavioral-fingerprint cohorts: group users by their EXACT
+    distinct event-type set (the audience-segmentation / funnel-stage
+    primitive) — cohort sizes read directly off the shared mask
+    histogram, fingerprint = comma-joined sorted type names."""
+    types, hist = _user_type_mask_hist(sf_dir)
+    out_schema = pa.schema([("type_set", pa.string()),
+                            ("n_users", pa.int64())])
+    if not types:
+        return out_schema.empty_table()
+    fps, ns = [], []
+    for m in np.nonzero(hist)[0]:
+        fps.append(",".join(t for i, t in enumerate(types)
+                            if (int(m) >> i) & 1))
+        ns.append(int(hist[m]))
+    return pa.table({"type_set": pa.array(fps, pa.string()),
+                     "n_users": pa.array(ns, pa.int64())})
+
+
+SQL_USER_COHORTS = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+s AS (
+  SELECT user_id,
+         string_agg(event_type, ',' ORDER BY event_type) AS type_set
+  FROM d GROUP BY user_id
+)
+SELECT type_set, count(*) AS n_users FROM s GROUP BY type_set
+"""
 
 
 SQL_EVENT_TYPE_COOCCURRENCE = """
@@ -6474,6 +6509,7 @@ QUERY_FUNCS = {
     "length_percentile_filter": q_length_percentile_filter,
     "bigram_counts": q_bigram_counts,
     "event_type_cooccurrence": q_event_type_cooccurrence,
+    "user_cohorts": q_user_cohorts,
     "price_histogram": q_price_histogram,
     "zscore_by_source": q_zscore_by_source,
     "event_entropy": q_event_entropy,
@@ -6607,6 +6643,7 @@ ORACLE_SQL = {
     "length_percentile_filter": SQL_LENGTH_PERCENTILE_FILTER,
     "bigram_counts": SQL_BIGRAM_COUNTS,
     "event_type_cooccurrence": SQL_EVENT_TYPE_COOCCURRENCE,
+    "user_cohorts": SQL_USER_COHORTS,
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "zscore_by_source": SQL_ZSCORE_BY_SOURCE,
     "event_entropy": SQL_EVENT_ENTROPY,
