@@ -1682,6 +1682,73 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_pricing_cube(sf_dir: str):
+    """Full CUBE aggregate (every grouping-set combination of the two
+    dimensions — the general OLAP GROUPING SETS primitive, superset of
+    ``pricing_rollup``'s hierarchy).
+
+    Same plan shape as the rollup: ONE groupby exchange at the finest
+    (flag, status) level with map-side partials, then ALL coarser sets
+    — per-flag, per-status, grand total — derive from that finest
+    table (|flags|x|status| rows, driver-side by construction).  CUBE
+    adds the per-status subtotal the rollup lacks; deriving it costs
+    one more in-memory groupby over the tiny aggregate, NOT a second
+    pass over the data — the same reason SQL engines evaluate CUBE as
+    a single scan plus grouping-set expansion.  Integer-unit sums
+    (whole quantities / price cents) keep every level exact and
+    partition-order-free; 'ALL' labels avoid engine null encodings."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["qty_i"] = np.rint(
+            df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        df["cents"] = np.rint(
+            df["l_extendedprice"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        g = df.groupby(["l_returnflag", "l_linestatus"],
+                       as_index=False).agg(
+            qty=("qty_i", "sum"), cents=("cents", "sum"),
+            n=("qty_i", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fin = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("qty", alias_name="sum_qty"),
+                   Sum("cents", alias_name="sum_price_cents"),
+                   Sum("n", alias_name="count_order")).to_pandas()
+    metrics = ["sum_qty", "sum_price_cents", "count_order"]
+    fin[metrics] = fin[metrics].astype("int64")
+
+    by_flag = fin.groupby("l_returnflag", as_index=False)[metrics].sum()
+    by_flag["l_linestatus"] = "ALL"
+    by_status = fin.groupby("l_linestatus", as_index=False)[metrics].sum()
+    by_status["l_returnflag"] = "ALL"
+    tot = fin[metrics].sum().to_frame().T
+    tot["l_returnflag"] = "ALL"
+    tot["l_linestatus"] = "ALL"
+    cols = ["l_returnflag", "l_linestatus", *metrics]
+    return pd.concat(
+        [fin[cols], by_flag[cols], by_status[cols], tot[cols]],
+        ignore_index=True)
+
+
+SQL_PRICING_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       sum(CAST(round(l_quantity, 0) AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT
+         AS sum_price_cents,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_customers_without_orders(sf_dir: str):
     """Distributed ANTI join (the NOT EXISTS / EXCEPT primitive):
     customers that never placed an URGENT order (the priority filter
@@ -6412,6 +6479,7 @@ QUERY_FUNCS = {
     "top_customers": q_top_customers,
     "pricing_summary": q_pricing_summary,
     "pricing_rollup": q_pricing_rollup,
+    "pricing_cube": q_pricing_cube,
     "customers_without_orders": q_customers_without_orders,
     "suppliers_with_shipments": q_suppliers_with_shipments,
     "events_window": q_events_window,
@@ -6561,6 +6629,7 @@ ORACLE_SQL = {
     "top_customers": SQL_TOP_CUSTOMERS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "pricing_rollup": SQL_PRICING_ROLLUP,
+    "pricing_cube": SQL_PRICING_CUBE,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "suppliers_with_shipments": SQL_SUPPLIERS_WITH_SHIPMENTS,
     "events_window": SQL_EVENTS_WINDOW,
