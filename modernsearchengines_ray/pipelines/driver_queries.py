@@ -6434,6 +6434,249 @@ LIMIT {_PMI_TOP_N}
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions: text readability, sequence mining, robust stats
+# ---------------------------------------------------------------------------
+
+
+def q_readability(sf_dir: str):
+    """Flesch reading-ease score per document (the classic text-quality
+    signal a training-data pipeline filters on).  Counting is fully
+    Arrow-vectorized — three RE2 kernels per batch
+    (``pc.count_substring_regex``), no Python row loop: words =
+    ``[A-Za-z]+`` runs, syllables = ``[aeiouy]+`` vowel groups of the
+    lowercased text (groups cannot span word boundaries, so the whole-
+    text count equals the per-word sum), sentences = ``[.!?]+`` runs
+    clamped to >=1.  Both engines run RE2, so the counts are identical
+    by construction; the score formula is written in the same operation
+    order on both sides and rounded to 6dp.  Zero-word docs emit 0.0."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flesch(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        w = pc.count_substring_regex(text, "[A-Za-z]+") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        y = pc.count_substring_regex(pc.utf8_lower(text), "[aeiouy]+") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        s = pc.count_substring_regex(text, "[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.maximum(s, 1.0)
+        wsafe = np.where(w > 0, w, 1.0)
+        score = 206.835 - 1.015 * (w / s) - 84.6 * (y / wsafe)
+        score = np.where(w > 0, np.round(score, 6), 0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "flesch": pa.array(score, pa.float64()),
+        })
+
+    return ds.map_batches(flesch, batch_format="pyarrow")
+
+
+SQL_READABILITY = """
+WITH t AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN w > 0
+    THEN round(206.835 - 1.015 * (w::DOUBLE / s::DOUBLE)
+               - 84.6 * (y::DOUBLE / w::DOUBLE), 6)
+    ELSE 0.0 END AS flesch
+FROM t
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event
+    sequences (src event_type -> immediately-next event_type, ordered
+    by ts then event_id).  Plan: ONE range sort on (user, ts, id);
+    each sorted block emits (a) its within-block adjacent-pair counts,
+    vectorized with shifted arrays + a same-user mask, and (b) one tiny
+    boundary record (the block's first/last row).  Boundary records
+    sort by their first (user, ts, id) — blocks are disjoint ranges of
+    the user-first sort order, so that recovers block order — and each
+    adjacent block pair
+    whose last/first rows share a user contributes exactly one extra
+    transition.  Driver state is ONE row per block (the stitch pattern
+    shared with running_totals/sessionize); pair partials reduce with a
+    distributed groupby, never on the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    ds = ds.sort(["user_id", "ts", "event_id"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_pandas().to_numpy()
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        rows = {"kind": [], "src": [], "dst": [], "n": [],
+                "u_first": [], "u_last": [], "t_first": [],
+                "t_last": [], "ts0": [], "id0": []}
+        if n > 1:
+            mask = u[1:] == u[:-1]
+            if mask.any():
+                df = pd.DataFrame({"src": et[:-1][mask],
+                                   "dst": et[1:][mask]})
+                agg = df.groupby(["src", "dst"], as_index=False,
+                                 sort=False).size()
+                k = len(agg)
+                rows["kind"] += [0] * k
+                rows["src"] += list(agg["src"])
+                rows["dst"] += list(agg["dst"])
+                rows["n"] += list(agg["size"].astype(np.int64))
+                rows["u_first"] += [0] * k
+                rows["u_last"] += [0] * k
+                rows["t_first"] += [""] * k
+                rows["t_last"] += [""] * k
+                rows["ts0"] += [0] * k
+                rows["id0"] += [0] * k
+        if n > 0:
+            rows["kind"].append(1)
+            rows["src"].append("")
+            rows["dst"].append("")
+            rows["n"].append(0)
+            rows["u_first"].append(int(u[0]))
+            rows["u_last"].append(int(u[-1]))
+            rows["t_first"].append(str(et[0]))
+            rows["t_last"].append(str(et[-1]))
+            rows["ts0"].append(int(ts[0]))
+            rows["id0"].append(int(eid[0]))
+        return pa.table({
+            "kind": pa.array(rows["kind"], pa.int8()),
+            "src": pa.array(rows["src"], pa.string()),
+            "dst": pa.array(rows["dst"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "u_first": pa.array(rows["u_first"], pa.int64()),
+            "u_last": pa.array(rows["u_last"], pa.int64()),
+            "t_first": pa.array(rows["t_first"], pa.string()),
+            "t_last": pa.array(rows["t_last"], pa.string()),
+            "ts0": pa.array(rows["ts0"], pa.int64()),
+            "id0": pa.array(rows["id0"], pa.int64()),
+        })
+
+    parts = ds.map_batches(partials, batch_format="pyarrow") \
+        .materialize()
+    bounds = parts.filter(
+        expr="kind == 1").select_columns(
+        ["u_first", "u_last", "t_first", "t_last", "ts0", "id0"]) \
+        .to_pandas()
+    bounds = bounds.sort_values(["u_first", "ts0", "id0"],
+                                kind="mergesort").reset_index(drop=True)
+    extra_src, extra_dst = [], []
+    for i in range(1, len(bounds)):
+        if bounds["u_last"][i - 1] == bounds["u_first"][i]:
+            extra_src.append(bounds["t_last"][i - 1])
+            extra_dst.append(bounds["t_first"][i])
+    pair_parts = parts.filter(expr="kind == 0") \
+        .select_columns(["src", "dst", "n"])
+    if extra_src:
+        xdf = pd.DataFrame({"src": extra_src, "dst": extra_dst}) \
+            .groupby(["src", "dst"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        extra = rd.from_arrow(pa.table({
+            "src": pa.array(xdf["src"], pa.string()),
+            "dst": pa.array(xdf["dst"], pa.string()),
+            "n": pa.array(xdf["n"].astype(np.int64), pa.int64()),
+        }))
+        pair_parts = pair_parts.union(extra)
+    return pair_parts.groupby(["src", "dst"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS src, nxt AS dst, count(*) AS n
+FROM seq WHERE nxt IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_corr_by_group(sf_dir: str):
+    """Per-group Pearson correlation (quantity vs extendedprice per
+    returnflag) via Chan centered co-moments — NOT raw power sums,
+    which cancel catastrophically at 10^12-row scale (same rationale
+    as the global ``corr_stats``).  Map side emits one co-moment row
+    per (block, group); the driver merges them with the pairwise Chan
+    update (driver state = blocks x groups rows, groups are
+    low-cardinality aggregation flags by contract).  corr =
+    Cxy / sqrt(Mxx * Myy) — the (n-1) factors cancel, so this equals
+    DuckDB's sample corr; 6dp rounding absorbs last-ulp differences."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = {"g": [], "n": [], "mx": [], "my": [],
+               "mxx": [], "myy": [], "mxy": []}
+        for g, sub in df.groupby("l_returnflag", sort=False):
+            x = sub["l_quantity"].to_numpy(np.float64)
+            y = sub["l_extendedprice"].to_numpy(np.float64)
+            mx, my = x.mean(), y.mean()
+            dx, dy = x - mx, y - my
+            out["g"].append(g)
+            out["n"].append(len(x))
+            out["mx"].append(mx)
+            out["my"].append(my)
+            out["mxx"].append(float(dx @ dx))
+            out["myy"].append(float(dy @ dy))
+            out["mxy"].append(float(dx @ dy))
+        return pa.table({
+            "g": pa.array(out["g"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "mx": pa.array(out["mx"], pa.float64()),
+            "my": pa.array(out["my"], pa.float64()),
+            "mxx": pa.array(out["mxx"], pa.float64()),
+            "myy": pa.array(out["myy"], pa.float64()),
+            "mxy": pa.array(out["mxy"], pa.float64()),
+        })
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    rows = {"l_returnflag": [], "n": [], "corr_qty_price": []}
+    for g, sub in parts.groupby("g", sort=True):
+        n = mx = my = mxx = myy = mxy = 0.0
+        for _, r in sub.iterrows():
+            nb, na = float(r["n"]), n
+            tot = na + nb
+            dx, dy = r["mx"] - mx, r["my"] - my
+            f = na * nb / tot if tot else 0.0
+            mxx += r["mxx"] + dx * dx * f
+            myy += r["myy"] + dy * dy * f
+            mxy += r["mxy"] + dx * dy * f
+            mx += dx * nb / tot
+            my += dy * nb / tot
+            n = tot
+        denom = np.sqrt(mxx * myy)
+        rows["l_returnflag"].append(g)
+        rows["n"].append(int(n))
+        rows["corr_qty_price"].append(
+            round(mxy / denom, 6) if denom > 0 else 0.0)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "corr_qty_price": pa.array(rows["corr_qty_price"], pa.float64()),
+    }))
+
+
+SQL_CORR_BY_GROUP = """
+SELECT l_returnflag, count(*) AS n,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6592,6 +6835,9 @@ QUERY_FUNCS = {
     "cohort_retention": q_cohort_retention,
     "near_match": q_near_match,
     "bigram_pmi": q_bigram_pmi,
+    "readability": q_readability,
+    "event_transitions": q_event_transitions,
+    "corr_by_group": q_corr_by_group,
 }
 
 ORACLE_SQL = {
@@ -6727,6 +6973,9 @@ ORACLE_SQL = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "near_match": SQL_NEAR_MATCH,
     "bigram_pmi": SQL_BIGRAM_PMI,
+    "readability": SQL_READABILITY,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "corr_by_group": SQL_CORR_BY_GROUP,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
