@@ -6676,6 +6676,308 @@ GROUP BY l_returnflag
 """
 
 
+def q_mad_by_group(sf_dir: str):
+    """Median absolute deviation per group — the robust spread
+    statistic outlier-heavy training data needs where stddev is
+    useless.  Two passes of the histogram-refinement grouped-quantile
+    machinery (stages/quantiles.py — no full sort either time): pass 1
+    finds each group's median (lower order statistic, rank
+    floor((n-1)/2)+1, the convention all quantile oracles here share);
+    the 3-row median table broadcasts into a derived |x - median|
+    dataset (exact float subtraction — mirrored in SQL); pass 2 takes
+    the grouped median of the deviations."""
+    from ..stages.quantiles import exact_quantiles_by_group
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity"])
+    med_tab = exact_quantiles_by_group(
+        ds, "l_quantity", "l_returnflag", (0.5,))
+    med = dict(zip(med_tab["l_returnflag"].to_pylist(),
+                   med_tab["value"].to_pylist()))
+
+    def deviations(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = df["l_returnflag"].map(med).to_numpy(np.float64)
+        dev = np.abs(df["l_quantity"].to_numpy(np.float64) - m)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "dev": pa.array(dev, pa.float64()),
+        })
+
+    dev_ds = ds.map_batches(deviations, batch_format="pyarrow")
+    mad_tab = exact_quantiles_by_group(
+        dev_ds, "dev", "l_returnflag", (0.5,))
+    mad = dict(zip(mad_tab["l_returnflag"].to_pylist(),
+                   mad_tab["value"].to_pylist()))
+    groups = sorted(med)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "l_returnflag": pa.array(groups, pa.string()),
+        "median": pa.array([med[g] for g in groups], pa.float64()),
+        "mad": pa.array([mad[g] for g in groups], pa.float64()),
+    }))
+
+
+SQL_MAD_BY_GROUP = """
+WITH med AS (
+  SELECT l_returnflag AS rf, v AS m FROM (
+    SELECT l_returnflag, l_quantity AS v,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem)
+  WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+), dev AS (
+  SELECT l.l_returnflag, abs(l.l_quantity - m.m) AS d, m.m
+  FROM lineitem l JOIN med m ON l.l_returnflag = m.rf
+)
+SELECT l_returnflag, m AS median, d AS mad FROM (
+  SELECT l_returnflag, d, m,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY d) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM dev)
+WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+"""
+
+
+_IQR_FENCE = 1.5
+
+
+def q_iqr_outliers(sf_dir: str):
+    """Tukey-fence outlier counts per group (the data-quality screen:
+    how many extendedprice values per returnflag fall outside
+    [q1 - 1.5*IQR, q3 + 1.5*IQR]).  Grouped q1/q3 come from the
+    histogram-refinement quantile pass (no full sort); the 3-row fence
+    table broadcasts into ONE vectorized counting map whose per-group
+    partial sums reduce with a groupby — the raw rows never leave
+    their blocks.  Fence arithmetic is written in the identical
+    operation order on both sides, so strict </> comparisons agree."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.quantiles import exact_quantiles_by_group
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    qt = exact_quantiles_by_group(
+        ds, "l_extendedprice", "l_returnflag", (0.25, 0.75)).to_pandas()
+    q1 = dict(qt[qt["q"] == 0.25][["l_returnflag", "value"]].values)
+    q3 = dict(qt[qt["q"] == 0.75][["l_returnflag", "value"]].values)
+    fences = {g: (q1[g] - _IQR_FENCE * (q3[g] - q1[g]),
+                  q3[g] + _IQR_FENCE * (q3[g] - q1[g])) for g in q1}
+
+    def count_out(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        lo = df["l_returnflag"].map({g: f[0] for g, f in fences.items()}) \
+            .to_numpy(np.float64)
+        hi = df["l_returnflag"].map({g: f[1] for g, f in fences.items()}) \
+            .to_numpy(np.float64)
+        x = df["l_extendedprice"].to_numpy(np.float64)
+        out = (x < lo) | (x > hi)
+        agg = df.assign(o=out.astype(np.int64)) \
+            .groupby("l_returnflag", sort=False, as_index=False) \
+            .agg(n_outliers=("o", "sum"), n=("o", "size"))
+        return pa.table({
+            "l_returnflag": pa.array(agg["l_returnflag"], pa.string()),
+            "n_outliers": pa.array(agg["n_outliers"].astype(np.int64)),
+            "n": pa.array(agg["n"].astype(np.int64)),
+        })
+
+    counted = ds.map_batches(count_out, batch_format="pyarrow") \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("n_outliers", alias_name="n_outliers"),
+                   Sum("n", alias_name="n"))
+
+    groups = sorted(fences)
+    fence_tab = pa.table({
+        "l_returnflag": pa.array(groups, pa.string()),
+        "q1": pa.array([q1[g] for g in groups], pa.float64()),
+        "q3": pa.array([q3[g] for g in groups], pa.float64()),
+    })
+    import ray.data as rd
+
+    nparts = 2
+    return counted.join(rd.from_arrow(fence_tab), "inner",
+                        num_partitions=nparts, on=("l_returnflag",)) \
+        .select_columns(["l_returnflag", "q1", "q3", "n_outliers", "n"])
+
+
+SQL_IQR_OUTLIERS = f"""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), q AS (
+  SELECT a.l_returnflag, a.v AS q1, b.v AS q3
+  FROM ranked a JOIN ranked b ON a.l_returnflag = b.l_returnflag
+  WHERE a.rn = CAST(floor((a.n - 1) * 0.25) AS BIGINT) + 1
+    AND b.rn = CAST(floor((b.n - 1) * 0.75) AS BIGINT) + 1
+)
+SELECT q.l_returnflag, q.q1, q.q3,
+  sum(CASE WHEN l.l_extendedprice < q.q1 - {_IQR_FENCE} * (q.q3 - q.q1)
+            OR l.l_extendedprice > q.q3 + {_IQR_FENCE} * (q.q3 - q.q1)
+      THEN 1 ELSE 0 END) AS n_outliers,
+  count(*) AS n
+FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+GROUP BY q.l_returnflag, q.q1, q.q3
+"""
+
+
+_EMB_DIM = 64
+
+
+def q_embedding_norm_stats(sf_dir: str):
+    """Per-dimension mean/stddev of the embedding column — the
+    feature-normalization pass (whitening, drift monitoring) every
+    embedding pipeline runs before training.  The list<float> column
+    reshapes zero-copy to a (rows, dim) matrix per batch; each block
+    emits ONE Chan centered-moment row per dimension (same
+    numerically-stable plan as corr_by_group — raw power sums cancel
+    at 10^12 rows), and the driver merges blocks x dim rows.  DuckDB's
+    Welford stddev_pop agrees to last-ulp; 6dp rounding seals it."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(-1, _EMB_DIM)
+        mean = mat.mean(axis=0)
+        m2 = ((mat - mean) ** 2).sum(axis=0)
+        return pa.table({
+            "dim": pa.array(np.arange(_EMB_DIM, dtype=np.int64)),
+            "n": pa.array(np.full(_EMB_DIM, mat.shape[0], np.int64)),
+            "mean": pa.array(mean, pa.float64()),
+            "m2": pa.array(m2, pa.float64()),
+        })
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    rows = {"dim": [], "n": [], "mean": [], "sd": []}
+    for d, sub in parts.groupby("dim", sort=True):
+        n = mean = m2 = 0.0
+        for _, r in sub.iterrows():
+            nb, na = float(r["n"]), n
+            tot = na + nb
+            delta = r["mean"] - mean
+            m2 += r["m2"] + delta * delta * (na * nb / tot if tot else 0)
+            mean += delta * nb / tot
+            n = tot
+        rows["dim"].append(int(d))
+        rows["n"].append(int(n))
+        rows["mean"].append(round(mean, 6))
+        rows["sd"].append(round(np.sqrt(m2 / n), 6) if n else 0.0)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "dim": pa.array(rows["dim"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "mean": pa.array(rows["mean"], pa.float64()),
+        "sd": pa.array(rows["sd"], pa.float64()),
+    }))
+
+
+SQL_EMBEDDING_NORM_STATS = """
+SELECT dim, count(*) AS n, round(avg(v), 6) AS mean,
+       round(stddev_pop(v), 6) AS sd
+FROM (SELECT unnest(embedding)::DOUBLE AS v,
+             unnest(range(len(embedding)))::BIGINT AS dim
+      FROM embeddings)
+GROUP BY dim
+"""
+
+
+_WSAMPLE_RATE = 0.1
+_WSAMPLE_SCALE = 50.0  # l_quantity in [1, 50] -> weight in (0, 1]
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted Bernoulli sample: each lineitem row is
+    kept with probability rate * (l_quantity / 50) — heavier rows
+    proportionally more likely — with NO RNG state: the coin is the
+    Knuth multiplicative hash of the unique (orderkey, linenumber)
+    key, so membership is reproducible across cluster sizes and
+    re-runs (same property as stratified_sample).  All arithmetic is
+    exact IEEE multiply/compare mirrored in SQL — no libm, so the two
+    engines agree bit-for-bit.  The SQL key product stays under 2^63
+    for orderkey < 2^55 (linenumber <= 7), far past any gate scale."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        key = ok * np.uint64(8) + ln
+        h = (key * np.uint64(2654435761)) % np.uint64(4294967296)
+        w = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64) / _WSAMPLE_SCALE
+        keep = h.astype(np.float64) < _WSAMPLE_RATE * w * 4294967296.0
+        return batch.select(["l_orderkey", "l_linenumber"]) \
+            .filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE CAST(((l_orderkey * 8 + l_linenumber) * 2654435761)
+           % 4294967296 AS DOUBLE)
+      < {_WSAMPLE_RATE} * (l_quantity / {_WSAMPLE_SCALE}) * 4294967296.0
+"""
+
+
+_GAPFILL_US_PER_HOUR = 3_600_000_000
+
+
+def q_events_gapfill(sf_dir: str):
+    """Hourly event counts with zero-filled gaps — the time-series
+    densification every monitoring/feature pipeline needs before
+    windowed models (a missing hour must be an explicit 0, not an
+    absent row).  Hour buckets are integer epoch-microsecond division
+    (no timezone/date-truncation semantics to diverge on); counts
+    reduce with one small groupby; the driver sees only the per-hour
+    aggregate (rows = distinct hours, bounded by the time span — NOT
+    by event volume) and unions a zero row per missing hour."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def hours(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = t // _GAPFILL_US_PER_HOUR
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({
+            "hour": pa.array(uniq, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = ds.map_batches(hours, batch_format="pyarrow") \
+        .groupby("hour").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    lo, hi = int(agg["hour"].min()), int(agg["hour"].max())
+    full = pd.DataFrame({"hour": np.arange(lo, hi + 1, dtype=np.int64)})
+    out = full.merge(agg, on="hour", how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+SQL_EVENTS_GAPFILL = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // {_GAPFILL_US_PER_HOUR} AS hour, count(*) AS n
+  FROM events GROUP BY 1
+), span AS (
+  SELECT unnest(range(min(hour), max(hour) + 1)) AS hour FROM hourly
+)
+SELECT span.hour, coalesce(hourly.n, 0) AS n
+FROM span LEFT JOIN hourly ON span.hour = hourly.hour
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6838,6 +7140,11 @@ QUERY_FUNCS = {
     "readability": q_readability,
     "event_transitions": q_event_transitions,
     "corr_by_group": q_corr_by_group,
+    "mad_by_group": q_mad_by_group,
+    "iqr_outliers": q_iqr_outliers,
+    "embedding_norm_stats": q_embedding_norm_stats,
+    "weighted_sample": q_weighted_sample,
+    "events_gapfill": q_events_gapfill,
 }
 
 ORACLE_SQL = {
@@ -6976,6 +7283,11 @@ ORACLE_SQL = {
     "readability": SQL_READABILITY,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "corr_by_group": SQL_CORR_BY_GROUP,
+    "mad_by_group": SQL_MAD_BY_GROUP,
+    "iqr_outliers": SQL_IQR_OUTLIERS,
+    "embedding_norm_stats": SQL_EMBEDDING_NORM_STATS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "events_gapfill": SQL_EVENTS_GAPFILL,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
