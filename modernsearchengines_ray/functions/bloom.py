@@ -57,6 +57,42 @@ class BloomFilter:
         return bool(np.all(
             (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1))
 
+    # -- vectorized int-key path (bloom joins over numeric keys) -----
+    # A filter must be BUILT and PROBED through the same path: the int
+    # kernels hash with splitmix64 mixing, not md5, so int-added keys
+    # are only findable via contains_ints (and vice versa for str).
+
+    @staticmethod
+    def _mix_ints(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        with np.errstate(over="ignore"):
+            z = vals.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h1 = z ^ (z >> np.uint64(31))
+            w = h1 + np.uint64(0x9E3779B97F4A7C15)
+            w = (w ^ (w >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            w = (w ^ (w >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h2 = (w ^ (w >> np.uint64(31))) | np.uint64(1)
+        return h1, h2
+
+    def _probe_matrix(self, vals: np.ndarray) -> np.ndarray:
+        h1, h2 = self._mix_ints(vals)
+        i = np.arange(self.k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return (h1[:, None] + i[None, :] * h2[:, None]) \
+                % np.uint64(self.m)
+
+    def add_ints(self, vals: np.ndarray) -> None:
+        idx = self._probe_matrix(np.asarray(vals)).ravel()
+        np.bitwise_or.at(self.bits, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+
+    def contains_ints(self, vals: np.ndarray) -> np.ndarray:
+        idx = self._probe_matrix(np.asarray(vals))
+        bit = (self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+               >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+        return bit.all(axis=1)
+
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         assert (self.m, self.k) == (other.m, other.k)
         np.bitwise_or(self.bits, other.bits, out=self.bits)

@@ -6978,6 +6978,305 @@ FROM span LEFT JOIN hourly ON span.hour = hourly.hour
 """
 
 
+_PATH_CAP = 8
+
+
+def q_user_paths(sf_dir: str):
+    """Per-user behavioral path: the first {cap} event types in
+    (ts, id) order joined with '>' — the clickstream feature sequence
+    models train on.  Plan: ONE range sort on (user, ts, id); each
+    block emits one capped fragment per user SEGMENT it contains (a
+    Python loop over segments, not rows — segments = users-in-block);
+    fragments then assemble per user with a distributed
+    ``groupby(user).map_groups`` over the FRAGMENT rows only (a few
+    per user — the raw events never reshuffle a second time and the
+    driver holds nothing).  The cap bounds every fragment and path
+    string regardless of per-user event volume."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    ds = ds.sort(["user_id", "ts", "event_id"])
+
+    def frags(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_pandas().to_numpy()
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "frag": pa.array([], pa.string()),
+                             "ts0": pa.array([], pa.int64()),
+                             "id0": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], n]
+        users, frag, ts0, id0 = [], [], [], []
+        for s, e in zip(starts, ends):
+            users.append(int(u[s]))
+            frag.append(">".join(et[s:min(e, s + _PATH_CAP)]))
+            ts0.append(int(ts[s]))
+            id0.append(int(eid[s]))
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "frag": pa.array(frag, pa.string()),
+            "ts0": pa.array(ts0, pa.int64()),
+            "id0": pa.array(id0, pa.int64()),
+        })
+
+    parts = ds.map_batches(frags, batch_format="pyarrow")
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts0", "id0"], kind="mergesort")
+        toks = ">".join(df["frag"]).split(">")[:_PATH_CAP]
+        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
+                             "path": [">".join(toks)]})
+
+    return parts.groupby("user_id").map_groups(
+        assemble, batch_format="pandas")
+
+
+SQL_USER_PATHS = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+FROM ranked WHERE rn <= {_PATH_CAP}
+GROUP BY user_id
+"""
+
+
+_BLOOM_JOIN_MIN_PRICE = 450_000.0
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom join — the classic distributed-join optimization: before
+    the exact semi-join exchange, big-side rows probe a Bloom filter
+    of the (filtered) small-side keys, so rows that cannot match never
+    enter the shuffle.  The filter builds DISTRIBUTED (per-block
+    bitmap partials OR-merged — only the fixed-size bitmap reaches the
+    driver, never the keys), broadcasts once via ray.put, and probes
+    with the vectorized splitmix64 int kernel.  No false negatives +
+    an exact hash-shuffle left_semi verify afterwards = the prefilter
+    is semantically invisible; the oracle is the plain semi join."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.bloom import BloomFilter
+    from ..stages.dedup import default_join_partitions, ensure_schema
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_totalprice"]) \
+        .filter(expr=f"o_totalprice > {_BLOOM_JOIN_MIN_PRICE}") \
+        .select_columns(["o_orderkey"])
+    n_keys = orders.count()
+    sized = BloomFilter.for_capacity(max(n_keys, 1), fpr=1e-3)
+    m, k = sized.m, sized.k
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(m, k)
+        bf.add_ints(batch["o_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()],
+                                          pa.binary())})
+
+    bloom = BloomFilter(m, k)
+    for blob in orders.map_batches(
+            partial_bloom, batch_format="pyarrow").to_pandas()["bits"]:
+        np.bitwise_or(bloom.bits, np.frombuffer(blob, np.uint8),
+                      out=bloom.bits)
+    bloom_ref = ray.put(bloom)
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        keep = bf.contains_ints(
+            batch["l_orderkey"].to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(keep))
+
+    cand = items.map_batches(prefilter, batch_format="pyarrow")
+    nparts = default_join_partitions()
+    with _hash_shuffle_context():
+        keys = ensure_schema(
+            orders.groupby("o_orderkey", num_partitions=nparts)
+            .aggregate(Count(alias_name="_n")).drop_columns(["_n"]),
+            pa.schema([("o_orderkey", pa.int64())]), num_blocks=nparts)
+        matched = cand.join(keys, "left_semi", num_partitions=nparts,
+                            on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        x = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([len(x)], pa.int64()),
+                         "rev": pa.array([float((x * (1 - d)).sum())],
+                                         pa.float64())})
+
+    p = matched.map_batches(rev_partial, batch_format="pyarrow") \
+        .to_pandas()
+    return rd.from_arrow(pa.table({
+        "n": pa.array([int(p["n"].sum())], pa.int64()),
+        "revenue": pa.array([round(float(p["rev"].sum()), 4)],
+                            pa.float64()),
+    }))
+
+
+SQL_BLOOM_SEMI_JOIN = f"""
+SELECT count(*)::BIGINT AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey
+                AND o_totalprice > {_BLOOM_JOIN_MIN_PRICE})
+"""
+
+
+def q_percent_rank(sf_dir: str):
+    """percent_rank + cume_dist per user over the (ts, id) event
+    order — the normalized-position features sequence models use.
+    Both ranks need rn AND the group size n, so instead of a window
+    pass plus a count join (TWO hash exchanges — concurrent exchange
+    aggregators starve a small CPU budget, same deadlock note as
+    nation_revenue), this uses ONE exchange: hash-repartition by user
+    co-locates each user's rows, then a per-partition vectorized
+    kernel (lexsort + segment arithmetic) computes rn and n together.
+    Assumes one user's events fit a partition (the sessionize
+    contract).  The ordering key (ts, id) is unique, so rank ==
+    row_number and the SQL mirror needs no tie semantics."""
+    from ..stages.dedup import default_join_partitions
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+        })
+
+    from ray.data.context import ShuffleStrategy
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    # flip the CHAIN's captured context (datasets snapshot the
+    # DataContext at creation — see stages/windows.py partitioned tier)
+    tagged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    shuffled = tagged.repartition(default_join_partitions(),
+                                  keys=["user_id"], sort=False)
+
+    def ranks(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "prk": pa.array([], pa.float64()),
+                             "cd": pa.array([], pa.float64())})
+        order = np.lexsort((eid, ts, u))
+        us, tss, es = u[order], ts[order], eid[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        seg_len = np.diff(np.r_[starts, len(us)])
+        rn = (np.arange(len(us)) - np.repeat(starts, seg_len) + 1) \
+            .astype(np.float64)
+        n = np.repeat(seg_len, seg_len).astype(np.float64)
+        prk = np.where(n > 1, (rn - 1) / np.where(n > 1, n - 1, 1), 0.0)
+        return pa.table({
+            "event_id": pa.array(es, pa.int64()),
+            "user_id": pa.array(us, pa.int64()),
+            "prk": pa.array(np.round(prk, 6), pa.float64()),
+            "cd": pa.array(np.round(rn / n, 6), pa.float64()),
+        })
+
+    return shuffled.map_batches(ranks, batch_size=None,
+                                batch_format="pyarrow")
+
+
+SQL_PERCENT_RANK = """
+SELECT event_id, user_id,
+  round(CASE WHEN n > 1 THEN (rn - 1)::DOUBLE / (n - 1) ELSE 0 END, 6)
+    AS prk,
+  round(rn::DOUBLE / n, 6) AS cd
+FROM (SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events)
+"""
+
+
+def q_referential_check(sf_dir: str):
+    """Referential-integrity audit across the star schema's FK edges
+    (lineitem->orders, orders->customer, customer->nation): orphan
+    row count per edge via distributed hash-shuffle LEFT ANTI joins —
+    the data-contract gate a warehouse load runs before publishing.
+    Each edge is one anti join + a count; no driver state beyond the
+    3-row report."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import default_join_partitions, ensure_schema
+
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    nparts = default_join_partitions()
+    names, orphans, totals = [], [], []
+
+    def as_i64(col):
+        def fix(batch: pa.Table) -> pa.Table:
+            return pa.table({col: batch[col].cast(pa.int64())})
+        return fix
+
+    for name, lt, lk, rt, rk in edges:
+        # nationkey columns are int32 in the testdata; the anti join
+        # needs both key sides at one type
+        left = _read(sf_dir, lt, columns=[lk]) \
+            .map_batches(as_i64(lk), batch_format="pyarrow")
+        right = _read(sf_dir, rt, columns=[rk]) \
+            .map_batches(as_i64(rk), batch_format="pyarrow")
+        with _hash_shuffle_context():
+            distinct = ensure_schema(
+                right.groupby(rk, num_partitions=nparts)
+                .aggregate(Count(alias_name="_n")).drop_columns(["_n"]),
+                pa.schema([(rk, pa.int64())]), num_blocks=nparts)
+            orphan = left.join(distinct, "left_anti",
+                               num_partitions=nparts,
+                               on=(lk,), right_on=(rk,)).count()
+        names.append(name)
+        orphans.append(orphan)
+        totals.append(left.count())
+    return rd.from_arrow(pa.table({
+        "fk": pa.array(names, pa.string()),
+        "orphans": pa.array(orphans, pa.int64()),
+        "total": pa.array(totals, pa.int64()),
+    }))
+
+
+SQL_REFERENTIAL_CHECK = """
+SELECT 'lineitem->orders' AS fk,
+  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS orphans,
+  (SELECT count(*) FROM lineitem) AS total
+UNION ALL
+SELECT 'orders->customer',
+  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+  (SELECT count(*) FROM orders)
+UNION ALL
+SELECT 'customer->nation',
+  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+  (SELECT count(*) FROM customer)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7145,6 +7444,10 @@ QUERY_FUNCS = {
     "embedding_norm_stats": q_embedding_norm_stats,
     "weighted_sample": q_weighted_sample,
     "events_gapfill": q_events_gapfill,
+    "user_paths": q_user_paths,
+    "bloom_semi_join": q_bloom_semi_join,
+    "percent_rank": q_percent_rank,
+    "referential_check": q_referential_check,
 }
 
 ORACLE_SQL = {
@@ -7288,6 +7591,10 @@ ORACLE_SQL = {
     "embedding_norm_stats": SQL_EMBEDDING_NORM_STATS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_gapfill": SQL_EVENTS_GAPFILL,
+    "user_paths": SQL_USER_PATHS,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+    "percent_rank": SQL_PERCENT_RANK,
+    "referential_check": SQL_REFERENTIAL_CHECK,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
