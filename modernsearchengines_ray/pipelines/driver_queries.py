@@ -7277,6 +7277,454 @@ SELECT 'customer->nation',
 """
 
 
+def q_price_quantiles_interp(sf_dir: str):
+    """Interpolated exact quantiles (SQL ``percentile_cont``
+    semantics) over l_extendedprice — the continuous complement of
+    the order-statistic ``price_quantiles``.  Same histogram-
+    refinement plan (no full sort, driver state = one count vector);
+    both neighbouring order statistics come out of the one candidate
+    pull, and the interpolation ``v_lo + frac·(v_hi − v_lo)`` is
+    written in the identical operation order in the SQL oracle so the
+    pre-rounding doubles agree bit-for-bit."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    tab = exact_quantiles(ds, "l_extendedprice", (0.25, 0.5, 0.75),
+                          interpolate=True)
+    return pa.table({
+        "q": tab["q"],
+        "value": pa.array(
+            [_round_half_away(v) for v in
+             tab["value"].to_numpy(zero_copy_only=False)],
+            pa.float64()),
+    })
+
+
+SQL_PRICE_QUANTILES_INTERP = """
+WITH ranked AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn,
+         count(*) OVER () AS n
+  FROM lineitem
+), plan AS (
+  SELECT q,
+         CAST(floor((n - 1) * q) AS BIGINT) + 1 AS r_lo,
+         (n - 1) * q - floor((n - 1) * q) AS frac,
+         n
+  FROM (SELECT unnest([0.25, 0.5, 0.75])::DOUBLE AS q),
+       (SELECT max(n) AS n FROM ranked)
+)
+SELECT p.q,
+       round(a.v + p.frac * (b.v - a.v), 6) AS value
+FROM plan p
+JOIN ranked a ON a.rn = p.r_lo
+JOIN ranked b ON b.rn = CASE WHEN p.frac > 0
+                             THEN least(p.r_lo + 1, p.n)
+                             ELSE p.r_lo END
+"""
+
+
+def q_events_ohlc(sf_dir: str):
+    """Time-series downsampling to per-(user, hour) OHLC bars — the
+    resample-first/last/min/max primitive (arg-min/arg-max by
+    timestamp) that neither Ray's stock aggregates nor a plain
+    groupby expose.  Each block emits ONE partial row per (user,
+    bucket) carrying (open_ts, open_val, close_ts, close_val, high,
+    low, n); partials merge associatively (min/max by the (ts, value)
+    composite — the value tie-break makes duplicate-ts rows
+    deterministic on both engines), so the shuffle moves rows ∝
+    blocks × groups, never events.  open/high/low/close are exact
+    value copies — no float arithmetic, hash-exact vs SQL."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bucket = np.floor(ts_us / 3600000000.0).astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "bucket": bucket,
+            "ts": ts_us,
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+        }).sort_values(["user_id", "bucket", "ts", "value"],
+                       kind="mergesort")
+        agg = df.groupby(["user_id", "bucket"], sort=False,
+                         as_index=False).agg(
+            open_ts=("ts", "first"), open_val=("value", "first"),
+            close_ts=("ts", "last"), close_val=("value", "last"),
+            high=("value", "max"), low=("value", "min"),
+            n=("value", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        i = np.lexsort((g["open_val"].to_numpy(),
+                        g["open_ts"].to_numpy()))
+        j = np.lexsort((g["close_val"].to_numpy(),
+                        g["close_ts"].to_numpy()))
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "bucket": [g["bucket"].iloc[0]],
+            "open": [g["open_val"].iloc[i[0]]],
+            "high": [g["high"].max()],
+            "low": [g["low"].min()],
+            "close": [g["close_val"].iloc[j[-1]]],
+            "n": [int(g["n"].sum())],
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "bucket"]) \
+        .map_groups(fold, batch_format="pandas")
+
+
+SQL_EVENTS_OHLC = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket,
+         ts, value
+  FROM events
+), r AS (
+  SELECT user_id, bucket, value,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY ts, value) AS ra,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY ts DESC, value DESC) AS rd
+  FROM e
+)
+SELECT user_id, bucket,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       count(*) AS n
+FROM r GROUP BY user_id, bucket
+"""
+
+
+def q_chi_square_flag_status(sf_dir: str):
+    """Chi-square test of independence between two categorical
+    columns (l_returnflag × l_linestatus) — the feature-association
+    screen run before keeping a categorical signal.  One map-side
+    (flag, status, count) partial per block feeds ONE tiny groupby;
+    the contingency grid (flags × statuses, zero-observed cells
+    included — their expected mass still contributes) folds to the
+    statistic on the driver in sorted cell order.  Cell sums are
+    exact int64; only the final Σ(o−e)²/e is float, rounded 6dp on
+    both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "flag": batch["l_returnflag"].to_pandas(),
+            "status": batch["l_linestatus"].to_pandas(),
+        })
+        agg = df.groupby(["flag", "status"], sort=False,
+                         as_index=False).size()
+        return pa.table({
+            "flag": pa.array(agg["flag"], pa.string()),
+            "status": pa.array(agg["status"], pa.string()),
+            "cnt": pa.array(agg["size"].to_numpy(), pa.int64()),
+        })
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["flag", "status"]) \
+        .aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+
+    obs = {(r["flag"], r["status"]): int(r["cnt"])
+           for _, r in cells.iterrows()}
+    flags = sorted({f for f, _ in obs})
+    stats = sorted({s for _, s in obs})
+    n = sum(obs.values())
+    row_tot = {f: sum(obs.get((f, s), 0) for s in stats) for f in flags}
+    col_tot = {s: sum(obs.get((f, s), 0) for f in flags) for s in stats}
+    chi2 = 0.0
+    for f in flags:
+        for s in stats:
+            e = row_tot[f] * col_tot[s] / n
+            o = obs.get((f, s), 0)
+            chi2 += (o - e) ** 2 / e
+    dof = (len(flags) - 1) * (len(stats) - 1)
+    return pa.table({
+        "chi2": pa.array([_round_half_away(chi2)], pa.float64()),
+        "dof": pa.array([dof], pa.int64()),
+        "n": pa.array([n], pa.int64()),
+    })
+
+
+SQL_CHI_SQUARE = """
+WITH obs AS (
+  SELECT l_returnflag AS f, l_linestatus AS s, count(*) AS o
+  FROM lineitem GROUP BY 1, 2
+), grid AS (
+  SELECT f, s FROM (SELECT DISTINCT f FROM obs),
+                   (SELECT DISTINCT s FROM obs)
+), tot AS (SELECT sum(o) AS n FROM obs),
+rt AS (SELECT f, sum(o) AS rt FROM obs GROUP BY f),
+ct AS (SELECT s, sum(o) AS ct FROM obs GROUP BY s)
+SELECT round(sum(pow(coalesce(obs.o, 0) - rt.rt * ct.ct / tot.n, 2)
+                 / (rt.rt * ct.ct / tot.n)), 6) AS chi2,
+       (count(DISTINCT grid.f) - 1) * (count(DISTINCT grid.s) - 1)
+         AS dof,
+       CAST(max(tot.n) AS BIGINT) AS n
+FROM grid
+LEFT JOIN obs ON obs.f = grid.f AND obs.s = grid.s
+JOIN rt ON rt.f = grid.f
+JOIN ct ON ct.s = grid.s
+CROSS JOIN tot
+"""
+
+
+def q_winsorized_mean(sf_dir: str):
+    """Winsorized per-group mean: clamp l_extendedprice at the exact
+    global p05/p95 order statistics (histogram-refinement pass — no
+    full sort), then one vectorized clamp-and-sum map whose per-flag
+    partials reduce in a tiny groupby.  The robust-mean feature every
+    outlier-heavy pipeline computes; clamping copies values (no
+    arithmetic) so only the final avg is float, and dividing the
+    tree-summed total by the group count shrinks summation-order
+    error far below the 6dp rounding."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    edges = exact_quantiles(ds, "l_extendedprice", (0.05, 0.95)) \
+        .to_pandas()["value"].to_numpy()
+    lo, hi = float(edges[0]), float(edges[1])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        w = np.minimum(np.maximum(x, lo), hi)
+        df = pd.DataFrame({"flag": batch["l_returnflag"].to_pandas(),
+                           "w": w})
+        agg = df.groupby("flag", sort=False, as_index=False) \
+            .agg(s=("w", "sum"), n=("w", "size"))
+        return pa.table({
+            "l_returnflag": pa.array(agg["flag"], pa.string()),
+            "s": pa.array(agg["s"].to_numpy(), pa.float64()),
+            "n": pa.array(agg["n"].to_numpy(), pa.int64()),
+        })
+
+    summed = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        cnt = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "wmean": pa.array([_round_half_away(a / b)
+                               for a, b in zip(s, cnt)], pa.float64()),
+            "n": batch["n"],
+        })
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_WINSORIZED_MEAN = """
+WITH ranked AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn,
+         count(*) OVER () AS n
+  FROM lineitem
+), e AS (
+  SELECT a.v AS lo, b.v AS hi
+  FROM ranked a, ranked b
+  WHERE a.rn = CAST(floor((a.n - 1) * 0.05) AS BIGINT) + 1
+    AND b.rn = CAST(floor((b.n - 1) * 0.95) AS BIGINT) + 1
+)
+SELECT l_returnflag,
+       round(avg(least(greatest(l_extendedprice, e.lo), e.hi)), 6)
+         AS wmean,
+       count(*) AS n
+FROM lineitem, e GROUP BY l_returnflag
+"""
+
+
+_FUZZY_JOIN_PROBES = ("strem", "quary", "joinn", "tabel", "vektor",
+                      "xyz", "sort", "ro")
+
+
+def _deletion_variants(w: str) -> set:
+    """The word plus every single-character deletion — the SymSpell
+    blocking key set: two strings within edit distance 1 always share
+    at least one variant (substitution shares the common deletion;
+    insertion/deletion shares the shorter string itself)."""
+    return {w} | {w[:i] + w[i + 1:] for i in range(len(w))}
+
+
+def q_fuzzy_join(sf_dir: str):
+    """Fuzzy string join (record-linkage): match a probe word list
+    against the corpus vocabulary within edit distance 1 WITHOUT the
+    all-pairs |vocab|×|probes| scan — SymSpell deletion-neighborhood
+    blocking (Garbe 2012).  The probe side's deletion variants build a
+    tiny inverted block index broadcast into ONE streaming map; each
+    block extracts its distinct words, probes only variant-colliding
+    candidates, and verifies with the capped Levenshtein kernel
+    (functions/editdist.py, fuzz-tested parity with DuckDB's
+    ``levenshtein``).  No exchange except the final distinct over the
+    (probe, word) survivors — pairs, never vocabulary, move."""
+    from ..functions.editdist import levenshtein
+
+    block_index: dict = {}
+    for p in _FUZZY_JOIN_PROBES:
+        for v in _deletion_variants(p):
+            block_index.setdefault(v, []).append(p)
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        words = set()
+        for text in batch["text"].to_pylist():
+            words.update(simple_tokens(text))
+        out_p, out_w, out_d = [], [], []
+        for w in words:
+            hits = set()
+            for v in _deletion_variants(w):
+                hits.update(block_index.get(v, ()))
+            for p in hits:
+                d = levenshtein(p, w, cap=1)
+                if d <= 1:
+                    out_p.append(p)
+                    out_w.append(w)
+                    out_d.append(d)
+        return pa.table({
+            "probe": pa.array(out_p, pa.string()),
+            "word": pa.array(out_w, pa.string()),
+            "dist": pa.array(out_d, pa.int64()),
+        })
+
+    pairs = ds.map_batches(candidates, batch_format="pyarrow")
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    # distinct over cross-block duplicates (dist is a function of the
+    # pair, so any representative row is THE row)
+    return pairs.groupby(["probe", "word"]) \
+        .map_groups(first_row, batch_format="pandas")
+
+
+SQL_FUZZY_JOIN = f"""
+WITH w AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+')) AS word
+  FROM documents
+), p AS (
+  SELECT unnest({list(_FUZZY_JOIN_PROBES)!r}) AS probe
+)
+SELECT p.probe, w.word, levenshtein(p.probe, w.word) AS dist
+FROM p, w
+WHERE w.word <> '' AND levenshtein(p.probe, w.word) <= 1
+"""
+
+
+def q_autocorr_by_user(sf_dir: str):
+    """Per-user lag-1 autocorrelation of event values in time order —
+    the burstiness / trend-persistence signal per entity.  ONE hash
+    exchange groups each user's rows (exactly the state SQL's
+    PARTITION BY needs; per-user history fits a worker by the same
+    contract); the per-group kernel is one vectorized sort + shifted
+    views + centered co-moment fold, matching DuckDB's sample corr
+    (the (n-1) factors cancel).  Users with fewer than 2 lag pairs or
+    zero variance are dropped on BOTH engines (SQL corr is NULL
+    there)."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(np.float64)
+        empty = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                              "n_pairs": pd.Series([], dtype=np.int64),
+                              "autocorr": pd.Series([],
+                                                    dtype=np.float64)})
+        if len(v) < 3:
+            return empty
+        x, y = v[:-1], v[1:]
+        dx, dy = x - x.mean(), y - y.mean()
+        denom = np.sqrt(float(dx @ dx) * float(dy @ dy))
+        if denom <= 0:
+            return empty
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_pairs": [len(x)],
+            "autocorr": [_round_half_away(float(dx @ dy) / denom)],
+        })
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+SQL_AUTOCORR_BY_USER = """
+WITH s AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+  FROM events
+), p AS (
+  SELECT user_id, prev AS x, value AS y FROM s WHERE prev IS NOT NULL
+)
+SELECT user_id, count(*) AS n_pairs, round(corr(x, y), 6) AS autocorr
+FROM p GROUP BY user_id
+HAVING count(*) >= 2 AND corr(x, y) IS NOT NULL
+"""
+
+
+def q_key_skew_profile(sf_dir: str):
+    """Join/groupby-key skew profiler: the distribution of group
+    sizes (orders per customer) in log2 buckets — the diagnostic a
+    planner consults before choosing broadcast vs shuffle vs salting.
+    Map-side per-key count partials feed one groupby(key); the
+    per-key counts then collapse to ≤64 bucket rows via a second
+    map-side combine + tiny groupby.  floor(log2(n)) is exact for
+    every int64 n (integer log2 margins dwarf the ulp)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            batch["o_custkey"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"o_custkey": pa.array(keys, pa.int64()),
+                         "c": pa.array(counts, pa.int64())})
+
+    per_key = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("c", alias_name="n"))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        bucket = np.floor(np.log2(n)).astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket, "n": n})
+        agg = df.groupby("bucket", sort=False, as_index=False) \
+            .agg(n_keys=("n", "size"), n_rows=("n", "sum"))
+        return pa.table({
+            "bucket": pa.array(agg["bucket"].to_numpy(), pa.int64()),
+            "n_keys": pa.array(agg["n_keys"].to_numpy(), pa.int64()),
+            "n_rows": pa.array(agg["n_rows"].to_numpy(), pa.int64()),
+        })
+
+    return per_key.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket") \
+        .aggregate(Sum("n_keys", alias_name="n_keys"),
+                   Sum("n_rows", alias_name="n_rows"))
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH c AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+)
+SELECT CAST(floor(log2(n)) AS BIGINT) AS bucket,
+       count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows
+FROM c GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7448,6 +7896,13 @@ QUERY_FUNCS = {
     "bloom_semi_join": q_bloom_semi_join,
     "percent_rank": q_percent_rank,
     "referential_check": q_referential_check,
+    "price_quantiles_interp": q_price_quantiles_interp,
+    "events_ohlc": q_events_ohlc,
+    "chi_square_flag_status": q_chi_square_flag_status,
+    "winsorized_mean": q_winsorized_mean,
+    "fuzzy_join": q_fuzzy_join,
+    "autocorr_by_user": q_autocorr_by_user,
+    "key_skew_profile": q_key_skew_profile,
 }
 
 ORACLE_SQL = {
@@ -7595,6 +8050,13 @@ ORACLE_SQL = {
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "percent_rank": SQL_PERCENT_RANK,
     "referential_check": SQL_REFERENTIAL_CHECK,
+    "price_quantiles_interp": SQL_PRICE_QUANTILES_INTERP,
+    "events_ohlc": SQL_EVENTS_OHLC,
+    "chi_square_flag_status": SQL_CHI_SQUARE,
+    "winsorized_mean": SQL_WINSORIZED_MEAN,
+    "fuzzy_join": SQL_FUZZY_JOIN,
+    "autocorr_by_user": SQL_AUTOCORR_BY_USER,
+    "key_skew_profile": SQL_KEY_SKEW_PROFILE,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its

@@ -72,12 +72,24 @@ def _nan_excluded_stats(ds, col: str) -> tuple[int, float, float]:
 
 def exact_quantiles(ds, col: str, qs: tuple[float, ...],
                     bins: int = 4096,
-                    max_candidate_rows: int = 5_000_000) -> pa.Table:
+                    max_candidate_rows: int = 5_000_000,
+                    interpolate: bool = False) -> pa.Table:
     """Exact order-statistic quantiles of ``ds[col]``.
 
     Returns a pyarrow Table ``(q float64, value float64)`` with one
     row per requested quantile, ordered as given.  Nulls in ``col``
     are excluded (SQL aggregate semantics).
+
+    ``interpolate=True`` switches from the "lower" rule to SQL
+    ``percentile_cont`` semantics: with ``h = (n-1)·q``,
+    ``k = floor(h)`` and ``frac = h - k``, the result is
+    ``v_k + frac·(v_{k+1} - v_k)`` over the 0-based sorted order
+    statistics — still exact (both neighbouring order statistics are
+    pulled through the same candidate-bin refinement; the plan cost
+    is unchanged because rank k+1 is almost always in the same bin).
+    The arithmetic is written in exactly that operation order so a
+    SQL oracle spelling the same formula matches bit-for-bit before
+    rounding.
     """
     from ray.data.aggregate import AggregateFn
 
@@ -108,9 +120,15 @@ def exact_quantiles(ds, col: str, qs: tuple[float, ...],
     hist = np.asarray(ds.aggregate(hist_fn)["bin_hist"], dtype=np.int64)
     cum = np.cumsum(hist)
 
-    # target ranks (1-based) and the bin containing each
+    # target ranks (1-based) and the bin containing each; under
+    # interpolation the upper neighbour rank k+2 (1-based) is needed
+    # too whenever frac > 0
     ranks = [int(np.floor((n - 1) * q)) + 1 for q in qs]
-    need_bins = sorted({int(np.searchsorted(cum, r)) for r in ranks})
+    fracs = [(n - 1) * q - np.floor((n - 1) * q) for q in qs]
+    hi_ranks = [min(r + 1, n) if (interpolate and f > 0) else r
+                for r, f in zip(ranks, fracs)]
+    need_bins = sorted({int(np.searchsorted(cum, r))
+                        for r in list(ranks) + list(hi_ranks)})
     pull = int(hist[need_bins].sum())
     if pull > max_candidate_rows:
         raise ValueError(
@@ -137,12 +155,20 @@ def exact_quantiles(ds, col: str, qs: tuple[float, ...],
     cvals = cand[col].to_numpy(dtype=np.float64)
     cbins = cand["bin"].to_numpy(dtype=np.int64)
 
-    out = []
-    for q, r in zip(qs, ranks):
+    def order_stat(r: int) -> float:
         b = int(np.searchsorted(cum, r))
         before = int(cum[b - 1]) if b > 0 else 0
         local = np.sort(cvals[cbins == b])
-        out.append(float(local[r - before - 1]))
+        return float(local[r - before - 1])
+
+    out = []
+    for q, r, r_hi, frac in zip(qs, ranks, hi_ranks, fracs):
+        v_lo = order_stat(r)
+        if interpolate and r_hi != r:
+            v_hi = order_stat(r_hi)
+            out.append(v_lo + float(frac) * (v_hi - v_lo))
+        else:
+            out.append(v_lo)
     return pa.table({"q": pa.array(list(qs), pa.float64()),
                      "value": pa.array(out, pa.float64())})
 

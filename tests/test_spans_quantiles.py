@@ -206,6 +206,77 @@ class TestExactQuantiles:
         assert got["value"].null_count == len(self.QS)
 
 
+class TestInterpolatedQuantiles:
+    """exact_quantiles(interpolate=True) == SQL percentile_cont:
+    v_lo + frac*(v_hi - v_lo) over the neighbouring order
+    statistics, written in exactly that operation order."""
+
+    QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+    def _want(self, vals, q):
+        srt = np.sort(np.asarray(vals, dtype=np.float64))
+        h = (len(srt) - 1) * q
+        k = int(np.floor(h))
+        frac = h - np.floor(h)
+        if frac == 0 or k + 1 >= len(srt):
+            return float(srt[k])
+        return float(srt[k] + frac * (srt[k + 1] - srt[k]))
+
+    def _check(self, vals, bins=256):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            exact_quantiles)
+
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+        got = exact_quantiles(ds, "v", self.QS, bins=bins,
+                              interpolate=True).to_pandas()
+        for q, g in zip(self.QS, got["value"]):
+            assert g == self._want(vals, q), (q, g)
+            # sanity vs numpy's linear method (same definition,
+            # possibly different fp op order)
+            assert abs(g - np.quantile(np.asarray(vals, np.float64),
+                                       q)) < 1e-9
+
+    def test_random(self, ray_session):
+        rng = np.random.default_rng(3)
+        self._check(rng.normal(50.0, 9.0, size=5_001).tolist())
+
+    def test_frac_zero_hits_element(self, ray_session):
+        # n=5: (n-1)*q integral for every q in {0.25,0.5,0.75}
+        self._check([5.0, 1.0, 4.0, 2.0, 3.0])
+
+    def test_neighbour_in_next_bin(self, ray_session):
+        # two clusters so v_k and v_{k+1} land in different bins
+        vals = [0.0] * 50 + [1000.0] * 50
+        self._check(vals, bins=16)
+
+    def test_matches_duckdb_percentile_formula(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            exact_quantiles)
+
+        rng = np.random.default_rng(13)
+        vals = rng.uniform(0.0, 1e5, size=2_000)
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+        got = exact_quantiles(ds, "v", (0.5,), interpolate=True) \
+            .to_pandas()["value"][0]
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"v": vals}))
+        want = con.execute(
+            "SELECT a.v + ((n - 1) * 0.5 - floor((n - 1) * 0.5))"
+            "       * (b.v - a.v) "
+            "FROM (SELECT v, row_number() OVER (ORDER BY v) rn,"
+            "             count(*) OVER () n FROM t) a "
+            "JOIN (SELECT v, row_number() OVER (ORDER BY v) rn"
+            "      FROM t) b ON b.rn = a.rn + 1 "
+            "WHERE a.rn = CAST(floor((a.n - 1) * 0.5) AS BIGINT) + 1"
+        ).fetchone()[0]
+        assert got == want
+
+
 class TestExactQuantilesByGroup:
     QS = (0.25, 0.5, 0.9)
 
