@@ -7725,6 +7725,324 @@ FROM c GROUP BY 1
 """
 
 
+def q_entity_clusters(sf_dir: str):
+    """Entity resolution end-to-end: cluster the corpus vocabulary by
+    edit-distance-1 links — SymSpell deletion blocking generates
+    candidate pairs (never all-pairs), the capped Levenshtein kernel
+    verifies them, and the connected-components stage (min-label
+    propagation with local contraction, stages/graph.py) collapses
+    links into clusters.  Node ids come from ``global_row_number``
+    over the lexicographically sorted vocabulary, so the component's
+    min id IS its lexicographically smallest word — the same
+    canonical label SQL's min(comp) walk produces.  The synthetic
+    vocabulary has no organic near-words, so deterministic variants
+    (word+'x' for words of length ≥ 5) are planted on BOTH sides —
+    the planted-PII precedent; without them the oracle is vacuous."""
+    import ray.data as rd
+
+    from ..functions.editdist import levenshtein
+    from ..stages.graph import connected_components
+    from ..stages.rank import global_row_number
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def words_partial(batch: pa.Table) -> pa.Table:
+        words = set()
+        for text in batch["text"].to_pylist():
+            words.update(simple_tokens(text))
+        aug = set(words)
+        aug.update(w + "x" for w in words if len(w) >= 5)
+        return pa.table({"word": pa.array(sorted(aug), pa.string())})
+
+    from ray.data.aggregate import Count
+
+    vocab = ds.map_batches(words_partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+    ids = global_row_number(vocab, ["word"], out_col="nid").materialize()
+
+    def variant_rows(batch: pa.Table) -> pa.Table:
+        out_v, out_w, out_i = [], [], []
+        for w, i in zip(batch["word"].to_pylist(),
+                        batch["nid"].to_numpy(zero_copy_only=False)):
+            for v in _deletion_variants(w):
+                out_v.append(v)
+                out_w.append(w)
+                out_i.append(int(i))
+        return pa.table({"variant": pa.array(out_v, pa.string()),
+                         "word": pa.array(out_w, pa.string()),
+                         "nid": pa.array(out_i, pa.int64())})
+
+    def mine_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ws = g["word"].to_numpy(object)
+        nids = g["nid"].to_numpy(np.int64)
+        src, dst = [], []
+        for a in range(len(ws)):
+            for b in range(a + 1, len(ws)):
+                if ws[a] != ws[b] and \
+                        levenshtein(ws[a], ws[b], cap=1) <= 1:
+                    src.append(int(nids[a]))
+                    dst.append(int(nids[b]))
+        return pd.DataFrame({"src": np.array(src, np.int64),
+                             "dst": np.array(dst, np.int64)})
+
+    # a word appears once per (variant, word) pair in a group; dedupe
+    # within the group before the quadratic verify
+    def dedupe_group(g: pd.DataFrame) -> pd.DataFrame:
+        return mine_pairs(g.drop_duplicates("word"))
+
+    link_edges = ids.map_batches(variant_rows, batch_format="pyarrow") \
+        .groupby("variant").map_groups(dedupe_group,
+                                       batch_format="pandas")
+
+    def self_edges(batch: pa.Table) -> pa.Table:
+        n = batch["nid"]
+        return pa.table({"src": n, "dst": n})
+
+    edges = ids.map_batches(self_edges, batch_format="pyarrow") \
+        .union(link_edges)
+    comp = connected_components(edges)
+
+    nparts = 2
+    labelled = comp.join(ids.select_columns(["word", "nid"]), "inner",
+                         num_partitions=nparts,
+                         on=("node",), right_on=("nid",))
+    cluster_names = ids.select_columns(["word", "nid"]) \
+        .rename_columns({"word": "cluster", "nid": "cid"})
+    return labelled.join(cluster_names, "inner",
+                         num_partitions=nparts,
+                         on=("component",), right_on=("cid",)) \
+        .select_columns(["word", "cluster"])
+
+
+SQL_ENTITY_CLUSTERS = """
+WITH RECURSIVE
+w0 AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+')) AS word
+  FROM documents
+), wf AS (SELECT word FROM w0 WHERE word <> ''),
+aug AS (
+  SELECT word FROM wf
+  UNION
+  SELECT word || 'x' FROM wf WHERE length(word) >= 5
+),
+e AS (
+  SELECT a.word AS src, b.word AS dst
+  FROM aug a, aug b WHERE levenshtein(a.word, b.word) <= 1
+),
+walk(node, comp) AS (
+  SELECT word, word FROM aug
+  UNION
+  SELECT e.dst, walk.comp FROM walk JOIN e ON e.src = walk.node
+)
+SELECT node AS word, min(comp) AS cluster FROM walk GROUP BY node
+"""
+
+
+_DOCSIM_THRESHOLD = 0.80
+_DOCSIM_SAMPLE_MOD = 5
+
+
+def q_doc_similarity(sf_dir: str):
+    """All-pairs document cosine similarity over TF-IDF vectors via
+    the INVERTED-INDEX join (the DIMSUM/PPJoin family shape): docs
+    never meet unless they share a term.  Per-doc vectors and norms
+    are block-local (one map); a term-keyed exchange mines per-term
+    pair partials ``u_a·u_b`` (a<b) and ONE pair-keyed groupby sums
+    them into cosines.  At web scale the quadratic hot-term fan-out
+    is the known hazard — the standard df-cutoff / magnitude-pruning
+    mitigation applies; here the corpus is sampled (doc_id%5=0, the
+    SQL-mirrored predicate) which bounds every df.  idf = ln(N/df)
+    and the rounding are mirrored op-for-op; the ≥0.80 threshold
+    applies to the ROUNDED cosine on both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % _DOCSIM_SAMPLE_MOD == 0))
+
+    ds = ds.map_batches(keep_sample, batch_format="pyarrow")
+    n_docs = ds.count()
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        out_d, out_t, out_tf = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            for t, c in sorted(Counter(simple_tokens(text)).items()):
+                out_d.append(doc_id)
+                out_t.append(t)
+                out_tf.append(c)
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "term": pa.array(out_t, pa.string()),
+                         "tf": pa.array(out_tf, pa.int64())})
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Count
+
+    df_tab = tf.groupby("term").aggregate(Count(alias_name="df"))
+
+    nparts = 2
+    w = tf.join(df_tab, "inner", num_partitions=nparts, on=("term",))
+
+    def weight(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "term": batch["term"],
+            "w": pa.array(tfv * np.log(n_docs / dfv), pa.float64()),
+        })
+
+    w = w.map_batches(weight, batch_format="pyarrow").materialize()
+
+    def norm_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "w2": batch["w"].to_numpy(zero_copy_only=False) ** 2})
+        agg = df.groupby("doc_id", sort=False, as_index=False).sum()
+        return pa.table({
+            "doc_id": pa.array(agg["doc_id"].to_numpy(), pa.int64()),
+            "w2": pa.array(agg["w2"].to_numpy(), pa.float64())})
+
+    norms = w.map_batches(norm_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("w2", alias_name="w2"))
+
+    u = w.join(norms, "inner", num_partitions=nparts, on=("doc_id",))
+
+    def unit(batch: pa.Table) -> pa.Table:
+        wv = batch["w"].to_numpy(zero_copy_only=False)
+        nv = np.sqrt(batch["w2"].to_numpy(zero_copy_only=False))
+        keep = nv > 0
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(pa.array(keep)),
+            "term": batch["term"].filter(pa.array(keep)),
+            "u": pa.array(wv[keep] / nv[keep], pa.float64()),
+        })
+
+    def term_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(np.int64)
+        uv = g["u"].to_numpy(np.float64)
+        order = np.argsort(ids, kind="mergesort")
+        ids, uv = ids[order], uv[order]
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],
+                             "p": uv[ai] * uv[bi]})
+
+    pairs = u.map_batches(unit, batch_format="pyarrow") \
+        .groupby("term").map_groups(term_pairs, batch_format="pandas") \
+        .groupby(["id_a", "id_b"]).aggregate(Sum("p", alias_name="p"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cos = np.array([_round_half_away(v) for v in
+                        batch["p"].to_numpy(zero_copy_only=False)])
+        keep = cos >= _DOCSIM_THRESHOLD
+        return pa.table({
+            "id_a": batch["id_a"].filter(pa.array(keep)),
+            "id_b": batch["id_b"].filter(pa.array(keep)),
+            "cosine": pa.array(cos[keep], pa.float64()),
+        })
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOC_SIMILARITY = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % {_DOCSIM_SAMPLE_MOD} = 0
+), n AS (SELECT count(*) AS n FROM d),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                                              '[^a-z0-9]+')) AS term
+  FROM d
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+), df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w
+           GROUP BY doc_id),
+u AS (
+  SELECT w.doc_id, w.term, w.w / nrm.nrm AS u
+  FROM w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(sum(a.u * b.u), 6) AS cosine
+FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING round(sum(a.u * b.u), 6) >= {_DOCSIM_THRESHOLD}
+"""
+
+
+def q_join_cardinality(sf_dir: str):
+    """Join-size estimation WITHOUT executing the join — the planner
+    statistic that decides broadcast vs shuffle vs salt:
+    |lineitem ⋈ orders| = Σ_k n_l(k)·n_o(k) over the key histogram.
+    Each side collapses to per-key counts (map-side partials + one
+    groupby of counts — counts travel, never rows), ONE key-keyed
+    join multiplies them, and a scalar sum folds the products.  All
+    integer arithmetic — hash-exact."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def counts(col):
+        def partial(batch: pa.Table) -> pa.Table:
+            keys, cnt = np.unique(
+                batch[col].to_numpy(zero_copy_only=False),
+                return_counts=True)
+            return pa.table({"k": pa.array(keys, pa.int64()),
+                             "c": pa.array(cnt, pa.int64())})
+        return partial
+
+    lc = li.map_batches(counts("l_orderkey"), batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("c", alias_name="n_l"))
+    oc = od.map_batches(counts("o_orderkey"), batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("c", alias_name="n_o"))
+
+    nparts = 2
+    joined = lc.join(oc, "inner", num_partitions=nparts, on=("k",))
+
+    def prod(batch: pa.Table) -> pa.Table:
+        p = batch["n_l"].to_numpy(zero_copy_only=False) \
+            * batch["n_o"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "rows": pa.array([int(p.sum())], pa.int64()),
+            "keys": pa.array([len(p)], pa.int64()),
+            "max_key": pa.array([int(p.max()) if len(p) else 0],
+                                pa.int64()),
+        })
+
+    parts = joined.map_batches(prod, batch_format="pyarrow") \
+        .to_pandas()
+    return pa.table({
+        "join_rows": pa.array([int(parts["rows"].sum())], pa.int64()),
+        "n_keys": pa.array([int(parts["keys"].sum())], pa.int64()),
+        "max_key_rows": pa.array([int(parts["max_key"].max())],
+                                 pa.int64()),
+    })
+
+
+SQL_JOIN_CARDINALITY = """
+WITH lc AS (SELECT l_orderkey AS k, count(*) AS n_l
+            FROM lineitem GROUP BY 1),
+oc AS (SELECT o_orderkey AS k, count(*) AS n_o
+       FROM orders GROUP BY 1),
+j AS (SELECT lc.n_l * oc.n_o AS p FROM lc JOIN oc USING (k))
+SELECT CAST(sum(p) AS BIGINT) AS join_rows,
+       count(*) AS n_keys,
+       CAST(max(p) AS BIGINT) AS max_key_rows
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7903,6 +8221,9 @@ QUERY_FUNCS = {
     "fuzzy_join": q_fuzzy_join,
     "autocorr_by_user": q_autocorr_by_user,
     "key_skew_profile": q_key_skew_profile,
+    "entity_clusters": q_entity_clusters,
+    "doc_similarity": q_doc_similarity,
+    "join_cardinality": q_join_cardinality,
 }
 
 ORACLE_SQL = {
@@ -8057,6 +8378,9 @@ ORACLE_SQL = {
     "fuzzy_join": SQL_FUZZY_JOIN,
     "autocorr_by_user": SQL_AUTOCORR_BY_USER,
     "key_skew_profile": SQL_KEY_SKEW_PROFILE,
+    "entity_clusters": SQL_ENTITY_CLUSTERS,
+    "doc_similarity": SQL_DOC_SIMILARITY,
+    "join_cardinality": SQL_JOIN_CARDINALITY,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
