@@ -727,6 +727,42 @@ class QueryEngine:
         Single-scorer queries finish in round 1 (pure WAND)."""
         return self._bm25_terms(sorted(set(self._clause_stems(query))), k)
 
+    def search_after(self, query: str, k: int = 10,
+                     after: tuple[int, float] | None = None
+                     ) -> list[tuple[int, float]]:
+        """Cursor pagination over the BM25 ranking (the Elasticsearch
+        ``search_after`` contract): return the next ``k`` hits
+        strictly after the ``(doc_id, score)`` cursor in (score DESC,
+        doc_id ASC) order.  Stateless and consistent under concurrent
+        serving — the cursor is the caller's last hit, not a server
+        scroll context.
+
+        Exactness: delegates to the WAND+TPUT top-k kernel with a
+        doubling budget until the cursor's position is inside the
+        returned prefix (scores are deterministic per doc — fixed
+        scorer fill order — so the cursor comparison is exact float
+        equality).  Deep pages pay O(offset + k) like every exact
+        distributed pagination; bounded by the corpus when
+        exhausted."""
+        terms = sorted(set(self._clause_stems(query)))
+        if after is None:
+            return self._bm25_terms(terms, k)
+        a_doc, a_score = after
+        need = max(2 * k, 16)
+        while True:
+            hits = self._bm25_terms(terms, need)
+            idx = next((i for i, (d, s) in enumerate(hits)
+                        if s < a_score or (s == a_score and d > a_doc)),
+                       None)
+            exhausted = len(hits) < need
+            if idx is not None:
+                page = hits[idx:idx + k]
+                if len(page) == k or exhausted:
+                    return page
+            elif exhausted:
+                return []
+            need *= 2
+
     def _bm25_terms(self, terms: list[str],
                     k: int) -> list[tuple[int, float]]:
         """WAND+TPUT BM25 top-k over already-stemmed index terms
