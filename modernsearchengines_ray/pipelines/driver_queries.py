@@ -8418,6 +8418,186 @@ WHERE levenshtein(a.word, b.word) <= 1
 """
 
 
+_ZORDER_BITS = 16
+
+
+def q_zorder_key(sf_dir: str):
+    """Z-order (Morton) clustering keys over (l_partkey, l_suppkey) —
+    the multi-dimensional data-layout primitive (Delta/Iceberg
+    Z-ORDER): interleaving the two keys' bits makes rows close in
+    BOTH dimensions close in the one sort order, so range filters on
+    either column prune file zones.  The interleave is a fully
+    vectorized shift-mask pass over the masked low 16 bits (the
+    bucketed-key contract at wider domains); every output is exact
+    int64, and the SQL oracle spells the identical bit arithmetic
+    with div/mod, so the 60k-row column is hash-exact."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_partkey",
+                        "l_suppkey"])
+
+    def interleave(batch: pa.Table) -> pa.Table:
+        a = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) & (2 ** _ZORDER_BITS - 1)
+        b = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) & (2 ** _ZORDER_BITS - 1)
+        z = np.zeros(len(a), np.int64)
+        for i in range(_ZORDER_BITS):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"].cast(pa.int64()),
+            "zkey": pa.array(z, pa.int64()),
+        })
+
+    return ds.map_batches(interleave, batch_format="pyarrow")
+
+
+def _sql_zorder() -> str:
+    mask = 2 ** _ZORDER_BITS
+    terms = " + ".join(
+        f"((l_partkey % {mask}) // {2 ** i} % 2) * {2 ** (2 * i)} + "
+        f"((l_suppkey % {mask}) // {2 ** i} % 2) * {2 ** (2 * i + 1)}"
+        for i in range(_ZORDER_BITS))
+    return f"""
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+       CAST({terms} AS BIGINT) AS zkey
+FROM lineitem
+"""
+
+
+_TOKEN_BUDGET = 12_000.0  # < the sf0.01 corpus total (~27k), so every
+# source genuinely downsamples — a budget above the total keeps all
+
+
+def q_token_budget_sample(sf_dir: str):
+    """Budget-constrained data-mix sampling: keep documents so every
+    source's expected token mass lands at its equal share of a
+    30k-token budget (stages/sampling.py ``token_budget_sample``) —
+    the LM-training allocation step after counting tokens.  Token
+    counts are the SQL-parity whitespace rule; the per-source rate is
+    a floor()ed integer permille against the Knuth row hash, so the
+    kept set is engine-exact and identical on any cluster size."""
+    from ..stages.sampling import token_budget_sample
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "text"])
+
+    def add_tokens(batch: pa.Table) -> pa.Table:
+        toks = [whitespace_token_count(t)
+                for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_tokens": pa.array(toks, pa.int64()),
+        })
+
+    with_tokens = ds.map_batches(add_tokens, batch_format="pyarrow")
+    return token_budget_sample(with_tokens, "source", "doc_id",
+                               "n_tokens", _TOKEN_BUDGET)
+
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN 0
+              ELSE len(regexp_split_to_array(
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                       '\\s+')) END::BIGINT AS n_tokens
+  FROM documents
+), g AS (
+  SELECT source, sum(n_tokens) AS tok,
+         (SELECT count(DISTINCT source) FROM tok) AS n_groups
+  FROM tok GROUP BY source
+), r AS (
+  SELECT source,
+         least(1000, CAST(floor(1000 * ({_TOKEN_BUDGET!r} / n_groups)
+                                / tok::DOUBLE) AS BIGINT)) AS permille
+  FROM g
+)
+SELECT t.doc_id, t.source, t.n_tokens
+FROM tok t JOIN r USING (source)
+WHERE ((t.doc_id::HUGEINT * {_SAMPLE_HASH_MULT}) % 4294967296) % 1000
+      < r.permille
+"""
+
+
+def q_ann_topk_by_label(sf_dir: str):
+    """Per-label nearest neighbours (grouped ANN — "top-3 similar per
+    category"): the brute cosine kernel against the broadcast vec_id=0
+    query, with a map-side per-(block, label) top-3 prefilter before
+    the tiny grouped merge — at most 3 rows per (block, label) leave
+    any block, the grouped-top-k shape every recommender backfill
+    uses.  Ordering is (raw sim DESC, vec_id ASC) on both engines;
+    the similarity rounds to 6dp only for the output."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.arrowlist import list_matrix
+
+    table = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "=", 0)])
+    query = np.asarray(table["embedding"][0].as_py(), dtype=np.float64)
+    q_ref = ray.put(query)
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy()
+        labels = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = list_matrix(batch["embedding"], len(ids))
+        sims = (mat @ qv) / (np.linalg.norm(mat, axis=1)
+                             * np.linalg.norm(qv))
+        keep = ids != 0
+        df = pd.DataFrame({"label": labels[keep], "vec_id": ids[keep],
+                           "sim": sims[keep]})
+        df = df.sort_values(["label", "sim", "vec_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("label", sort=False).head(3),
+            preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(3)
+        return pd.DataFrame({
+            "label": g["label"].astype(np.int64),
+            "rank": np.arange(len(g), dtype=np.int64),
+            "vec_id": g["vec_id"].astype(np.int64),
+            "cos_sim": np.array(
+                [_round_half_away(s) for s in g["sim"]], np.float64),
+        })
+
+    return ds.map_batches(block_topk, batch_format="pyarrow") \
+        .groupby("label").map_groups(final_topk, batch_format="pandas")
+
+
+SQL_ANN_TOPK_BY_LABEL = """
+WITH s AS (
+  SELECT label, vec_id,
+         list_cosine_similarity(
+             embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings
+              WHERE vec_id = 0)) AS raw_sim
+  FROM embeddings WHERE vec_id <> 0
+), r AS (
+  SELECT label, vec_id, raw_sim,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY raw_sim DESC, vec_id) AS rn
+  FROM s
+)
+SELECT label::BIGINT AS label, (rn - 1)::BIGINT AS rank, vec_id,
+       round(raw_sim, 6) AS cos_sim
+FROM r WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8605,6 +8785,9 @@ QUERY_FUNCS = {
     "psi_flag_drift": q_psi_flag_drift,
     "embedding_quantize": q_embedding_quantize,
     "sorted_neighborhood": q_sorted_neighborhood,
+    "zorder_key": q_zorder_key,
+    "token_budget_sample": q_token_budget_sample,
+    "ann_topk_by_label": q_ann_topk_by_label,
 }
 
 ORACLE_SQL = {
@@ -8768,6 +8951,9 @@ ORACLE_SQL = {
     "psi_flag_drift": _sql_psi(),
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
+    "zorder_key": _sql_zorder(),
+    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
+    "ann_topk_by_label": SQL_ANN_TOPK_BY_LABEL,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its

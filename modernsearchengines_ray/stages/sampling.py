@@ -141,3 +141,52 @@ def cap_per_group(ds, group_col: str, id_col: str, n: int,
                           (id_col, pa.int64())]).empty_table()
     return _keep_topn_block(pa.concat_tables(tabs), group_col, id_col, n,
                             group_type)
+
+
+def token_budget_sample(ds, group_col: str, id_col: str,
+                        token_col: str, budget_tokens: float,
+                        permille_scale: int = 1000):
+    """Budget-constrained mixture sampling: keep rows so each group's
+    expected token mass lands at its share of ``budget_tokens``
+    (equal split across groups, the data-mix budgeting primitive for
+    LM training runs — "give every source the same token allowance").
+
+    Per-group keep rate = ``min(1, share / group_tokens)`` with
+    ``share = budget_tokens / n_groups``, applied with the same
+    floor()ed-integer-permille Knuth-hash rule as
+    :func:`temperature_sample` — deterministic on any cluster size /
+    block order, no RNG state, one tiny groupby(group).sum(tokens)
+    broadcast + one streaming filter.  The rate arithmetic
+    (``permille_scale * (budget / n_groups) / group_tokens``) is in
+    the exact operation order a SQL oracle can mirror.  Returns a
+    Dataset (id_col, group_col, token_col)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    totals = ds.select_columns([group_col, token_col]) \
+        .groupby(group_col) \
+        .aggregate(Sum(token_col, alias_name="tok")).take_all()
+    if not totals:
+        return ds.select_columns([id_col, group_col, token_col])
+    n_groups = len(totals)
+    rates = {
+        r[group_col]: min(
+            permille_scale,
+            int(np.floor(permille_scale * (budget_tokens / n_groups)
+                         / float(r["tok"]))))
+        for r in totals
+    }
+    rates_ref = ray.put(rates)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        bucket = ((ids * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)) \
+            % np.uint64(permille_scale)
+        lim = np.array([r[g] for g in batch[group_col].to_pylist()],
+                       dtype=np.uint64)
+        return batch.select([id_col, group_col, token_col]).filter(
+            pa.array(bucket < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
