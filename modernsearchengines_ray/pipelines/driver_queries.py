@@ -8598,6 +8598,174 @@ FROM r WHERE rn <= 3
 """
 
 
+_TW_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_time_window_sum(sf_dir: str):
+    """Time-RANGE windowed aggregate: per event, the sum of the
+    user's values over the trailing hour ``[ts − 1h, ts]`` — the
+    RANGE-BETWEEN-INTERVAL window the ROWS-based ``moving_window``
+    family cannot express (frame size varies per row; equal
+    timestamps are peers and ALL enter the frame, exactly SQL's RANGE
+    semantics — the searchsorted bounds reproduce that by value, not
+    position).  ONE hash exchange groups each user (the PARTITION BY
+    state); per group a vectorized sort + prefix-sum + two
+    searchsorted calls answer every row.  Sums are over
+    ``floor(value·1000)`` int64 units so prefix-sum differences are
+    exact and hash-identical to SQL's sequential accumulate."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        order = np.lexsort((g["event_id"].to_numpy(), ts))
+        ts = ts[order]
+        ev = g["event_id"].to_numpy()[order]
+        v_milli = np.floor(
+            g["value"].to_numpy(np.float64)[order] * 1000.0) \
+            .astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(v_milli)])
+        hi = np.searchsorted(ts, ts, side="right")
+        lo = np.searchsorted(ts, ts - _TW_WINDOW_US, side="left")
+        return pd.DataFrame({
+            "event_id": ev,
+            "user_id": np.full(len(ev), int(g["user_id"].iloc[0]),
+                               np.int64),
+            "w_sum_milli": cum[hi] - cum[lo],
+        })
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+SQL_TIME_WINDOW_SUM = """
+SELECT event_id, user_id,
+       sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS w_sum_milli
+FROM events
+"""
+
+
+def q_attribution_last_touch(sf_dir: str):
+    """Last-touch conversion attribution: each purchase joins to the
+    user's most recent click at-or-before it, kept only within a
+    1-hour lookback — the marketing-analytics as-of composition.
+    Reuses the backward as-of join stage (one range sort + block
+    partials + stitch, stages/joins.py); the click's event_id rides
+    the join as the value column (int64 < 2^53, exact in float64).
+    Right-side (user, ts) uniqueness holds on this data — the as-of
+    tie precondition documented at stages/joins.py."""
+    from ..stages.joins import asof_join_backward
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click"))
+        .select(["event_id", "user_id", "ts"])
+        .rename_columns(["click_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+
+    def as_value(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "click_val": batch["click_id"].cast(pa.float64()),
+        })
+
+    joined = asof_join_backward(
+        purchases, clicks.map_batches(as_value, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts",
+        left_id_col="event_id", right_value_col="click_val")
+
+    df = joined.to_pandas() if not isinstance(joined, pa.Table) \
+        else joined.to_pandas()
+    df = df[df["matched"]]
+    gap = df["ts_us"].to_numpy(np.int64) \
+        - df["r_ts_us"].to_numpy(np.int64)
+    keep = gap <= _TW_WINDOW_US
+    return pa.table({
+        "purchase_id": pa.array(
+            df["left_id"].to_numpy(np.int64)[keep], pa.int64()),
+        "user_id": pa.array(df["key"].to_numpy(np.int64)[keep],
+                            pa.int64()),
+        "click_id": pa.array(
+            df["r_value"].to_numpy(np.float64)[keep].astype(np.int64),
+            pa.int64()),
+        "gap_us": pa.array(gap[keep], pa.int64()),
+    })
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = f"""
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+WHERE epoch_us(p.ts) - epoch_us(c.ts) <= {_TW_WINDOW_US}
+"""
+
+
+def q_dedup_normalized(sf_dir: str):
+    """Canonicalization dedup (the C4/Dolma text-normalized exact
+    dedup): lowercase, collapse every non-alphanumeric run to one
+    space, trim — THEN md5-key exact dedup with min-doc_id winner
+    election (the shared pair-semi-join kernel, stages/dedup.py).
+    Catches case/punctuation/whitespace variants byte-exact dedup
+    misses.  The synthetic corpus has no organic variants, so
+    deterministic ones are planted on BOTH sides (uppercased + '  !!'
+    copies for doc_id%11=0 under shifted keys) — the planted-PII
+    precedent; every plant must lose to its original."""
+    import re
+
+    from ..stages.dedup import dedup_exact_hash
+
+    canon_re = re.compile(r"[^a-z0-9]+")
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        sel = ids % 11 == 0
+        out_ids = np.concatenate([ids, ids[sel] + 2_000_000])
+        out_texts = texts + [t.upper() + "  !!"
+                             for t, s in zip(texts, sel) if s]
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_texts, pa.string())})
+
+    def canonize(batch: pa.Table) -> pa.Table:
+        canon = [canon_re.sub(" ", t.lower()).strip()
+                 for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(canon, pa.string())})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow") \
+        .map_batches(canonize, batch_format="pyarrow")
+    kept = dedup_exact_hash(planted, keep_key="doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+SQL_DEDUP_NORMALIZED = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, upper(text) || '  !!'
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT min(doc_id)::BIGINT AS doc_id
+FROM all_docs
+GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8788,6 +8956,9 @@ QUERY_FUNCS = {
     "zorder_key": q_zorder_key,
     "token_budget_sample": q_token_budget_sample,
     "ann_topk_by_label": q_ann_topk_by_label,
+    "time_window_sum": q_time_window_sum,
+    "attribution_last_touch": q_attribution_last_touch,
+    "dedup_normalized": q_dedup_normalized,
 }
 
 ORACLE_SQL = {
@@ -8954,6 +9125,9 @@ ORACLE_SQL = {
     "zorder_key": _sql_zorder(),
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "ann_topk_by_label": SQL_ANN_TOPK_BY_LABEL,
+    "time_window_sum": SQL_TIME_WINDOW_SUM,
+    "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
+    "dedup_normalized": SQL_DEDUP_NORMALIZED,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
