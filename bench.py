@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "paragraph_dedup", "salted_revenue_join", "cohort_retention",
     "event_type_cooccurrence",
     "hybrid_rrf", "event_entropy", "price_skyline",
+    # round-4 second-wave additions
+    "ks_flag_drift", "rolling_dau", "time_window_sum", "zorder_key",
+    "token_budget_sample", "attribution_last_touch",
 ]
 
 SEARCH_QUERIES = [

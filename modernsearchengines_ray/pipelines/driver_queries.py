@@ -8766,6 +8766,333 @@ GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
 """
 
 
+def q_cdc_merge(sf_dir: str):
+    """Changelog application (the lakehouse MERGE INTO / CDC-apply
+    primitive): fold a base snapshot plus an ordered changelog of
+    upserts and deletes into the final table state.  Base rows carry
+    seq=0; the deterministic changelog upserts doc_id%7 (seq 1),
+    deletes doc_id%13 (seq 2 — beating the %91 overlap's upsert, the
+    max-seq rule) and inserts fresh keys for doc_id%29.  The winner
+    election is ONE small groupby (max seq per key — one row per key,
+    not per log record) hash-joined back on the unique (doc_id, seq)
+    pair, then delete-winners are filtered out — no per-key Python
+    call anywhere.  Output carries md5(text) so the value hash pins
+    every surviving payload."""
+    from ray.data.aggregate import Max
+
+    from ..stages.dedup import default_join_partitions
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build_log(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"]
+        m7 = pa.array(ids % 7 == 0)
+        m13 = pa.array(ids % 13 == 0)
+        m29 = pa.array(ids % 29 == 0)
+        t7 = texts.filter(m7)
+        t29 = texts.filter(m29)
+        n, n7, n13, n29 = len(ids), len(t7), int((ids % 13 == 0).sum()), \
+            len(t29)
+
+        def part(id_arr, text_arr, op, seq, count):
+            return pa.table({
+                "doc_id": pa.array(id_arr, pa.int64()),
+                "text": text_arr,
+                "op": pa.repeat(pa.scalar(op, pa.string()), count),
+                "seq": pa.repeat(pa.scalar(seq, pa.int64()), count),
+            })
+
+        return pa.concat_tables([
+            part(ids, texts, "upsert", 0, n),
+            part(ids[ids % 7 == 0],
+                 pc.binary_join_element_wise(t7, " v2", ""),
+                 "upsert", 1, n7),
+            part(ids[ids % 13 == 0],
+                 pa.repeat(pa.scalar("", pa.string()), n13),
+                 "delete", 2, n13),
+            part(ids[ids % 29 == 0] + 3_000_000, t29, "upsert", 1, n29),
+        ])
+
+    log = ds.map_batches(build_log, batch_format="pyarrow")
+    winners = log.groupby("doc_id").aggregate(
+        Max("seq", alias_name="seq"))
+    survivors = log.join(winners, "inner",
+                         num_partitions=default_join_partitions(),
+                         on=("doc_id", "seq"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.not_equal(batch["op"], "delete"))
+        return pa.table({
+            "doc_id": kept["doc_id"],
+            "content_hash": pa.array(
+                [hashlib.md5(t.encode()).hexdigest()
+                 for t in kept["text"].to_pylist()], pa.string()),
+        })
+
+    return survivors.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CDC_MERGE = """
+WITH log AS (
+  SELECT doc_id, text, 'upsert' AS op, 0 AS seq FROM documents
+  UNION ALL
+  SELECT doc_id, text || ' v2', 'upsert', 1
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, '', 'delete', 2 FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, text, 'upsert', 1
+  FROM documents WHERE doc_id % 29 = 0
+), r AS (
+  SELECT doc_id, text, op,
+         row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)
+           AS rn
+  FROM log
+)
+SELECT doc_id, md5(text) AS content_hash
+FROM r WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+_RETENTION_MAX_OFFSET = 7
+
+
+def q_retention_curve(sf_dir: str):
+    """Retention / survival curve: for day-offsets 0..7, the fraction
+    of users active exactly k days after their first activity — the
+    product-analytics curve behind every cohort chart (generalizing
+    the single-point ``cohort_retention``).  Distinct (user, day)
+    collapses events once; min-day per user hash-joins back (offset
+    is bijective per user, so the pairs stay distinct — no
+    re-distinct needed); one tiny groupby(offset) counts, and the
+    rate divides by the cohort size in the SQL-mirrored op order."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def ud_partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = np.floor(ts_us / 86400000000.0).astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "day": day}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ud = ds.map_batches(ud_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"]).materialize()
+
+    from ..stages.dedup import default_join_partitions
+
+    firsts = ud.groupby("user_id").aggregate(Min("day",
+                                                 alias_name="first_day"))
+    n_users = firsts.count()
+
+    nparts = default_join_partitions()
+    joined = ud.join(firsts, "inner", num_partitions=nparts,
+                     on=("user_id",))
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        off = batch["day"].to_numpy(zero_copy_only=False) \
+            - batch["first_day"].to_numpy(zero_copy_only=False)
+        keep = off <= _RETENTION_MAX_OFFSET
+        offs, cnt = np.unique(off[keep], return_counts=True)
+        return pa.table({"day_offset": pa.array(offs, pa.int64()),
+                         "n_active": pa.array(cnt, pa.int64())})
+
+    counts = joined.map_batches(offsets, batch_format="pyarrow") \
+        .groupby("day_offset") \
+        .aggregate(Sum("n_active", alias_name="n_active"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["n_active"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day_offset": batch["day_offset"],
+            "n_active": batch["n_active"],
+            "rate": pa.array([_round_half_away(x / n_users) for x in c],
+                             pa.float64()),
+        })
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RETENTION_CURVE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+  FROM events
+), f AS (SELECT user_id, min(day) AS first_day FROM ud
+         GROUP BY user_id),
+n AS (SELECT count(*) AS n_users FROM f)
+SELECT ud.day - f.first_day AS day_offset,
+       count(*) AS n_active,
+       round(count(*)::DOUBLE / max(n.n_users), 6) AS rate
+FROM ud JOIN f USING (user_id) CROSS JOIN n
+WHERE ud.day - f.first_day <= {_RETENTION_MAX_OFFSET}
+GROUP BY 1
+"""
+
+
+_SAMPLE_EXACT_N = 50
+
+
+def q_sample_exact_n(sf_dir: str):
+    """Exact-size deterministic global sample: the N rows with the
+    smallest (knuth_hash(id), id) — the distributed replacement for
+    reservoir sampling, whose result depends on arrival order.  Each
+    block's map-side partial keeps its local N best (≤ N rows per
+    block leave), the driver folds the partials, and the SAME rows
+    survive on any cluster size, block order, or retry.  A uniform
+    without-replacement sample because the bijective hash induces a
+    random permutation of ids."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        order = np.lexsort((ids, h))[:_SAMPLE_EXACT_N]
+        return pa.table({
+            "doc_id": pa.array(ids[order].astype(np.int64), pa.int64()),
+            "h": pa.array(h[order].astype(np.int64), pa.int64()),
+        })
+
+    parts = ds.map_batches(local_top, batch_format="pyarrow") \
+        .to_pandas()
+    parts = parts.sort_values(["h", "doc_id"], kind="mergesort") \
+        .head(_SAMPLE_EXACT_N)
+    return pa.table({
+        "doc_id": pa.array(parts["doc_id"].to_numpy(), pa.int64()),
+        "h": pa.array(parts["h"].to_numpy(), pa.int64()),
+    })
+
+
+SQL_SAMPLE_EXACT_N = f"""
+SELECT doc_id,
+       CAST((doc_id::HUGEINT * {_SAMPLE_HASH_MULT}) % 4294967296
+            AS BIGINT) AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT {_SAMPLE_EXACT_N}
+"""
+
+
+_DEBOUNCE_US = 86_400_000_000  # 24 hours (the data cadence is ~1 event/day/stream)
+
+
+def q_event_debounce(sf_dir: str):
+    """Telemetry debouncing: drop events repeating the same (user,
+    type) within 24 h of the previous KEPT event — the stream-cleaning
+    pass run before any engagement metric (double-clicks, retry
+    storms).  ONE hash exchange groups each (user, type) stream; the
+    per-group kernel sorts by (ts, event_id) and applies the
+    sequential keep rule (each kept row resets the clock — a true
+    debounce, not a pairwise-gap filter, so it cannot be vectorized
+    as a lag: it is a scan with data dependence, implemented as a
+    tight loop over the group's int64 arrays).  SQL mirrors it with a
+    recursive CTE over the ranked stream."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+
+    def per_stream(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        order = np.lexsort((g["event_id"].to_numpy(), ts))
+        ts = ts[order]
+        ev = g["event_id"].to_numpy()[order]
+        keep = np.zeros(len(ts), dtype=bool)
+        last = None
+        for i in range(len(ts)):
+            if last is None or ts[i] - last > _DEBOUNCE_US:
+                keep[i] = True
+                last = ts[i]
+        return pd.DataFrame({
+            "event_id": ev[keep],
+            "user_id": np.full(int(keep.sum()),
+                               int(g["user_id"].iloc[0]), np.int64),
+            "event_type": [g["event_type"].iloc[0]] * int(keep.sum()),
+        })
+
+    return ds.groupby(["user_id", "event_type"]) \
+        .map_groups(per_stream, batch_format="pandas")
+
+
+SQL_EVENT_DEBOUNCE = f"""
+WITH RECURSIVE ranked AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+keep(user_id, event_type, rn, ts_us, event_id) AS (
+  SELECT user_id, event_type, rn, ts_us, event_id
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.event_type, r.rn, r.ts_us, r.event_id
+  FROM keep k
+  JOIN ranked r
+    ON r.user_id = k.user_id AND r.event_type = k.event_type
+   AND r.rn = (
+     SELECT min(r2.rn) FROM ranked r2
+     WHERE r2.user_id = k.user_id AND r2.event_type = k.event_type
+       AND r2.rn > k.rn AND r2.ts_us - k.ts_us > {_DEBOUNCE_US})
+)
+SELECT event_id, user_id, event_type FROM keep
+"""
+
+
+_REORDER_BUCKET_DAYS = 7
+
+
+def q_reorder_gap_hist(sf_dir: str):
+    """Reorder-interval histogram: the distribution of gaps between a
+    customer's consecutive orders, bucketed by week — the
+    repeat-purchase signal behind churn and inventory models.  ONE
+    hash exchange groups each customer's orders; the per-group kernel
+    sorts by (date, orderkey) and differences consecutive rows
+    (orderkey tie-break pins same-day pairs); per-block bucket
+    partials fold in one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                          "o_orderdate"])
+
+    def per_customer(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["o_orderdate"].astype("int64").to_numpy()
+        order = np.lexsort((g["o_orderkey"].to_numpy(), ts))
+        ts = ts[order]
+        if len(ts) < 2:
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        gaps_days = np.floor((ts[1:] - ts[:-1]) / 86400000000.0) \
+            .astype(np.int64)
+        bucket = gaps_days // _REORDER_BUCKET_DAYS
+        b, c = np.unique(bucket, return_counts=True)
+        return pd.DataFrame({"bucket": b, "n": c})
+
+    return ds.groupby("o_custkey") \
+        .map_groups(per_customer, batch_format="pandas") \
+        .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+
+
+SQL_REORDER_GAP_HIST = f"""
+WITH g AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate)
+           - lag(epoch_us(o_orderdate)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS gap_us
+  FROM orders
+)
+SELECT CAST(floor(gap_us / 86400000000.0) AS BIGINT)
+         // {_REORDER_BUCKET_DAYS} AS bucket,
+       count(*) AS n
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8959,6 +9286,11 @@ QUERY_FUNCS = {
     "time_window_sum": q_time_window_sum,
     "attribution_last_touch": q_attribution_last_touch,
     "dedup_normalized": q_dedup_normalized,
+    "cdc_merge": q_cdc_merge,
+    "retention_curve": q_retention_curve,
+    "sample_exact_n": q_sample_exact_n,
+    "event_debounce": q_event_debounce,
+    "reorder_gap_hist": q_reorder_gap_hist,
 }
 
 ORACLE_SQL = {
@@ -9128,6 +9460,11 @@ ORACLE_SQL = {
     "time_window_sum": SQL_TIME_WINDOW_SUM,
     "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
+    "cdc_merge": SQL_CDC_MERGE,
+    "retention_curve": SQL_RETENTION_CURVE,
+    "sample_exact_n": SQL_SAMPLE_EXACT_N,
+    "event_debounce": SQL_EVENT_DEBOUNCE,
+    "reorder_gap_hist": SQL_REORDER_GAP_HIST,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its

@@ -134,3 +134,66 @@ class TestTemperatureSample:
         }))
         out = temperature_sample(ds, group_col="lang", id_col="doc_id")
         assert out.count() == 0
+
+
+class TestTokenBudgetSample:
+    def _df(self):
+        # source a: 100 docs x 10 tokens = 1000; source b: 100 x 30
+        return pd.DataFrame({
+            "doc_id": np.arange(200, dtype=np.int64),
+            "source": ["a"] * 100 + ["b"] * 100,
+            "n_tokens": np.array([10] * 100 + [30] * 100, np.int64),
+        })
+
+    def test_rates_follow_budget_share(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.sampling import (
+            token_budget_sample,
+        )
+
+        # budget 2000, 2 groups -> share 1000: a keeps all (rate
+        # 1000), b keeps ~ 1000/3000 of rows (rate 333 permille)
+        out = token_budget_sample(
+            rd.from_pandas(self._df()), group_col="source",
+            id_col="doc_id", token_col="n_tokens",
+            budget_tokens=2000.0).to_pandas()
+        kept = out.groupby("source").size()
+        assert kept["a"] == 100
+        assert 15 <= kept["b"] <= 55  # deterministic, hash-dependent
+
+        out2 = token_budget_sample(
+            rd.from_pandas(self._df()), group_col="source",
+            id_col="doc_id", token_col="n_tokens",
+            budget_tokens=2000.0).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+    def test_budget_above_total_keeps_all(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.sampling import (
+            token_budget_sample,
+        )
+
+        out = token_budget_sample(
+            rd.from_pandas(self._df()), group_col="source",
+            id_col="doc_id", token_col="n_tokens",
+            budget_tokens=1e9).to_pandas()
+        assert len(out) == 200
+
+    def test_block_order_invariance(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.sampling import (
+            token_budget_sample,
+        )
+
+        df = self._df()
+        shuffled = df.sample(frac=1.0, random_state=3)
+        a = token_budget_sample(
+            rd.from_pandas(df).repartition(7), "source", "doc_id",
+            "n_tokens", 2000.0).to_pandas()
+        b = token_budget_sample(
+            rd.from_pandas(shuffled).repartition(2), "source",
+            "doc_id", "n_tokens", 2000.0).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
