@@ -9093,6 +9093,348 @@ GROUP BY 1
 """
 
 
+def q_scd2_history(sf_dir: str):
+    """SCD Type-2 dimension history: collapse each user's event
+    stream to its CHANGE points (consecutive repeats of the same
+    event_type merge into one version) and attach validity ranges —
+    ``valid_from_us`` = the change's timestamp, ``valid_to_us`` = the
+    next change's timestamp, -1 sentinel for the current version (no
+    nulls so the value hash is engine-independent).  The warehouse
+    dimension-versioning primitive.  ONE hash exchange groups each
+    user; the per-group kernel is all numpy (lexsort + shift
+    compare), no per-row Python."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        order = np.lexsort((g["event_id"].to_numpy(), ts))
+        ts = ts[order]
+        ev = g["event_id"].to_numpy()[order]
+        et = g["event_type"].to_numpy()[order]
+        keep = np.ones(len(ts), dtype=bool)
+        keep[1:] = et[1:] != et[:-1]
+        vf = ts[keep]
+        vt = np.empty(len(vf), np.int64)
+        vt[:-1] = vf[1:]
+        vt[-1] = -1
+        return pd.DataFrame({
+            "user_id": np.full(len(vf), int(g["user_id"].iloc[0]),
+                               np.int64),
+            "event_id": ev[keep],
+            "event_type": et[keep],
+            "valid_from_us": vf,
+            "valid_to_us": vt,
+        })
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+SQL_SCD2_HISTORY = """
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), chg AS (
+  SELECT user_id, event_id, event_type, t FROM s
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_id, event_type, t AS valid_from_us,
+       coalesce(lead(t) OVER (PARTITION BY user_id
+                              ORDER BY t, event_id), -1)
+         AS valid_to_us
+FROM chg
+"""
+
+
+_CONCURRENCY_WINDOW_US = 3_600_000_000  # each event "lasts" 1 hour
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrency (interval max-overlap): the largest number of
+    simultaneously-open 1-hour event windows, plus the first instant
+    it is reached — the capacity-planning sweep-line.  Each event
+    emits a +1 point at ts and a -1 at ts+1h (half-open, so ends sort
+    before starts at the same instant); ONE range sort totally orders
+    the points; each sorted block reduces to ONE summary row (block
+    delta-sum, best in-block prefix, its timestamp), and the driver
+    folds #blocks rows with the associative (sum, max-prefix)
+    combine — O(blocks) driver state, never O(points)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        n = len(t)
+        return pa.table({
+            "t": pa.array(np.concatenate(
+                [t, t + _CONCURRENCY_WINDOW_US]), pa.int64()),
+            "d": pa.array(np.concatenate(
+                [np.ones(n, np.int64), -np.ones(n, np.int64)]),
+                pa.int64()),
+            "pid": pa.array(np.concatenate([eid, eid]), pa.int64()),
+        })
+
+    pts = ds.map_batches(to_points, batch_format="pyarrow") \
+        .sort(["t", "d", "pid"])
+
+    _EMPTY = pa.schema([("t0", pa.int64()), ("d0", pa.int64()),
+                        ("p0", pa.int64()), ("bsum", pa.int64()),
+                        ("bmax", pa.int64()), ("t_at", pa.int64())])
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY.empty_table()
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        run = np.cumsum(d)
+        i = int(np.argmax(run))  # FIRST index achieving the block max
+        return pa.table({
+            "t0": pa.array([int(t[0])], pa.int64()),
+            "d0": pa.array([int(d[0])], pa.int64()),
+            "p0": pa.array([int(batch["pid"][0].as_py())], pa.int64()),
+            "bsum": pa.array([int(run[-1])], pa.int64()),
+            "bmax": pa.array([int(run[i])], pa.int64()),
+            "t_at": pa.array([int(t[i])], pa.int64()),
+        })
+
+    parts = pts.map_batches(block_partial, batch_size=None,
+                            batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["t0", "d0", "p0"], kind="mergesort",
+                              ignore_index=True)
+    bsum = parts["bsum"].to_numpy(dtype=np.int64)
+    bmax = parts["bmax"].to_numpy(dtype=np.int64)
+    t_at = parts["t_at"].to_numpy(dtype=np.int64)
+    prefix = np.concatenate([[0], np.cumsum(bsum)[:-1]])
+    cand = prefix + bmax
+    j = int(np.argmax(cand))  # first block achieving the global max
+    return pa.table({
+        "peak": pa.array([int(cand[j])], pa.int64()),
+        "first_t_us": pa.array([int(t_at[j])], pa.int64()),
+    })
+
+
+SQL_PEAK_CONCURRENCY = f"""
+WITH pts AS (
+  SELECT epoch_us(ts) AS t, 1 AS d, event_id FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + {_CONCURRENCY_WINDOW_US}, -1, event_id
+  FROM events
+), runs AS (
+  SELECT t, sum(d) OVER (ORDER BY t, d, event_id
+                         ROWS UNBOUNDED PRECEDING) AS run
+  FROM pts
+), m AS (SELECT max(run) AS peak FROM runs)
+SELECT m.peak::BIGINT AS peak, min(runs.t)::BIGINT AS first_t_us
+FROM runs, m WHERE runs.run = m.peak
+GROUP BY m.peak
+"""
+
+
+def q_khop_reach(sf_dir: str):
+    """K-hop reachability (k=2) with minimum hop count over the
+    deterministic near-chain user graph (the connected_components /
+    triangle_count convention: u -> u+1 and u -> u+2 within a
+    decade) — the graph-expansion primitive behind "friends of
+    friends" and 2-hop feature joins.  One hash self-join on the
+    middle vertex generates 2-hop pairs, a union attaches hop
+    labels, and one groupby keeps min(hops) per pair — multi-path
+    duplicates collapse in the exchange, never materializing the
+    path list."""
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.dedup import ensure_schema, join_partitions_for
+
+    users = _read(sf_dir, "events", columns=["user_id"]) \
+        .groupby("user_id").aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+    nparts = join_partitions_for(users.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        u1 = u[u % 10 < 9]
+        u2 = u[u % 10 < 8]
+        return pa.table({
+            "a": pa.array(np.concatenate([u1, u2]), pa.int64()),
+            "b": pa.array(np.concatenate([u1 + 1, u2 + 2]), pa.int64()),
+        })
+
+    with _hash_shuffle_context():
+        edges = users.map_batches(
+            mk_edges, batch_format="pyarrow").materialize()
+        right = ensure_schema(
+            edges.rename_columns({"a": "b", "b": "c"}),
+            pa.schema([("b", pa.int64()), ("c", pa.int64())]),
+            num_blocks=nparts)
+        two = edges.join(right, "inner", num_partitions=nparts,
+                         on=("b",))
+
+        def tag2(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "a": batch["a"],
+                "b": batch["c"],
+                "hops": pa.repeat(pa.scalar(2, pa.int64()),
+                                  batch.num_rows),
+            })
+
+        def tag1(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "a": batch["a"],
+                "b": batch["b"],
+                "hops": pa.repeat(pa.scalar(1, pa.int64()),
+                                  batch.num_rows),
+            })
+
+        reach = edges.map_batches(tag1, batch_format="pyarrow").union(
+            two.map_batches(tag2, batch_format="pyarrow"))
+        out = reach.groupby(["a", "b"], num_partitions=nparts) \
+            .aggregate(Min("hops", alias_name="hops"))
+
+    def drop_self(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["a"], batch["b"]))
+
+    return out.map_batches(drop_self, batch_format="pyarrow")
+
+
+SQL_KHOP_REACH = """
+WITH users AS (SELECT DISTINCT user_id AS u FROM events),
+e AS (
+  SELECT u AS a, u + 1 AS b FROM users WHERE u % 10 < 9
+  UNION ALL
+  SELECT u, u + 2 FROM users WHERE u % 10 < 8
+), two AS (
+  SELECT e1.a AS a, e2.b AS b FROM e e1 JOIN e e2 ON e1.b = e2.a
+), reach AS (
+  SELECT a, b, 1 AS hops FROM e
+  UNION ALL SELECT a, b, 2 FROM two
+)
+SELECT a, b, min(hops) AS hops FROM reach WHERE a <> b GROUP BY a, b
+"""
+
+
+PRICE_W_QUANTILES = (0.25, 0.5, 0.75)
+
+
+def q_price_weighted_quantiles(sf_dir: str):
+    """Quantity-weighted price quantiles (weighted median family):
+    the smallest price whose cumulative QUANTITY mass reaches q*W —
+    what "median unit price" actually means when line items carry
+    different volumes.  stages/quantiles.py::weighted_quantiles —
+    the exact_quantiles histogram-refinement plan with counts
+    replaced by int64-scaled weight mass (no global sort; candidate
+    bins only are pulled)."""
+    from ..stages.quantiles import weighted_quantiles
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_quantity"])
+    return weighted_quantiles(ds, "l_extendedprice", "l_quantity",
+                              PRICE_W_QUANTILES)
+
+
+SQL_PRICE_WEIGHTED_QUANTILES = f"""
+WITH r AS (
+  SELECT l_extendedprice AS p,
+         CAST(floor(l_quantity) AS BIGINT) AS wt
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND CAST(floor(l_quantity) AS BIGINT) > 0
+), c AS (
+  SELECT p, sum(wt) OVER (ORDER BY p) AS cw FROM r
+), tot AS (SELECT sum(wt) AS w FROM r),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in PRICE_W_QUANTILES)})
+SELECT qs.q::DOUBLE AS q, min(c.p) AS value
+FROM qs, c, tot WHERE c.cw >= qs.q * tot.w
+GROUP BY qs.q
+"""
+
+
+_OVERLAP_SRC_A, _OVERLAP_SRC_B = "src0", "src1"
+
+
+def q_vocab_overlap(sf_dir: str):
+    """Vocabulary overlap between two corpus slices: |V_a|, |V_b|,
+    |V_a ∩ V_b| and their Jaccard — the corpus-drift / domain-shift
+    diagnostic (compare a new crawl slice's vocabulary against the
+    reference corpus).  Map-side per-batch token SETS (one distinct
+    (token, in_a, in_b) row per batch, not per occurrence) fold in
+    ONE groupby(token) max; the three counts then reduce via
+    per-block partials (one row per block) — the final driver fold
+    is O(blocks)."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen_a: set = set()
+        seen_b: set = set()
+        for s, t in zip(batch["source"].to_pylist(),
+                        batch["text"].to_pylist()):
+            if s == _OVERLAP_SRC_A:
+                seen_a.update(t.split(" "))
+            elif s == _OVERLAP_SRC_B:
+                seen_b.update(t.split(" "))
+        toks = sorted(seen_a | seen_b)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "in_a": pa.array([int(t in seen_a) for t in toks],
+                             pa.int64()),
+            "in_b": pa.array([int(t in seen_b) for t in toks],
+                             pa.int64()),
+        })
+
+    marks = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token") \
+        .aggregate(Max("in_a", alias_name="in_a"),
+                   Max("in_b", alias_name="in_b"))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        a = batch["in_a"].to_numpy(zero_copy_only=False)
+        b = batch["in_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_a": pa.array([int(a.sum())], pa.int64()),
+            "n_b": pa.array([int(b.sum())], pa.int64()),
+            "n_common": pa.array([int((a * b).sum())], pa.int64()),
+        })
+
+    parts = marks.map_batches(count_partial,
+                              batch_format="pyarrow").to_pandas()
+    n_a = int(parts["n_a"].sum())
+    n_b = int(parts["n_b"].sum())
+    n_common = int(parts["n_common"].sum())
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "n_common": pa.array([n_common], pa.int64()),
+        "jaccard": pa.array(
+            [_round_half_away(n_common / (n_a + n_b - n_common))],
+            pa.float64()),
+    })
+
+
+SQL_VOCAB_OVERLAP = f"""
+WITH tok AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+  WHERE source IN ('{_OVERLAP_SRC_A}', '{_OVERLAP_SRC_B}')
+), m AS (
+  SELECT token,
+         max(CASE WHEN source = '{_OVERLAP_SRC_A}' THEN 1 ELSE 0 END)
+           AS in_a,
+         max(CASE WHEN source = '{_OVERLAP_SRC_B}' THEN 1 ELSE 0 END)
+           AS in_b
+  FROM tok GROUP BY token
+)
+SELECT sum(in_a)::BIGINT AS n_a, sum(in_b)::BIGINT AS n_b,
+       sum(in_a * in_b)::BIGINT AS n_common,
+       round(sum(in_a * in_b)::DOUBLE /
+             (sum(in_a) + sum(in_b) - sum(in_a * in_b)), 6)
+         AS jaccard
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9291,6 +9633,11 @@ QUERY_FUNCS = {
     "sample_exact_n": q_sample_exact_n,
     "event_debounce": q_event_debounce,
     "reorder_gap_hist": q_reorder_gap_hist,
+    "scd2_history": q_scd2_history,
+    "peak_concurrency": q_peak_concurrency,
+    "khop_reach": q_khop_reach,
+    "price_weighted_quantiles": q_price_weighted_quantiles,
+    "vocab_overlap": q_vocab_overlap,
 }
 
 ORACLE_SQL = {
@@ -9465,6 +9812,11 @@ ORACLE_SQL = {
     "sample_exact_n": SQL_SAMPLE_EXACT_N,
     "event_debounce": SQL_EVENT_DEBOUNCE,
     "reorder_gap_hist": SQL_REORDER_GAP_HIST,
+    "scd2_history": SQL_SCD2_HISTORY,
+    "peak_concurrency": SQL_PEAK_CONCURRENCY,
+    "khop_reach": SQL_KHOP_REACH,
+    "price_weighted_quantiles": SQL_PRICE_WEIGHTED_QUANTILES,
+    "vocab_overlap": SQL_VOCAB_OVERLAP,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its

@@ -173,6 +173,124 @@ def exact_quantiles(ds, col: str, qs: tuple[float, ...],
                      "value": pa.array(out, pa.float64())})
 
 
+def weighted_quantiles(ds, col: str, weight_col: str,
+                       qs: tuple[float, ...], bins: int = 4096,
+                       max_candidate_rows: int = 5_000_000,
+                       weight_scale: float = 1.0) -> pa.Table:
+    """Exact LOWER weighted quantiles: for each ``q`` the smallest
+    value ``v`` with ``cumweight(<= v) >= q * W`` — the
+    inventory/revenue-weighted median family (``weighted_median`` =
+    ``qs=(0.5,)``).
+
+    Same two-pass histogram-refinement plan as :func:`exact_quantiles`
+    (no global sort; candidate bins only are pulled), with COUNTS
+    replaced by WEIGHT MASS.  Determinism contract: weights accumulate
+    as ``floor(weight * weight_scale)`` int64 — integer addition is
+    associative, so cross-block merge order cannot move a threshold
+    comparison the way float partial sums could.  Rows whose value OR
+    weight is null/NaN, or whose scaled weight is <= 0, are excluded.
+    Each ``q`` must satisfy ``0 < q <= 1`` (a ``q=0`` "smallest value
+    with positive mass" is ``qs=(tiny,)`` by this rule, matching SQL's
+    ``min(v) WHERE cum >= q*W`` mirror exactly).
+    """
+    from ray.data.aggregate import AggregateFn
+
+    if not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"each q must be in (0, 1], got {qs!r}")
+
+    def vw(block) -> tuple[np.ndarray, np.ndarray]:
+        vals = block.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        w = block.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sw = np.floor(w * weight_scale)
+        ok = ~np.isnan(vals) & ~np.isnan(sw) & (sw > 0)
+        return vals[ok], sw[ok].astype(np.int64)
+
+    def acc_stats(state: np.ndarray, block) -> np.ndarray:
+        vals, w = vw(block)
+        if len(vals):
+            state = np.array([state[0] + float(w.sum()),
+                              min(state[1], float(vals.min())),
+                              max(state[2], float(vals.max()))])
+        return state
+
+    stats_fn = AggregateFn(
+        init=lambda k: np.array([0.0, np.inf, -np.inf]),
+        merge=lambda a, b: np.array([a[0] + b[0], min(a[1], b[1]),
+                                     max(a[2], b[2])]),
+        accumulate_block=acc_stats,
+        name="w_stats")
+    st = np.asarray(ds.aggregate(stats_fn)["w_stats"], dtype=np.float64)
+    total_w, lo, hi = int(st[0]), float(st[1]), float(st[2])
+    if total_w == 0:
+        return pa.table({"q": pa.array(list(qs), pa.float64()),
+                         "value": pa.array([None] * len(qs),
+                                           pa.float64())})
+    if hi <= lo:
+        return pa.table({"q": pa.array(list(qs), pa.float64()),
+                         "value": pa.array([lo] * len(qs),
+                                           pa.float64())})
+    width = (hi - lo) / bins
+
+    def acc_hist(state: np.ndarray, block) -> np.ndarray:
+        vals, w = vw(block)
+        if len(vals):
+            idx = _bin_index(vals, lo, width, bins)
+            state = state + np.bincount(
+                idx, weights=w, minlength=bins).astype(np.int64)
+        return state
+
+    hist_fn = AggregateFn(
+        init=lambda k: np.zeros(bins, dtype=np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=acc_hist,
+        name="w_hist")
+    hist = np.asarray(ds.aggregate(hist_fn)["w_hist"], dtype=np.int64)
+    cum = np.cumsum(hist)
+
+    # weight-mass target per q; searchsorted(left) = first bin whose
+    # cumulative mass reaches it (q*W exact in double for W < 2^53)
+    targets = [q * total_w for q in qs]
+    need_bins = sorted({int(np.searchsorted(cum, t, side="left"))
+                        for t in targets})
+    pull = int(hist[np.asarray(need_bins, dtype=np.int64)].sum())
+    if pull > max_candidate_rows:
+        raise ValueError(
+            f"candidate bins hold weight {pull} > max_candidate_rows="
+            f"{max_candidate_rows}; raise bins= or refine recursively")
+    bins_arr = np.asarray(need_bins, dtype=np.int64)
+
+    def in_candidate_bins(batch: pa.Table) -> pa.Table:
+        vals, w = vw(batch)
+        idx = _bin_index(vals, lo, width, bins)
+        mask = np.isin(idx, bins_arr)
+        return pa.table({
+            "v": pa.array(vals[mask], pa.float64()),
+            "w": pa.array(w[mask], pa.int64()),
+            "bin": pa.array(idx[mask], pa.int64()),
+        })
+
+    cand = ds.select_columns([col, weight_col]) \
+        .map_batches(in_candidate_bins, batch_format="pyarrow") \
+        .to_pandas()
+    cvals = cand["v"].to_numpy(dtype=np.float64)
+    cw = cand["w"].to_numpy(dtype=np.int64)
+    cbins = cand["bin"].to_numpy(dtype=np.int64)
+
+    out = []
+    for q, t in zip(qs, targets):
+        b = int(np.searchsorted(cum, t, side="left"))
+        before = int(cum[b - 1]) if b > 0 else 0
+        sel = cbins == b
+        order = np.argsort(cvals[sel], kind="stable")
+        local_cum = before + np.cumsum(cw[sel][order])
+        i = int(np.searchsorted(local_cum, t, side="left"))
+        out.append(float(cvals[sel][order][i]))
+    return pa.table({"q": pa.array(list(qs), pa.float64()),
+                     "value": pa.array(out, pa.float64())})
+
+
 def exact_quantiles_by_group(ds, col: str, group_col: str,
                              qs: tuple[float, ...],
                              bins: int = 4096,

@@ -424,3 +424,93 @@ class TestApproxQuantilesKMV:
         got = approx_quantiles_kmv(
             rd.from_arrow(empty), "v", "rid", (0.5,), k=10).to_pandas()
         assert got["value"].isna().all()
+
+
+class TestWeightedQuantiles:
+    """stages/quantiles.py::weighted_quantiles — exact lower weighted
+    quantiles via weight-mass histogram refinement."""
+
+    def _brute(self, v, w, q):
+        order = np.argsort(v, kind="stable")
+        v, w = np.asarray(v)[order], np.asarray(w)[order]
+        cum = np.cumsum(w)
+        t = q * cum[-1]
+        return float(v[int(np.searchsorted(cum, t, side="left"))])
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            weighted_quantiles)
+
+        rng = np.random.default_rng(7)
+        v = rng.uniform(0, 1000, 5000)
+        w = rng.integers(1, 50, 5000).astype(np.float64)
+        ds = rd.from_arrow(pa.table({"v": v, "w": w})).repartition(9)
+        got = weighted_quantiles(
+            ds, "v", "w", (0.1, 0.25, 0.5, 0.75, 0.9)).to_pandas()
+        for _, row in got.iterrows():
+            assert row["value"] == self._brute(v, w, row["q"]), row["q"]
+
+    def test_weights_shift_the_median(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            weighted_quantiles)
+
+        # values 1..9 uniform weight -> median 5; weight 100 on 9
+        # drags the weighted median to 9
+        v = np.arange(1.0, 10.0)
+        w = np.ones(9)
+        w[-1] = 100.0
+        ds = rd.from_arrow(pa.table({"v": v, "w": w}))
+        got = weighted_quantiles(ds, "v", "w", (0.5,)).to_pandas()
+        assert float(got["value"].iloc[0]) == 9.0
+
+    def test_nulls_and_zero_weights_excluded(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            weighted_quantiles)
+
+        # null value, null weight, and sub-1 scaled weight rows must
+        # all drop out (the ADVICE r3 Count-vs-histogram desync class)
+        tab = pa.table({
+            "v": pa.array([1.0, None, 2.0, 3.0, 1000.0, 4.0],
+                          pa.float64()),
+            "w": pa.array([1.0, 5.0, None, 1.0, 0.4, 1.0],
+                          pa.float64()),
+        })
+        got = weighted_quantiles(
+            rd.from_arrow(tab), "v", "w", (0.5,)).to_pandas()
+        # surviving (v, w): (1,1) (3,1) (4,1) -> t=1.5 -> v=3
+        assert float(got["value"].iloc[0]) == 3.0
+
+    def test_empty_and_constant(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            weighted_quantiles)
+
+        empty = pa.table({"v": pa.array([], pa.float64()),
+                          "w": pa.array([], pa.float64())})
+        got = weighted_quantiles(
+            rd.from_arrow(empty), "v", "w", (0.5,)).to_pandas()
+        assert got["value"].isna().all()
+
+        const = pa.table({"v": pa.array([7.0] * 5, pa.float64()),
+                          "w": pa.array([2.0] * 5, pa.float64())})
+        got = weighted_quantiles(
+            rd.from_arrow(const), "v", "w", (0.25, 0.9)).to_pandas()
+        assert (got["value"] == 7.0).all()
+
+    def test_rejects_q_zero(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.quantiles import (
+            weighted_quantiles)
+
+        ds = rd.from_arrow(pa.table({"v": pa.array([1.0]),
+                                     "w": pa.array([1.0])}))
+        with pytest.raises(ValueError):
+            weighted_quantiles(ds, "v", "w", (0.0, 0.5))
