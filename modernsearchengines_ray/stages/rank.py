@@ -115,3 +115,78 @@ def global_row_number(ds, sort_cols: list[str],
 
     return sorted_ds.map_batches(number, batch_size=None,
                                  batch_format="pyarrow")
+
+
+def global_running_sum(ds, sort_cols: list[str], value_col: str,
+                       out_col: str = "run_sum",
+                       exclusive: bool = True,
+                       descending: bool | list[bool] = False):
+    """Global running sum of int64 ``value_col`` over the global
+    ``sort_cols`` order — ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` (minus the row's own value when ``exclusive``, the
+    default) — by the same plan as :func:`global_row_number`: block
+    summaries carry per-block VALUE SUMS instead of row counts, the
+    driver folds #blocks rows into starting offsets, and pass B adds
+    a local vectorized cumsum.  Values must be integers (associative
+    adds keep every tier bit-identical to a sequential SQL
+    accumulate — callers scale floats first, the windows.py
+    convention); the sort key must be globally unique."""
+    import ray
+
+    in_schema = ds.schema()
+    sorted_ds = ds.sort(sort_cols, descending=descending).materialize()
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(sort_cols).append_column(
+                "v_sum", pa.array([], pa.int64()))
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        return batch.slice(0, 1).select(sort_cols).append_column(
+            "v_sum", pa.array([int(v.sum())], pa.int64()))
+
+    summaries = sorted_ds.map_batches(
+        summarize, batch_size=None, batch_format="pyarrow").to_pandas()
+    if summaries.empty:
+        import ray.data as rd
+
+        if in_schema is not None:
+            base = list(zip(in_schema.names, in_schema.types))
+        else:
+            tabs = ray.get(sorted_ds.to_arrow_refs())
+            first = tabs[0] if tabs else pa.schema([]).empty_table()
+            base = list(zip(first.schema.names, first.schema.types))
+        schema = pa.schema(base + [(out_col, pa.int64())])
+        return rd.from_arrow(schema.empty_table())
+
+    if isinstance(descending, bool):
+        ascending = [not descending] * len(sort_cols)
+    else:
+        ascending = [not d for d in descending]
+    summaries = summaries.sort_values(sort_cols, ascending=ascending,
+                                      kind="mergesort",
+                                      ignore_index=True)
+    starts = np.concatenate(
+        [[0], np.cumsum(summaries["v_sum"].to_numpy())[:-1]])
+    offsets = {
+        repr(tuple(_canon(v) for v in row)): int(off)
+        for row, off in zip(
+            summaries[sort_cols].itertuples(index=False, name=None),
+            starts)
+    }
+    offsets_ref = ray.put(offsets)
+
+    def accumulate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col,
+                                       pa.array([], pa.int64()))
+        table = ray.get(offsets_ref)
+        off = table[repr(_key_tuple(batch, sort_cols, 0))]
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        run = np.cumsum(v) + off
+        if exclusive:
+            run = run - v
+        return batch.append_column(out_col, pa.array(run, pa.int64()))
+
+    return sorted_ds.map_batches(accumulate, batch_size=None,
+                                 batch_format="pyarrow")

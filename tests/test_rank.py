@@ -62,3 +62,53 @@ class TestGlobalRowNumber:
         # typed result even when empty (Dataset.to_pandas drops the
         # schema of an empty dataset, so assert on the dataset)
         assert "row_number" in out.schema().names
+
+
+class TestGlobalRunningSum:
+    def _run(self, tab, blocks, **kw):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.rank import (
+            global_running_sum)
+
+        out = global_running_sum(
+            rd.from_arrow(tab).repartition(blocks), ["k"], "v",
+            out_col="run", **kw)
+        return out.to_pandas().sort_values("k",
+                                           ignore_index=True)
+
+    def test_matches_sequential_cumsum(self, ray_session):
+        rng = np.random.default_rng(11)
+        k = rng.permutation(777).astype(np.int64)
+        v = rng.integers(0, 100, 777).astype(np.int64)
+        tab = pa.table({"k": k, "v": v})
+        got = self._run(tab, blocks=9)
+        order = np.argsort(k)
+        want_excl = np.cumsum(v[order]) - v[order]
+        assert np.array_equal(got["run"].to_numpy(), want_excl)
+
+        got_incl = self._run(tab, blocks=9, exclusive=False)
+        assert np.array_equal(got_incl["run"].to_numpy(),
+                              np.cumsum(v[order]))
+
+    def test_block_count_invariance(self, ray_session):
+        rng = np.random.default_rng(13)
+        tab = pa.table({
+            "k": pa.array(rng.permutation(500).astype(np.int64)),
+            "v": pa.array(rng.integers(1, 9, 500).astype(np.int64)),
+        })
+        a = self._run(tab, blocks=1)
+        b = self._run(tab, blocks=17)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.rank import (
+            global_running_sum)
+
+        tab = pa.table({"k": pa.array([], pa.int64()),
+                        "v": pa.array([], pa.int64())})
+        out = global_running_sum(rd.from_arrow(tab), ["k"], "v")
+        assert out.count() == 0
+        assert "run_sum" in out.schema().names
