@@ -2135,6 +2135,20 @@ FROM walk GROUP BY node
 """
 
 
+def _near_chain_edges(batch: pa.Table) -> pa.Table:
+    """THE deterministic near-chain graph convention shared by every
+    graph entry that derives edges from the distinct event users
+    (triangle_count, khop_reach; connected_components documents the
+    same shape): u -> u+1 for u%10 < 9 and u -> u+2 for u%10 < 8."""
+    u = batch["user_id"].to_numpy(zero_copy_only=False)
+    u1 = u[u % 10 < 9]
+    u2 = u[u % 10 < 8]
+    return pa.table({
+        "a": pa.array(np.concatenate([u1, u2]), pa.int64()),
+        "b": pa.array(np.concatenate([u1 + 1, u2 + 2]), pa.int64()),
+    })
+
+
 def q_triangle_count(sf_dir: str):
     """Distributed triangle counting (node-iterator MapReduce, Suri &
     Vassilvitskii 2011): canonical a<b edges -> wedge self-join on the
@@ -2159,18 +2173,9 @@ def q_triangle_count(sf_dir: str):
         .drop_columns(["_n"])
     nparts = join_partitions_for(users.count())
 
-    def mk_edges(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False)
-        u1 = u[u % 10 < 9]
-        u2 = u[u % 10 < 8]
-        return pa.table({
-            "a": pa.array(np.concatenate([u1, u2]), pa.int64()),
-            "b": pa.array(np.concatenate([u1 + 1, u2 + 2]), pa.int64()),
-        })
-
     with _hash_shuffle_context():
         edges = users.map_batches(
-            mk_edges, batch_format="pyarrow").materialize()
+            _near_chain_edges, batch_format="pyarrow").materialize()
         edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
         # sentinel guard on each join's RIGHT side only (see
         # dedup.ensure_schema) — the left sides carry no sentinel, so
@@ -8772,7 +8777,10 @@ def q_cdc_merge(sf_dir: str):
     upserts and deletes into the final table state.  Base rows carry
     seq=0; the deterministic changelog upserts doc_id%7 (seq 1),
     deletes doc_id%13 (seq 2 — beating the %91 overlap's upsert, the
-    max-seq rule) and inserts fresh keys for doc_id%29.  The winner
+    max-seq rule) and inserts fresh keys for doc_id%29 in the
+    NEGATIVE id space (-doc_id-1 — structurally disjoint from the
+    nonnegative real-id contract at any corpus size, so an insert can
+    never collide with a real key).  The winner
     election is ONE small groupby (max seq per key — one row per key,
     not per log record) hash-joined back on the unique (doc_id, seq)
     pair, then delete-winners are filtered out — no per-key Python
@@ -8811,7 +8819,7 @@ def q_cdc_merge(sf_dir: str):
             part(ids[ids % 13 == 0],
                  pa.repeat(pa.scalar("", pa.string()), n13),
                  "delete", 2, n13),
-            part(ids[ids % 29 == 0] + 3_000_000, t29, "upsert", 1, n29),
+            part(-ids[ids % 29 == 0] - 1, t29, "upsert", 1, n29),
         ])
 
     log = ds.map_batches(build_log, batch_format="pyarrow")
@@ -8842,7 +8850,7 @@ WITH log AS (
   UNION ALL
   SELECT doc_id, '', 'delete', 2 FROM documents WHERE doc_id % 13 = 0
   UNION ALL
-  SELECT doc_id + 3000000, text, 'upsert', 1
+  SELECT -doc_id - 1, text, 'upsert', 1
   FROM documents WHERE doc_id % 29 = 0
 ), r AS (
   SELECT doc_id, text, op,
@@ -8884,14 +8892,21 @@ def q_retention_curve(sf_dir: str):
         .groupby(["user_id", "day"]).aggregate(Count(alias_name="_n")) \
         .drop_columns(["_n"]).materialize()
 
-    from ..stages.dedup import default_join_partitions
+    from ..stages.dedup import default_join_partitions, ensure_schema
 
     firsts = ud.groupby("user_id").aggregate(Min("day",
                                                  alias_name="first_day"))
     n_users = firsts.count()
 
     nparts = default_join_partitions()
-    joined = ud.join(firsts, "inner", num_partitions=nparts,
+    # sentinel-guard the small aggregate side (dedup.ensure_schema):
+    # fewer distinct users than join partitions leaves empty hash-join
+    # shards and Acero fails; the inner join drops the sentinel
+    firsts_g = ensure_schema(
+        firsts, pa.schema([("user_id", pa.int64()),
+                           ("first_day", pa.int64())]),
+        num_blocks=nparts)
+    joined = ud.join(firsts_g, "inner", num_partitions=nparts,
                      on=("user_id",))
 
     def offsets(batch: pa.Table) -> pa.Table:
@@ -8952,7 +8967,7 @@ def q_sample_exact_n(sf_dir: str):
     def local_top(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
-        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        h = (ids * np.uint64(_SAMPLE_HASH_MULT)) & np.uint64(0xFFFFFFFF)
         order = np.lexsort((ids, h))[:_SAMPLE_EXACT_N]
         return pa.table({
             "doc_id": pa.array(ids[order].astype(np.int64), pa.int64()),
@@ -8997,7 +9012,7 @@ def q_event_debounce(sf_dir: str):
                columns=["event_id", "user_id", "event_type", "ts"])
 
     def per_stream(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("int64").to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         order = np.lexsort((g["event_id"].to_numpy(), ts))
         ts = ts[order]
         ev = g["event_id"].to_numpy()[order]
@@ -9059,7 +9074,8 @@ def q_reorder_gap_hist(sf_dir: str):
                                           "o_orderdate"])
 
     def per_customer(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["o_orderdate"].astype("int64").to_numpy()
+        ts = g["o_orderdate"].astype("datetime64[us]") \
+            .astype("int64").to_numpy()
         order = np.lexsort((g["o_orderkey"].to_numpy(), ts))
         ts = ts[order]
         if len(ts) < 2:
@@ -9107,7 +9123,7 @@ def q_scd2_history(sf_dir: str):
                columns=["event_id", "user_id", "event_type", "ts"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("int64").to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         order = np.lexsort((g["event_id"].to_numpy(), ts))
         ts = ts[order]
         ev = g["event_id"].to_numpy()[order]
@@ -9252,18 +9268,9 @@ def q_khop_reach(sf_dir: str):
         .drop_columns(["_n"])
     nparts = join_partitions_for(users.count())
 
-    def mk_edges(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False)
-        u1 = u[u % 10 < 9]
-        u2 = u[u % 10 < 8]
-        return pa.table({
-            "a": pa.array(np.concatenate([u1, u2]), pa.int64()),
-            "b": pa.array(np.concatenate([u1 + 1, u2 + 2]), pa.int64()),
-        })
-
     with _hash_shuffle_context():
         edges = users.map_batches(
-            mk_edges, batch_format="pyarrow").materialize()
+            _near_chain_edges, batch_format="pyarrow").materialize()
         right = ensure_schema(
             edges.rename_columns({"a": "b", "b": "c"}),
             pa.schema([("b", pa.int64()), ("c", pa.int64())]),
@@ -9400,6 +9407,15 @@ def q_vocab_overlap(sf_dir: str):
 
     parts = marks.map_batches(count_partial,
                               batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        # no src_a/src_b docs at all: mirror SQL's sum-over-zero-rows
+        # (one row of NULLs), not a ZeroDivisionError
+        return pa.table({
+            "n_a": pa.array([None], pa.int64()),
+            "n_b": pa.array([None], pa.int64()),
+            "n_common": pa.array([None], pa.int64()),
+            "jaccard": pa.array([None], pa.float64()),
+        })
     n_a = int(parts["n_a"].sum())
     n_b = int(parts["n_b"].sum())
     n_common = int(parts["n_common"].sum())

@@ -237,16 +237,20 @@ def weighted_quantiles(ds, col: str, weight_col: str,
         vals, w = vw(block)
         if len(vals):
             idx = _bin_index(vals, lo, width, bins)
-            state = state + np.bincount(
-                idx, weights=w, minlength=bins).astype(np.int64)
+            state = state + np.stack([
+                np.bincount(idx, weights=w,
+                            minlength=bins).astype(np.int64),
+                np.bincount(idx, minlength=bins),
+            ])
         return state
 
     hist_fn = AggregateFn(
-        init=lambda k: np.zeros(bins, dtype=np.int64),
+        init=lambda k: np.zeros((2, bins), dtype=np.int64),
         merge=lambda a, b: a + b,
         accumulate_block=acc_hist,
         name="w_hist")
-    hist = np.asarray(ds.aggregate(hist_fn)["w_hist"], dtype=np.int64)
+    both = np.asarray(ds.aggregate(hist_fn)["w_hist"], dtype=np.int64)
+    hist, rows = both[0], both[1]
     cum = np.cumsum(hist)
 
     # weight-mass target per q; searchsorted(left) = first bin whose
@@ -254,10 +258,12 @@ def weighted_quantiles(ds, col: str, weight_col: str,
     targets = [q * total_w for q in qs]
     need_bins = sorted({int(np.searchsorted(cum, t, side="left"))
                         for t in targets})
-    pull = int(hist[np.asarray(need_bins, dtype=np.int64)].sum())
+    # the pull guard bounds candidate ROWS (what actually crosses to
+    # the driver), not weight mass
+    pull = int(rows[np.asarray(need_bins, dtype=np.int64)].sum())
     if pull > max_candidate_rows:
         raise ValueError(
-            f"candidate bins hold weight {pull} > max_candidate_rows="
+            f"candidate bins hold {pull} rows > max_candidate_rows="
             f"{max_candidate_rows}; raise bins= or refine recursively")
     bins_arr = np.asarray(need_bins, dtype=np.int64)
 

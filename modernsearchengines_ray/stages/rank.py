@@ -1,20 +1,23 @@
-"""Distributed GLOBAL dense numbering of a sorted Dataset — the
-zipWithIndex / ``row_number() OVER (ORDER BY ...)`` primitive Ray
-Data lacks natively.
+"""Distributed GLOBAL prefix computations over a sorted Dataset —
+dense numbering (zipWithIndex / ``row_number() OVER (ORDER BY ...)``)
+and integer running sums, the window primitives Ray Data lacks
+natively.
 
-The plan exploits range-sorted blocks (what ``ds.sort`` produces:
-blocks hold disjoint key ranges, in order):
+Both share ONE plan that exploits range-sorted blocks (what
+``ds.sort`` produces: blocks hold disjoint key ranges, in order):
 
 1. ONE distributed range sort by the caller's key columns — the same
    exchange SQL's global ORDER BY window needs;
 2. pass A: each sorted block emits one summary row
-   ``(first key of block, rows in block)`` — #blocks rows total;
+   ``(first key of block, block weight)`` — #blocks rows total, where
+   the weight is the block's row count (numbering) or its value sum
+   (running sum);
 3. the driver sorts that tiny table (#blocks entries, KBs at any
    data scale) into per-block starting offsets and broadcasts the
    ``first key -> offset`` map via ``ray.put``;
 4. pass B: each block looks up its own offset by its first row's key
-   and adds a local ``arange`` — a pure streaming map, no second
-   exchange.
+   and adds a local vectorized ``arange`` / ``cumsum`` — a pure
+   streaming map, no second exchange.
 
 Correctness requires the sort key to be GLOBALLY UNIQUE (each block's
 first key then identifies exactly one block and one global position).
@@ -43,78 +46,107 @@ def _key_tuple(batch: pa.Table, cols: list[str], row: int) -> tuple:
     return tuple(_canon(batch.column(c)[row].as_py()) for c in cols)
 
 
+def _ascending_list(descending: bool | list[bool],
+                    ncols: int) -> list[bool]:
+    if isinstance(descending, bool):
+        return [not descending] * ncols
+    return [not d for d in descending]
+
+
+def _typed_empty(in_schema, sorted_ds, out_col: str):
+    """Typed empty result Dataset: an empty ``to_pandas`` loses its
+    schema, and ``Dataset.schema()`` can be None for an empty dataset,
+    so fall back to the first — empty — materialized block's schema."""
+    import ray
+    import ray.data as rd
+
+    if in_schema is not None:
+        base = list(zip(in_schema.names, in_schema.types))
+    else:
+        tabs = ray.get(sorted_ds.to_arrow_refs())
+        first = tabs[0] if tabs else pa.schema([]).empty_table()
+        base = list(zip(first.schema.names, first.schema.types))
+    schema = pa.schema(base + [(out_col, pa.int64())])
+    return rd.from_arrow(schema.empty_table())
+
+
+def _block_offset_map(summaries, sort_cols: list[str],
+                      ascending: list[bool]) -> dict:
+    """Driver fold of pass A: order the tiny per-block summary table
+    by the SAME key/direction (blocks are range-disjoint, so this
+    orders blocks globally — no reliance on block-order preservation
+    in the collect) and exclusive-prefix the ``weight`` column into a
+    ``repr(first-key tuple) -> starting offset`` map."""
+    summaries = summaries.sort_values(sort_cols, ascending=ascending,
+                                      kind="mergesort",
+                                      ignore_index=True)
+    starts = np.concatenate(
+        [[0], np.cumsum(summaries["weight"].to_numpy())[:-1]])
+    return {
+        repr(tuple(_canon(v) for v in row)): int(off)
+        for row, off in zip(
+            summaries[sort_cols].itertuples(index=False, name=None),
+            starts)
+    }
+
+
+def _global_prefix(ds, sort_cols: list[str], out_col: str,
+                   block_weight, local_apply,
+                   descending: bool | list[bool]):
+    """The shared two-pass engine: ``block_weight(batch) -> int`` is
+    pass A's per-block summary payload; ``local_apply(batch, offset)
+    -> np.ndarray[int64]`` is pass B's vectorized per-block kernel."""
+    import ray
+
+    in_schema = ds.schema()
+    # pass A runs on the materialized sort output so pass B transforms
+    # EXACTLY the blocks that were summarized (re-executing a lazy
+    # sort could re-chunk)
+    sorted_ds = ds.sort(sort_cols, descending=descending).materialize()
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(sort_cols).append_column(
+                "weight", pa.array([], pa.int64()))
+        return batch.slice(0, 1).select(sort_cols).append_column(
+            "weight", pa.array([int(block_weight(batch))], pa.int64()))
+
+    summaries = sorted_ds.map_batches(
+        summarize, batch_size=None, batch_format="pyarrow").to_pandas()
+    if summaries.empty:
+        return _typed_empty(in_schema, sorted_ds, out_col)
+
+    offsets = _block_offset_map(
+        summaries, sort_cols,
+        _ascending_list(descending, len(sort_cols)))
+    offsets_ref = ray.put(offsets)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col,
+                                       pa.array([], pa.int64()))
+        table = ray.get(offsets_ref)
+        off = table[repr(_key_tuple(batch, sort_cols, 0))]
+        vals = local_apply(batch, off)
+        return batch.append_column(out_col, pa.array(vals, pa.int64()))
+
+    return sorted_ds.map_batches(apply, batch_size=None,
+                                 batch_format="pyarrow")
+
+
 def global_row_number(ds, sort_cols: list[str],
                       out_col: str = "row_number",
                       descending: bool | list[bool] = False):
     """Return a Dataset = ``ds`` sorted by ``sort_cols`` with a new
     int64 column ``out_col`` holding the 1-based global rank.  See
     module docstring for the plan and the uniqueness contract."""
-    import ray
 
-    in_schema = ds.schema()
-    sorted_ds = ds.sort(sort_cols, descending=descending)
-    # pass A runs on the materialized sort output so pass B numbers
-    # EXACTLY the blocks that were summarized (re-executing a lazy
-    # sort could re-chunk)
-    sorted_ds = sorted_ds.materialize()
+    def number(batch: pa.Table, off: int) -> np.ndarray:
+        return np.arange(1, batch.num_rows + 1, dtype=np.int64) + off
 
-    def summarize(batch: pa.Table) -> pa.Table:
-        # one row per block: the block's first sort key (native
-        # columns) + its row count
-        if batch.num_rows == 0:
-            return batch.select(sort_cols).append_column(
-                "n_rows", pa.array([], pa.int64()))
-        return batch.slice(0, 1).select(sort_cols).append_column(
-            "n_rows", pa.array([batch.num_rows], pa.int64()))
-
-    summaries = sorted_ds.map_batches(
-        summarize, batch_size=None, batch_format="pyarrow").to_pandas()
-    if summaries.empty:
-        # typed empty result (an empty to_pandas loses its schema;
-        # Dataset.schema() can be None for an empty dataset, so fall
-        # back to the first — empty — materialized block's schema)
-        import ray.data as rd
-
-        if in_schema is not None:
-            base = list(zip(in_schema.names, in_schema.types))
-        else:
-            tabs = ray.get(sorted_ds.to_arrow_refs())
-            first = tabs[0] if tabs else pa.schema([]).empty_table()
-            base = list(zip(first.schema.names, first.schema.types))
-        schema = pa.schema(base + [(out_col, pa.int64())])
-        return rd.from_arrow(schema.empty_table())
-
-    # blocks are range-disjoint, so sorting the tiny summary table by
-    # the SAME key/direction orders blocks globally — no reliance on
-    # any block-order preservation in the collect
-    if isinstance(descending, bool):
-        ascending = [not descending] * len(sort_cols)
-    else:
-        ascending = [not d for d in descending]
-    summaries = summaries.sort_values(sort_cols, ascending=ascending,
-                                      kind="mergesort",
-                                      ignore_index=True)
-    starts = np.concatenate(
-        [[0], np.cumsum(summaries["n_rows"].to_numpy())[:-1]])
-    offsets = {
-        repr(tuple(_canon(v) for v in row)): int(off)
-        for row, off in zip(
-            summaries[sort_cols].itertuples(index=False, name=None),
-            starts)
-    }
-    offsets_ref = ray.put(offsets)
-
-    def number(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column(out_col, pa.array([], pa.int64()))
-        table = ray.get(offsets_ref)
-        key = repr(_key_tuple(batch, sort_cols, 0))
-        off = table[key]
-        rn = np.arange(1, batch.num_rows + 1, dtype=np.int64) + off
-        return batch.append_column(out_col, pa.array(rn, pa.int64()))
-
-    return sorted_ds.map_batches(number, batch_size=None,
-                                 batch_format="pyarrow")
+    return _global_prefix(ds, sort_cols, out_col,
+                          block_weight=lambda b: b.num_rows,
+                          local_apply=number, descending=descending)
 
 
 def global_running_sum(ds, sort_cols: list[str], value_col: str,
@@ -124,69 +156,21 @@ def global_running_sum(ds, sort_cols: list[str], value_col: str,
     """Global running sum of int64 ``value_col`` over the global
     ``sort_cols`` order — ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED
     PRECEDING)`` (minus the row's own value when ``exclusive``, the
-    default) — by the same plan as :func:`global_row_number`: block
-    summaries carry per-block VALUE SUMS instead of row counts, the
-    driver folds #blocks rows into starting offsets, and pass B adds
-    a local vectorized cumsum.  Values must be integers (associative
-    adds keep every tier bit-identical to a sequential SQL
-    accumulate — callers scale floats first, the windows.py
-    convention); the sort key must be globally unique."""
-    import ray
+    default).  Values must be integers (associative adds keep every
+    tier bit-identical to a sequential SQL accumulate — callers scale
+    floats first, the windows.py convention); the sort key must be
+    globally unique."""
 
-    in_schema = ds.schema()
-    sorted_ds = ds.sort(sort_cols, descending=descending).materialize()
-
-    def summarize(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.select(sort_cols).append_column(
-                "v_sum", pa.array([], pa.int64()))
+    def block_sum(batch: pa.Table) -> int:
         v = batch.column(value_col).to_numpy(zero_copy_only=False)
-        return batch.slice(0, 1).select(sort_cols).append_column(
-            "v_sum", pa.array([int(v.sum())], pa.int64()))
+        return int(v.sum())
 
-    summaries = sorted_ds.map_batches(
-        summarize, batch_size=None, batch_format="pyarrow").to_pandas()
-    if summaries.empty:
-        import ray.data as rd
-
-        if in_schema is not None:
-            base = list(zip(in_schema.names, in_schema.types))
-        else:
-            tabs = ray.get(sorted_ds.to_arrow_refs())
-            first = tabs[0] if tabs else pa.schema([]).empty_table()
-            base = list(zip(first.schema.names, first.schema.types))
-        schema = pa.schema(base + [(out_col, pa.int64())])
-        return rd.from_arrow(schema.empty_table())
-
-    if isinstance(descending, bool):
-        ascending = [not descending] * len(sort_cols)
-    else:
-        ascending = [not d for d in descending]
-    summaries = summaries.sort_values(sort_cols, ascending=ascending,
-                                      kind="mergesort",
-                                      ignore_index=True)
-    starts = np.concatenate(
-        [[0], np.cumsum(summaries["v_sum"].to_numpy())[:-1]])
-    offsets = {
-        repr(tuple(_canon(v) for v in row)): int(off)
-        for row, off in zip(
-            summaries[sort_cols].itertuples(index=False, name=None),
-            starts)
-    }
-    offsets_ref = ray.put(offsets)
-
-    def accumulate(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column(out_col,
-                                       pa.array([], pa.int64()))
-        table = ray.get(offsets_ref)
-        off = table[repr(_key_tuple(batch, sort_cols, 0))]
+    def accumulate(batch: pa.Table, off: int) -> np.ndarray:
         v = batch.column(value_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         run = np.cumsum(v) + off
-        if exclusive:
-            run = run - v
-        return batch.append_column(out_col, pa.array(run, pa.int64()))
+        return run - v if exclusive else run
 
-    return sorted_ds.map_batches(accumulate, batch_size=None,
-                                 batch_format="pyarrow")
+    return _global_prefix(ds, sort_cols, out_col,
+                          block_weight=block_sum,
+                          local_apply=accumulate, descending=descending)
