@@ -9832,6 +9832,123 @@ WHERE ab.rn = 1 AND ba.rn = 1
 """
 
 
+_CONV_FROM, _CONV_TO = "view", "click"
+CONV_QS = (0.25, 0.5, 0.75)
+
+
+def q_conversion_latency(sf_dir: str):
+    """Conversion-latency quantiles: per user, the time from the
+    FIRST 'view' to the first 'click' strictly after it, then the
+    exact p25/p50/p75 of those deltas — the time-to-convert
+    distribution behind funnel SLAs (complements event_funnel, which
+    counts conversions but not how long they took).  ONE user-keyed
+    exchange computes the per-user delta with a vectorized kernel;
+    the quantiles come from the histogram-refinement machinery
+    (stages/quantiles.py), never a global sort."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        views = ts[et == _CONV_FROM]
+        if len(views) == 0:
+            return pd.DataFrame({"delta_us": pd.Series([],
+                                                       dtype=np.int64)})
+        t0 = int(views.min())
+        clicks = ts[(et == _CONV_TO) & (ts > t0)]
+        if len(clicks) == 0:
+            return pd.DataFrame({"delta_us": pd.Series([],
+                                                       dtype=np.int64)})
+        return pd.DataFrame({"delta_us": [int(clicks.min()) - t0]})
+
+    deltas = ds.groupby("user_id") \
+        .map_groups(per_user, batch_format="pandas") \
+        .map_batches(lambda b: b.select(["delta_us"]),
+                     batch_format="pyarrow")
+    return exact_quantiles(deltas, "delta_us", CONV_QS)
+
+
+SQL_CONVERSION_LATENCY = f"""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0
+  FROM events WHERE event_type = '{_CONV_FROM}' GROUP BY user_id
+), d AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) - v.t0 AS delta_us
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = '{_CONV_TO}' AND epoch_us(e.ts) > v.t0
+  GROUP BY e.user_id, v.t0
+), s AS (
+  SELECT delta_us AS v,
+         row_number() OVER (ORDER BY delta_us) AS rn
+  FROM d
+), n AS (SELECT count(*) AS n FROM d),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in CONV_QS)})
+SELECT qs.q::DOUBLE AS q, s.v::DOUBLE AS value
+FROM qs, n
+JOIN s ON s.rn = CAST(floor((n.n - 1) * qs.q) AS BIGINT) + 1
+"""
+
+
+def q_length_gini(sf_dir: str):
+    """Gini coefficient of document lengths — the corpus-concentration
+    diagnostic (is the token budget dominated by a few huge docs?).
+    Uses the rank identity G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over the
+    globally unique (n_chars, doc_id) order: ONE range sort via
+    stages/rank.py::global_row_number, then per-block int64 partials
+    (Σx, Σ rank·x, n — one row per block) and an O(blocks) driver
+    fold.  Exact while Σ(rank·x) < 2^63 (n²·x̄ bound — split into
+    hi/lo words past ~3×10⁶ 1-KB docs); the final float expression
+    is written in SQL's cast-then-divide order so the rounded value
+    matches bit-for-bit."""
+    from ..stages.rank import global_row_number
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    ranked = global_row_number(ds, ["n_chars", "doc_id"],
+                               out_col="rn")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rn = batch["rn"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "srx": pa.array([int((rn * x).sum())], pa.int64()),
+        })
+
+    parts = ranked.map_batches(partial,
+                               batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    sx = int(parts["sx"].sum())
+    srx = int(parts["srx"].sum())
+    gini = (float(2 * srx) / float(n * sx)
+            - float(n + 1) / float(n))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "gini": pa.array([_round_half_away(gini)], pa.float64()),
+    })
+
+
+SQL_LENGTH_GINI = """
+WITH s AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+), a AS (
+  SELECT count(*) AS n, sum(n_chars) AS sx,
+         sum(rn * n_chars) AS srx
+  FROM s
+)
+SELECT n::BIGINT AS n,
+       round((2 * srx)::DOUBLE / (n * sx)
+             - (n + 1)::DOUBLE / n, 6) AS gini
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10040,6 +10157,8 @@ QUERY_FUNCS = {
     "token_shards": q_token_shards,
     "benford_prices": q_benford_prices,
     "mutual_nn": q_mutual_nn,
+    "conversion_latency": q_conversion_latency,
+    "length_gini": q_length_gini,
 }
 
 ORACLE_SQL = {
@@ -10224,6 +10343,8 @@ ORACLE_SQL = {
     "token_shards": SQL_TOKEN_SHARDS,
     "benford_prices": SQL_BENFORD_PRICES,
     "mutual_nn": SQL_MUTUAL_NN,
+    "conversion_latency": SQL_CONVERSION_LATENCY,
+    "length_gini": SQL_LENGTH_GINI,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
