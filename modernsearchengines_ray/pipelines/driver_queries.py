@@ -9949,6 +9949,64 @@ FROM a
 """
 
 
+def q_bounce_rate(sf_dir: str):
+    """Bounce rate: the fraction of 30-min-gap sessions containing
+    exactly one event — the engagement-quality headline metric,
+    composed over the PARTITIONED sessionize tier (no driver pandas
+    pass anywhere in the session build); the final fold is one row
+    per block."""
+    sessions = q_sessionize(sf_dir, reduce="partitioned")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch["n_events"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bounces": pa.array([int((n == 1).sum())], pa.int64()),
+            "sessions": pa.array([len(n)], pa.int64()),
+        })
+
+    parts = sessions.map_batches(partial,
+                                 batch_format="pyarrow").to_pandas()
+    b = int(parts["bounces"].sum())
+    s = int(parts["sessions"].sum())
+    return pa.table({
+        "bounces": pa.array([b], pa.int64()),
+        "sessions": pa.array([s], pa.int64()),
+        "bounce_rate": pa.array([_round_half_away(b / s)],
+                                pa.float64()),
+    })
+
+
+SQL_BOUNCE_RATE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), numbered AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1
+           AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS bounces,
+       count(*)::BIGINT AS sessions,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS bounce_rate
+FROM sess
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10159,6 +10217,7 @@ QUERY_FUNCS = {
     "mutual_nn": q_mutual_nn,
     "conversion_latency": q_conversion_latency,
     "length_gini": q_length_gini,
+    "bounce_rate": q_bounce_rate,
 }
 
 ORACLE_SQL = {
@@ -10345,6 +10404,7 @@ ORACLE_SQL = {
     "mutual_nn": SQL_MUTUAL_NN,
     "conversion_latency": SQL_CONVERSION_LATENCY,
     "length_gini": SQL_LENGTH_GINI,
+    "bounce_rate": SQL_BOUNCE_RATE,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
