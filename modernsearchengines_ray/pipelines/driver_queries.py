@@ -10007,6 +10007,150 @@ FROM sess
 """
 
 
+_PARETO_SHARE = 0.8
+
+
+def q_revenue_pareto(sf_dir: str):
+    """Revenue Pareto concentration (the 80/20 curve's headline
+    point): the smallest number of customers whose descending-revenue
+    prefix covers 80% of total revenue.  Per-customer revenue sums in
+    integer CENTS (floor(o_totalprice*100) — associative adds, so
+    block order can never flip the sort or the threshold the way
+    float partials could); one groupby, one range sort via
+    stages/rank.py::global_running_sum (descending revenue, custkey
+    tie-break), then per-block partials locate the crossing — the
+    driver folds #blocks rows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.rank import global_running_sum
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "rev_cents": pa.array(np.floor(p * 100.0).astype(np.int64),
+                                  pa.int64()),
+        })
+
+    rev = ds.map_batches(to_cents, batch_format="pyarrow") \
+        .groupby("o_custkey") \
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+    run = global_running_sum(rev, ["rev_cents", "o_custkey"],
+                             "rev_cents", out_col="cum_before",
+                             exclusive=True,
+                             descending=[True, False])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per block: customers, revenue, and the block's best (lowest-
+        # rank) threshold crossing given the exclusive global prefix
+        cum0 = batch["cum_before"].to_numpy(zero_copy_only=False)
+        rc = batch["rev_cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "rev": pa.array([int(rc.sum())], pa.int64()),
+            "min_cum": pa.array([int(cum0.min())], pa.int64()),
+        })
+
+    parts = run.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas().sort_values("min_cum", ignore_index=True)
+    total = int(parts["rev"].sum())
+    threshold = _PARETO_SHARE * total
+    # blocks are ordered by their exclusive prefix; walk #blocks rows
+    # to find the block containing the crossing, then pull only it
+    n_before = 0
+    cum = 0
+    for _, row in parts.iterrows():
+        if cum + int(row["rev"]) >= threshold:
+            break
+        cum += int(row["rev"])
+        n_before += int(row["n"])
+
+    def in_block(batch: pa.Table) -> pa.Table:
+        cum0 = batch["cum_before"].to_numpy(zero_copy_only=False)
+        rc = batch["rev_cents"].to_numpy(zero_copy_only=False)
+        m = (cum0 + rc) >= threshold
+        if not m.any():
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "c0": pa.array([], pa.int64())})
+        # 1-based rank within block of the first crossing row
+        return pa.table({
+            "k": pa.array([int(np.argmax(m)) + 1], pa.int64()),
+            "c0": pa.array([int(cum0[0])], pa.int64()),
+        })
+
+    crossing = run.map_batches(in_block, batch_format="pyarrow") \
+        .to_pandas()
+    # the earliest crossing across blocks = the one whose block prefix
+    # is smallest; ranks compose as customers-before-block + in-block k
+    crossing = crossing.sort_values("c0", ignore_index=True)
+    k_in_block = int(crossing["k"].iloc[0])
+    n_customers = int(parts["n"].sum())
+    n80 = n_before + k_in_block
+    return pa.table({
+        "customers_total": pa.array([n_customers], pa.int64()),
+        "customers_80pct": pa.array([n80], pa.int64()),
+        "revenue_cents": pa.array([total], pa.int64()),
+    })
+
+
+SQL_REVENUE_PARETO = f"""
+WITH r AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+           AS rev_cents
+  FROM orders GROUP BY o_custkey
+), s AS (
+  SELECT rev_cents,
+         sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (ORDER BY rev_cents DESC, o_custkey)
+           AS rn
+  FROM r
+), t AS (SELECT sum(rev_cents) AS total, count(*) AS n FROM r)
+SELECT t.n::BIGINT AS customers_total,
+       min(s.rn)::BIGINT AS customers_80pct,
+       t.total::BIGINT AS revenue_cents
+FROM s, t WHERE s.cum >= {_PARETO_SHARE} * t.total
+GROUP BY t.n, t.total
+"""
+
+
+_SYSTEMATIC_K = 37
+
+
+def q_systematic_sample(sf_dir: str):
+    """Systematic (every k-th) sampling by GLOBAL rank over the
+    doc_id order — the stride-sampling variant that stays uniform
+    when ids are sparse or clustered (where ``id % k`` would bias).
+    One range sort via stages/rank.py::global_row_number, then a
+    vectorized modulus filter — no driver pass at all."""
+    from ..stages.rank import global_row_number
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ranked = global_row_number(ds, ["doc_id"], out_col="rn")
+
+    def pick(batch: pa.Table) -> pa.Table:
+        rn = batch["rn"].to_numpy(zero_copy_only=False)
+        keep = (rn % _SYSTEMATIC_K) == 1
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(pa.array(keep)),
+            "rn": pa.array(rn[keep], pa.int64()),
+        })
+
+    return ranked.map_batches(pick, batch_format="pyarrow")
+
+
+SQL_SYSTEMATIC_SAMPLE = f"""
+WITH s AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, rn FROM s WHERE rn % {_SYSTEMATIC_K} = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10218,6 +10362,8 @@ QUERY_FUNCS = {
     "conversion_latency": q_conversion_latency,
     "length_gini": q_length_gini,
     "bounce_rate": q_bounce_rate,
+    "revenue_pareto": q_revenue_pareto,
+    "systematic_sample": q_systematic_sample,
 }
 
 ORACLE_SQL = {
@@ -10405,6 +10551,8 @@ ORACLE_SQL = {
     "conversion_latency": SQL_CONVERSION_LATENCY,
     "length_gini": SQL_LENGTH_GINI,
     "bounce_rate": SQL_BOUNCE_RATE,
+    "revenue_pareto": SQL_REVENUE_PARETO,
+    "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
