@@ -9647,12 +9647,14 @@ def q_benford_prices(sf_dir: str):
         p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         p = p[~np.isnan(p) & (p > 0)]
         ip = np.floor(p * 100.0).astype(np.int64)
+        ip = ip[ip >= 1]  # sub-cent rows excluded on BOTH sides
         for _ in range(18):  # vectorized divide-down to one digit
             ip = np.where(ip >= 10, ip // 10, ip)
         n = np.bincount(ip, minlength=10)[1:10]
+        present = n > 0  # absent digits emit no row, like SQL GROUP BY
         return pa.table({
-            "digit": pa.array(np.arange(1, 10), pa.int64()),
-            "n": pa.array(n, pa.int64()),
+            "digit": pa.array(np.arange(1, 10)[present], pa.int64()),
+            "n": pa.array(n[present], pa.int64()),
         })
 
     counts = ds.map_batches(partial, batch_format="pyarrow") \
@@ -9679,6 +9681,7 @@ WITH d AS (
               AS BIGINT) AS digit
   FROM lineitem
   WHERE l_extendedprice > 0
+    AND floor(l_extendedprice * 100.0) >= 1
 ), c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
 t AS (SELECT sum(n) AS tot FROM c)
 SELECT digit, n::BIGINT AS n,
@@ -9765,7 +9768,9 @@ def q_mutual_nn(sf_dir: str):
         })
         return pa.concat_tables([a_rows, b_rows])
 
-    both = ds.map_batches(scan_a, batch_format="pyarrow")
+    # materialized: consumed by BOTH direction branches — without it
+    # the dominant |A|×|B| matmul pass would re-execute per consumer
+    both = ds.map_batches(scan_a, batch_format="pyarrow").materialize()
 
     def is_side(v):
         def f(batch: pa.Table) -> pa.Table:
@@ -9798,8 +9803,9 @@ def q_mutual_nn(sf_dir: str):
             "a_id": batch["a_id"],
             "b_id": batch["b_id"],
             "cos_sim": pa.array(
-                np.round(batch["sim"].to_numpy(zero_copy_only=False),
-                         6), pa.float64()),
+                [_round_half_away(s) for s in
+                 batch["sim"].to_numpy(zero_copy_only=False)],
+                pa.float64()),
         })
 
     return mutual.map_batches(finish, batch_format="pyarrow")
@@ -10018,8 +10024,9 @@ def q_revenue_pareto(sf_dir: str):
     block order can never flip the sort or the threshold the way
     float partials could); one groupby, one range sort via
     stages/rank.py::global_running_sum (descending revenue, custkey
-    tie-break), then per-block partials locate the crossing — the
-    driver folds #blocks rows."""
+    tie-break), then ONE pass over the ranked rows: the crossing rank
+    is count(rows with inclusive cum < threshold) + 1 — a pure count,
+    so it cannot depend on how either execution batched the data."""
     from ray.data.aggregate import Sum
 
     from ..stages.rank import global_running_sum
@@ -10034,63 +10041,36 @@ def q_revenue_pareto(sf_dir: str):
                                   pa.int64()),
         })
 
+    # materialized: consumed twice (total aggregate + running sum)
     rev = ds.map_batches(to_cents, batch_format="pyarrow") \
         .groupby("o_custkey") \
-        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+        .aggregate(Sum("rev_cents", alias_name="rev_cents")) \
+        .materialize()
+    total = int(rev.aggregate(
+        Sum("rev_cents", alias_name="t"))["t"])
+    threshold = _PARETO_SHARE * total
+
     run = global_running_sum(rev, ["rev_cents", "o_custkey"],
                              "rev_cents", out_col="cum_before",
                              exclusive=True,
                              descending=[True, False])
 
     def partial(batch: pa.Table) -> pa.Table:
-        # per block: customers, revenue, and the block's best (lowest-
-        # rank) threshold crossing given the exclusive global prefix
         cum0 = batch["cum_before"].to_numpy(zero_copy_only=False)
         rc = batch["rev_cents"].to_numpy(zero_copy_only=False)
         return pa.table({
             "n": pa.array([batch.num_rows], pa.int64()),
-            "rev": pa.array([int(rc.sum())], pa.int64()),
-            "min_cum": pa.array([int(cum0.min())], pa.int64()),
+            "below": pa.array([int(((cum0 + rc) < threshold).sum())],
+                              pa.int64()),
         })
 
-    parts = run.map_batches(partial, batch_format="pyarrow") \
-        .to_pandas().sort_values("min_cum", ignore_index=True)
-    total = int(parts["rev"].sum())
-    threshold = _PARETO_SHARE * total
-    # blocks are ordered by their exclusive prefix; walk #blocks rows
-    # to find the block containing the crossing, then pull only it
-    n_before = 0
-    cum = 0
-    for _, row in parts.iterrows():
-        if cum + int(row["rev"]) >= threshold:
-            break
-        cum += int(row["rev"])
-        n_before += int(row["n"])
-
-    def in_block(batch: pa.Table) -> pa.Table:
-        cum0 = batch["cum_before"].to_numpy(zero_copy_only=False)
-        rc = batch["rev_cents"].to_numpy(zero_copy_only=False)
-        m = (cum0 + rc) >= threshold
-        if not m.any():
-            return pa.table({"k": pa.array([], pa.int64()),
-                             "c0": pa.array([], pa.int64())})
-        # 1-based rank within block of the first crossing row
-        return pa.table({
-            "k": pa.array([int(np.argmax(m)) + 1], pa.int64()),
-            "c0": pa.array([int(cum0[0])], pa.int64()),
-        })
-
-    crossing = run.map_batches(in_block, batch_format="pyarrow") \
-        .to_pandas()
-    # the earliest crossing across blocks = the one whose block prefix
-    # is smallest; ranks compose as customers-before-block + in-block k
-    crossing = crossing.sort_values("c0", ignore_index=True)
-    k_in_block = int(crossing["k"].iloc[0])
-    n_customers = int(parts["n"].sum())
-    n80 = n_before + k_in_block
+    parts = run.map_batches(partial,
+                            batch_format="pyarrow").to_pandas()
     return pa.table({
-        "customers_total": pa.array([n_customers], pa.int64()),
-        "customers_80pct": pa.array([n80], pa.int64()),
+        "customers_total": pa.array([int(parts["n"].sum())],
+                                    pa.int64()),
+        "customers_80pct": pa.array([int(parts["below"].sum()) + 1],
+                                    pa.int64()),
         "revenue_cents": pa.array([total], pa.int64()),
     })
 
