@@ -8788,7 +8788,7 @@ def q_cdc_merge(sf_dir: str):
     every surviving payload."""
     from ray.data.aggregate import Max
 
-    from ..stages.dedup import default_join_partitions
+    from ..stages.dedup import default_join_partitions, ensure_schema
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -8823,10 +8823,17 @@ def q_cdc_merge(sf_dir: str):
         ])
 
     log = ds.map_batches(build_log, batch_format="pyarrow")
-    winners = log.groupby("doc_id").aggregate(
-        Max("seq", alias_name="seq"))
+    nparts = default_join_partitions()
+    # sentinel-guard the small aggregate side (dedup.ensure_schema):
+    # fewer distinct keys than join partitions leaves empty hash-join
+    # partitions and Acero fails with 'no match for key field' on a
+    # schema-less block (the q_retention_curve lesson, tiny corpora)
+    winners = ensure_schema(
+        log.groupby("doc_id").aggregate(Max("seq", alias_name="seq")),
+        pa.schema([("doc_id", pa.int64()), ("seq", pa.int64())]),
+        num_blocks=nparts)
     survivors = log.join(winners, "inner",
-                         num_partitions=default_join_partitions(),
+                         num_partitions=nparts,
                          on=("doc_id", "seq"))
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -9218,6 +9225,12 @@ def q_peak_concurrency(sf_dir: str):
 
     parts = pts.map_batches(block_partial, batch_size=None,
                             batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        # SQL mirror: `runs` is empty so the peak join yields 0 rows —
+        # without this guard np.argmax over the empty candidate array
+        # raises ValueError.
+        return pa.schema([("peak", pa.int64()),
+                          ("first_t_us", pa.int64())]).empty_table()
     parts = parts.sort_values(["t0", "d0", "p0"], kind="mergesort",
                               ignore_index=True)
     bsum = parts["bsum"].to_numpy(dtype=np.int64)
@@ -9706,17 +9719,31 @@ def q_mutual_nn(sf_dir: str):
     B-side argmax; an inner join keeps the mutual pairs.  Ties break
     to the smallest id on both sides, mirrored by the SQL
     row_number order.  At 10^9 rows per side the broadcast matrix
-    gives way to IVF bucketing (stages/ann.py) — same contract as
-    the ann_topk family."""
+    gives way to IVF bucketing — see :func:`q_mutual_nn_partitioned`
+    for that tier, parity-tested against this plan.  Zero-norm
+    vectors produce NaN cosine rows on both plans AND in DuckDB's
+    ``list_cosine_similarity`` (0/0), but NaN ordering under
+    ``ORDER BY sim DESC`` differs between numpy argmax and SQL
+    row_number — the input contract (fixtures + synth corpus)
+    excludes zero vectors, matching the ann_topk family."""
     import pyarrow.parquet as pq
     import ray
 
     from ..functions.arrowlist import list_matrix
     from ..stages.dedup import default_join_partitions, ensure_schema
 
+    out_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                            ("cos_sim", pa.float64())])
+
     tab = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"],
                         filters=[("label", "=", _MNN_LABEL_B)])
+    if tab.num_rows == 0:
+        # SQL mirror: cross join against an empty B side is empty —
+        # without this guard np.argmax over a zero-width sims matrix
+        # would raise ValueError inside scan_a.
+        import ray.data
+        return ray.data.from_arrow(out_schema.empty_table())
     b_ids = tab["vec_id"].to_numpy()
     order = np.argsort(b_ids)
     b_ids = b_ids[order].astype(np.int64)
@@ -9927,6 +9954,13 @@ def q_length_gini(sf_dir: str):
 
     parts = ranked.map_batches(partial,
                                batch_format="pyarrow").to_pandas()
+    if parts.empty or int(parts["n"].sum()) == 0:
+        # SQL mirror: the aggregate CTE still yields one row with
+        # n=0, sx/srx NULL; NULL arithmetic makes gini NULL (the
+        # 1/0 term is inf, NULL - inf = NULL) — not a KeyError on a
+        # schema-less empty to_pandas.
+        return pa.table({"n": pa.array([0], pa.int64()),
+                         "gini": pa.array([None], pa.float64())})
     n = int(parts["n"].sum())
     sx = int(parts["sx"].sum())
     srx = int(parts["srx"].sum())
@@ -9972,6 +10006,15 @@ def q_bounce_rate(sf_dir: str):
 
     parts = sessions.map_batches(partial,
                                  batch_format="pyarrow").to_pandas()
+    if parts.empty or int(parts["sessions"].sum()) == 0:
+        # SQL mirror: count(*) over zero sessions is 0 and both
+        # sum-derived columns are NULL — not ZeroDivisionError /
+        # KeyError on a schema-less empty to_pandas.
+        return pa.table({
+            "bounces": pa.array([None], pa.int64()),
+            "sessions": pa.array([0], pa.int64()),
+            "bounce_rate": pa.array([None], pa.float64()),
+        })
     b = int(parts["bounces"].sum())
     s = int(parts["sessions"].sum())
     return pa.table({
@@ -10046,8 +10089,16 @@ def q_revenue_pareto(sf_dir: str):
         .groupby("o_custkey") \
         .aggregate(Sum("rev_cents", alias_name="rev_cents")) \
         .materialize()
-    total = int(rev.aggregate(
-        Sum("rev_cents", alias_name="t"))["t"])
+    total_raw = rev.aggregate(Sum("rev_cents", alias_name="t"))["t"]
+    if total_raw is None:
+        # SQL mirror: with no orders the ranked CTE is empty so the
+        # crossing join yields 0 rows — not int(None).
+        return pa.schema([
+            ("customers_total", pa.int64()),
+            ("customers_80pct", pa.int64()),
+            ("revenue_cents", pa.int64()),
+        ]).empty_table()
+    total = int(total_raw)
     threshold = _PARETO_SHARE * total
 
     run = global_running_sum(rev, ["rev_cents", "o_custkey"],

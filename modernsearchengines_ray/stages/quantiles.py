@@ -207,21 +207,25 @@ def weighted_quantiles(ds, col: str, weight_col: str,
         ok = ~np.isnan(vals) & ~np.isnan(sw) & (sw > 0)
         return vals[ok], sw[ok].astype(np.int64)
 
-    def acc_stats(state: np.ndarray, block) -> np.ndarray:
+    # Total mass accumulates as a PYTHON INT (arbitrary precision) so it
+    # stays exactly in sync with the int64 histogram ``cum`` — a float64
+    # partial sum desyncs past ~2^53 total mass and can push a q≈1
+    # target past cum[-1] (out-of-range searchsorted bin).
+    def acc_stats(state: tuple, block) -> tuple:
         vals, w = vw(block)
         if len(vals):
-            state = np.array([state[0] + float(w.sum()),
-                              min(state[1], float(vals.min())),
-                              max(state[2], float(vals.max()))])
+            state = (state[0] + int(w.sum()),
+                     min(state[1], float(vals.min())),
+                     max(state[2], float(vals.max())))
         return state
 
     stats_fn = AggregateFn(
-        init=lambda k: np.array([0.0, np.inf, -np.inf]),
-        merge=lambda a, b: np.array([a[0] + b[0], min(a[1], b[1]),
-                                     max(a[2], b[2])]),
+        init=lambda k: (0, np.inf, -np.inf),
+        merge=lambda a, b: (a[0] + b[0], min(a[1], b[1]),
+                            max(a[2], b[2])),
         accumulate_block=acc_stats,
         name="w_stats")
-    st = np.asarray(ds.aggregate(stats_fn)["w_stats"], dtype=np.float64)
+    st = ds.aggregate(stats_fn)["w_stats"]
     total_w, lo, hi = int(st[0]), float(st[1]), float(st[2])
     if total_w == 0:
         return pa.table({"q": pa.array(list(qs), pa.float64()),
@@ -254,9 +258,13 @@ def weighted_quantiles(ds, col: str, weight_col: str,
     cum = np.cumsum(hist)
 
     # weight-mass target per q; searchsorted(left) = first bin whose
-    # cumulative mass reaches it (q*W exact in double for W < 2^53)
-    targets = [q * total_w for q in qs]
-    need_bins = sorted({int(np.searchsorted(cum, t, side="left"))
+    # cumulative mass reaches it.  total_w is an exact int, but q*W is
+    # computed in double — for W > 2^53 the rounded product can exceed
+    # cum[-1] (== total_w exactly, same int64 sums), so clamp targets to
+    # total mass and bins to the last bin.
+    targets = [min(q * total_w, float(cum[-1])) for q in qs]
+    need_bins = sorted({min(int(np.searchsorted(cum, t, side="left")),
+                            bins - 1)
                         for t in targets})
     # the pull guard bounds candidate ROWS (what actually crosses to
     # the driver), not weight mass
@@ -286,12 +294,13 @@ def weighted_quantiles(ds, col: str, weight_col: str,
 
     out = []
     for q, t in zip(qs, targets):
-        b = int(np.searchsorted(cum, t, side="left"))
+        b = min(int(np.searchsorted(cum, t, side="left")), bins - 1)
         before = int(cum[b - 1]) if b > 0 else 0
         sel = cbins == b
         order = np.argsort(cvals[sel], kind="stable")
         local_cum = before + np.cumsum(cw[sel][order])
-        i = int(np.searchsorted(local_cum, t, side="left"))
+        i = min(int(np.searchsorted(local_cum, t, side="left")),
+                len(order) - 1)
         out.append(float(cvals[sel][order][i]))
     return pa.table({"q": pa.array(list(qs), pa.float64()),
                      "value": pa.array(out, pa.float64())})

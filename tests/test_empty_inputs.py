@@ -78,3 +78,66 @@ def test_interval_join_empty_probe(empty_events):
                         id_col="event_id")
     assert out.count() == 0
     assert out.schema().names == ["event_id", "window_id"]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    """A zero-row copy of every sf0.001 table: same schemas, no data —
+    the ADVICE r4 empty-input contract for the driver-fold entries."""
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    out = tmp_path_factory.mktemp("empty_sf")
+    for t in ("documents", "events", "orders", "embeddings"):
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        pq.write_table(schema.empty_table(), out / f"{t}.parquet")
+    return str(out)
+
+
+def test_revenue_pareto_empty_orders(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_revenue_pareto
+
+    out = q_revenue_pareto(empty_sf_dir)
+    assert out.num_rows == 0
+    assert out.column_names == [
+        "customers_total", "customers_80pct", "revenue_cents"]
+
+
+def test_peak_concurrency_empty_events(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_peak_concurrency
+
+    out = q_peak_concurrency(empty_sf_dir)
+    assert out.num_rows == 0
+    assert out.column_names == ["peak", "first_t_us"]
+
+
+def test_length_gini_empty_documents(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_length_gini
+
+    out = q_length_gini(empty_sf_dir)
+    assert out.num_rows == 1
+    assert out["n"][0].as_py() == 0
+    assert out["gini"][0].as_py() is None
+
+
+def test_bounce_rate_empty_events(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_bounce_rate
+
+    out = q_bounce_rate(empty_sf_dir)
+    assert out.num_rows == 1
+    assert out["sessions"][0].as_py() == 0
+    assert out["bounces"][0].as_py() is None
+    assert out["bounce_rate"][0].as_py() is None
+
+
+def test_mutual_nn_empty_b_side(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_mutual_nn
+
+    ds = q_mutual_nn(empty_sf_dir)
+    assert ds.count() == 0
+    assert ds.schema().names == ["a_id", "b_id", "cos_sim"]
