@@ -212,6 +212,29 @@ def _stitch_block(batch: pa.Table) -> pa.Table:
         cols["seg_sum"][order], cols["last_value"][order])
 
 
+def keyed_blocks(ds, keys: list[str], num_partitions: int | None = None):
+    """ONE hash exchange co-locating every row of a key into exactly
+    one block — the PARTITION BY state every per-entity kernel needs,
+    with NONE of ``groupby().map_groups``'s per-group costs (a Python
+    dispatch + a pandas DataFrame construction per entity: at 10^8
+    entities that is #groups × interpreter overhead — the round-2
+    lesson this module encodes).  Downstream block kernels lexsort the
+    block and run ONE vectorized segmented pass over all of its keys
+    (see ``_window_partials`` for the canonical segment idioms).  A
+    key hotter than one block's memory degrades exactly like SQL's
+    PARTITION BY under any hash-shuffle engine — document, don't
+    hide."""
+    from ray.data.context import ShuffleStrategy
+
+    from .dedup import default_join_partitions
+
+    # flip the CHAIN's captured context (see joins.py: descendants
+    # inherit the root dataset's DataContext snapshot)
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return ds.repartition(num_partitions or default_join_partitions(),
+                          keys=keys, sort=False)
+
+
 def window_functions(ds, key_col: str, ts_col: str, id_col: str,
                      value_col: str, scale: float = 1000.0,
                      reduce: str = "driver",
