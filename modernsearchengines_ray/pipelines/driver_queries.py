@@ -7932,19 +7932,119 @@ _DOCSIM_THRESHOLD = 0.80
 _DOCSIM_SAMPLE_MOD = 5
 
 
-def q_doc_similarity(sf_dir: str):
+# mining slack under the rounded-threshold contract: a pair whose
+# ROUNDED (6 dp, half-away) cosine reaches 0.80 has true cosine
+# ≥ 0.80 − 0.5e-6; mine with an extra 0.5e-6 of slack so float noise
+# in the suffix-norm bound can never exclude a qualifying pair.
+_DOCSIM_MINE_TAU = _DOCSIM_THRESHOLD - 1e-6
+
+
+def _docsim_prefix_rows(batch: pa.Table) -> pa.Table:
+    """Prefix-filter flagging (All-Pairs/PPJoin, Bayardo et al. 2007,
+    'Scaling Up All Pairs Similarity Search'): order every doc's terms
+    by the GLOBAL (df asc, term asc) order and keep only the head whose
+    inclusive suffix norm ≥ τ.  For any pair with cosine ≥ τ, its
+    first shared term t* in that order satisfies
+    cos ≤ ‖u_a[pos(t*):]‖·‖u_b‖ = suffix-norm_a(t*), so t* lies in
+    BOTH prefixes — mining pairs from prefix rows only is EXACT, and
+    a stopword-like term (huge df ⇒ tiny idf ⇒ tiny u) sorts last and
+    falls out of almost every prefix, which is what bounds the
+    hot-term fan-out.  One vectorized segmented pass; each doc is
+    block-local via keyed_blocks(doc_id)."""
+    if batch.num_rows == 0:
+        return batch.select(["doc_id", "term", "u"])
+    tab = batch.sort_by([("doc_id", "ascending"), ("df", "ascending"),
+                         ("term", "ascending")])
+    ids = tab["doc_id"].to_numpy(zero_copy_only=False)
+    uv = tab["u"].to_numpy(zero_copy_only=False)
+    u2 = uv * uv
+    n = len(ids)
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    lens = np.diff(np.r_[starts, n])
+    csum = np.cumsum(u2)
+    seg_before = csum[starts] - u2[starts]     # mass before segment
+    seg_total = np.add.reduceat(u2, starts)
+    # inclusive suffix mass at row i = (segment start mass + total)
+    #                                  − mass strictly before row i
+    suffix = (np.repeat(seg_before + seg_total, lens)
+              - (csum - u2))
+    keep = np.sqrt(np.maximum(suffix, 0.0)) >= _DOCSIM_MINE_TAU
+    return tab.filter(pa.array(keep)).select(["doc_id", "term", "u"])
+
+
+def _docsim_mine_pairs(batch: pa.Table) -> pa.Table:
+    """Per-block pair mining over term-co-located unit-weight rows
+    (one vectorized segmented pass, no per-term pandas): for every
+    term segment, emit ``(id_a, id_b, p=u_a·u_b)`` for each a<b doc
+    pair sharing the term.  Fan-out is Σ df·(df−1)/2 over the block's
+    terms — the caller bounds it by feeding only prefix-filtered rows
+    (the scale tier) or accepts it whole (the exact conformance
+    tier)."""
+    _OUT = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                      ("p", pa.float64())])
+    n = batch.num_rows
+    if n == 0:
+        return _OUT.empty_table()
+    t_dict = batch["term"].combine_chunks().dictionary_encode()
+    code = t_dict.indices.to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    uv = batch["u"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, code))
+    code, ids, uv = code[order], ids[order], uv[order]
+    starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
+    ends = np.r_[starts[1:], n]
+    out_a, out_b, out_p = [], [], []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        ai, bi = np.triu_indices(m, k=1)
+        out_a.append(ids[s:e][ai])
+        out_b.append(ids[s:e][bi])
+        out_p.append(uv[s:e][ai] * uv[s:e][bi])
+    if not out_a:
+        return _OUT.empty_table()
+    return pa.table({
+        "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+        "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+        "p": pa.array(np.concatenate(out_p), pa.float64()),
+    })
+
+
+def q_doc_similarity(sf_dir: str, pair_mining: str = "prefix"):
     """All-pairs document cosine similarity over TF-IDF vectors via
     the INVERTED-INDEX join (the DIMSUM/PPJoin family shape): docs
     never meet unless they share a term.  Per-doc vectors and norms
     are block-local (one map); a term-keyed exchange mines per-term
     pair partials ``u_a·u_b`` (a<b) and ONE pair-keyed groupby sums
-    them into cosines.  At web scale the quadratic hot-term fan-out
-    is the known hazard — the standard df-cutoff / magnitude-pruning
-    mitigation applies; here the corpus is sampled (doc_id%5=0, the
-    SQL-mirrored predicate) which bounds every df.  idf = ln(N/df)
-    and the rounding are mirrored op-for-op; the ≥0.80 threshold
-    applies to the ROUNDED cosine on both engines."""
+    them into cosines.
+
+    At web scale the quadratic HOT-TERM fan-out is the known hazard
+    (a stopword-like term yields O(df²) pairs), so the DEFAULT tier
+    is ``pair_mining="prefix"`` (VERDICT r4 #2) — the prefix filter
+    of the All-Pairs/PPJoin family, which is EXACT under the
+    threshold: candidate pairs are mined only from each doc's
+    rarest-first prefix (see :func:`_docsim_prefix_rows` for the
+    completeness proof), and every candidate's FULL cosine is then
+    completed by a candidate-keyed join against the complete unit
+    rows.  A stopword-like term has tiny idf ⇒ tiny unit weight ⇒
+    sorts last and drops out of almost every prefix, so its O(df²)
+    fan-out never materializes; pruned-row telemetry is logged (the
+    no-silent-caps rule).  ``pair_mining="exact"`` keeps the
+    unfiltered plan as the conformance oracle; both tiers are
+    parity-tested and hash-identical.  idf = ln(N/df) and the
+    rounding are mirrored op-for-op; the ≥0.80 threshold applies to
+    the ROUNDED cosine on both engines."""
+    import logging
+
     from ray.data.aggregate import Sum
+
+    from ..stages.dedup import default_join_partitions, ensure_schema
+    from ..stages.windows import keyed_blocks
+
+    if pair_mining not in ("prefix", "exact"):
+        raise ValueError(f"unknown pair_mining tier: {pair_mining!r}")
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -7983,6 +8083,7 @@ def q_doc_similarity(sf_dir: str):
         return pa.table({
             "doc_id": batch["doc_id"],
             "term": batch["term"],
+            "df": batch["df"],
             "w": pa.array(tfv * np.log(n_docs / dfv), pa.float64()),
         })
 
@@ -8009,21 +8110,89 @@ def q_doc_similarity(sf_dir: str):
         return pa.table({
             "doc_id": batch["doc_id"].filter(pa.array(keep)),
             "term": batch["term"].filter(pa.array(keep)),
+            "df": batch["df"].filter(pa.array(keep)),
             "u": pa.array(wv[keep] / nv[keep], pa.float64()),
         })
 
-    def term_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy(np.int64)
-        uv = g["u"].to_numpy(np.float64)
-        order = np.argsort(ids, kind="mergesort")
-        ids, uv = ids[order], uv[order]
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],
-                             "p": uv[ai] * uv[bi]})
+    # materialized: the prefix tier consumes the unit rows three
+    # times (prefix flagging + both completion joins)
+    u_rows = u.map_batches(unit, batch_format="pyarrow").materialize()
+    jparts = default_join_partitions()
 
-    pairs = u.map_batches(unit, batch_format="pyarrow") \
-        .groupby("term").map_groups(term_pairs, batch_format="pandas") \
-        .groupby(["id_a", "id_b"]).aggregate(Sum("p", alias_name="p"))
+    if pair_mining == "exact":
+        mined = keyed_blocks(
+            u_rows.select_columns(["doc_id", "term", "u"]), ["term"]) \
+            .map_batches(_docsim_mine_pairs, batch_size=None,
+                         batch_format="pyarrow")
+        pairs = mined.groupby(["id_a", "id_b"], num_partitions=jparts) \
+            .aggregate(Sum("p", alias_name="p"))
+    else:
+        from ray.data.aggregate import Count as _Count
+
+        prefix_rows = keyed_blocks(u_rows, ["doc_id"]) \
+            .map_batches(_docsim_prefix_rows, batch_size=None,
+                         batch_format="pyarrow").materialize()
+        n_all = u_rows.count()
+        n_pref = prefix_rows.count()
+        logging.getLogger("modernsearchengines_ray").info(
+            "doc_similarity prefix tier: mining %d of %d (term,doc) "
+            "rows (suffix-norm >= %.6f prefixes; pruning is EXACT — "
+            "every qualifying pair shares a prefix term on both "
+            "sides)", n_pref, n_all, _DOCSIM_MINE_TAU)
+        mined = keyed_blocks(prefix_rows, ["term"]) \
+            .map_batches(_docsim_mine_pairs, batch_size=None,
+                         batch_format="pyarrow")
+        cand = ensure_schema(
+            mined.groupby(["id_a", "id_b"], num_partitions=jparts)
+                 .aggregate(_Count(alias_name="nmined"))
+                 .select_columns(["id_a", "id_b"]),
+            pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
+            num_blocks=jparts)
+        side_a = u_rows.map_batches(
+            lambda b: b.select(["doc_id", "term", "u"])
+                       .rename_columns(["id_a", "term", "u_a"]),
+            batch_format="pyarrow")
+        j1 = ensure_schema(
+            cand.join(side_a, "inner", num_partitions=jparts,
+                      on=("id_a",)),
+            pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("term", pa.string()),
+                       ("u_a", pa.float64())]),
+            num_blocks=jparts)
+        side_b = u_rows.map_batches(
+            lambda b: b.select(["doc_id", "term", "u"])
+                       .rename_columns(["id_b", "term", "u_b"]),
+            batch_format="pyarrow")
+        j2 = j1.join(side_b, "inner", num_partitions=jparts,
+                     on=("id_b", "term"))
+
+        def dot_p(batch: pa.Table) -> pa.Table:
+            ua = batch["u_a"].to_numpy(zero_copy_only=False)
+            ub = batch["u_b"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "id_a": batch["id_a"], "id_b": batch["id_b"],
+                "p": pa.array(ua * ub, pa.float64()),
+            })
+
+        pairs = j2.map_batches(dot_p, batch_format="pyarrow") \
+            .groupby(["id_a", "id_b"], num_partitions=jparts) \
+            .aggregate(Sum("p", alias_name="p"))
+
+        # the ensure_schema sentinels (INT64_MIN keys) never match a
+        # real doc_id in the inner joins, so none survive to here;
+        # filter defensively anyway (drop_sentinels contract)
+        def no_sentinel(batch: pa.Table) -> pa.Table:
+            ids = batch["id_a"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids != -(1 << 63)))
+
+        pairs = pairs.map_batches(no_sentinel, batch_format="pyarrow")
+
+    # the ensure_schema unions reset the chain's context snapshot to
+    # the default sort shuffle; the keyed_blocks repartitions upstream
+    # in this same lazy plan need HASH_SHUFFLE at plan time (the
+    # context-snapshot lesson, BASELINE.md)
+    from ray.data.context import ShuffleStrategy as _SS
+    pairs.context.shuffle_strategy = _SS.HASH_SHUFFLE
 
     def finish(batch: pa.Table) -> pa.Table:
         cos = np.array([_round_half_away(v) for v in
