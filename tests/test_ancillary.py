@@ -414,3 +414,53 @@ class TestLazyShardScorer:
                 assert lazy2.search_bm25(q, k=10) == want[q], q
         finally:
             lazy2.shutdown()
+
+
+class TestLocatorArrays:
+    """VERDICT r4 #3: the scorer's term locator is one sorted array +
+    two int arrays, not a per-term Python dict."""
+
+    def test_vocab_heavy_locator_pins_no_dict(self, ray_session,
+                                              prepared):
+        from modernsearchengines_ray.pipelines.query import ShardScorer
+        from modernsearchengines_ray.state.manifest import (
+            read_manifests,
+        )
+
+        _corpus, index_dir, _res, _oracle = prepared
+        shards = sorted(read_manifests(index_dir).keys())
+        cls = ShardScorer.__ray_actor_class__
+        sc = cls(index_dir, shards)
+
+        # the former dict is gone; the locator is the array triple
+        assert not hasattr(sc, "_loc")
+        import numpy as np
+        assert isinstance(sc._sorted_terms, np.ndarray)
+        assert sc._sorted_ti.dtype == np.int32
+        assert sc._sorted_ri.dtype == np.int64
+        assert len(sc._sorted_terms) == len(sc._sorted_ti) \
+            == len(sc._sorted_ri)
+        # strictly sorted (terms unique across hash-partitioned shards)
+        terms = sc._sorted_terms
+        assert all(terms[i] < terms[i + 1]
+                   for i in range(len(terms) - 1))
+        # TermDict shares the SAME array object — zero extra copies
+        assert sc._termdict.terms is sc._sorted_terms
+
+        # lookup agrees with a brute-force reference over every term
+        ref = {}
+        for ti, tab in enumerate(sc._tables):
+            for ri, t in enumerate(tab["term"].to_pylist()):
+                ref[t] = (ti, ri)
+        for t, want in ref.items():
+            assert sc._lookup(t) == want
+        assert sc._lookup("zz-not-a-term-zz") is None
+        assert sc._lookup("") is None
+
+    def test_empty_shard_list(self, ray_session, prepared):
+        from modernsearchengines_ray.pipelines.query import ShardScorer
+
+        _corpus, index_dir, _res, _oracle = prepared
+        sc = ShardScorer.__ray_actor_class__(index_dir, [])
+        assert len(sc._sorted_terms) == 0
+        assert sc._lookup("anything") is None
