@@ -10531,6 +10531,129 @@ SELECT doc_id, rn FROM s WHERE rn % {_SYSTEMATIC_K} = 1
 """
 
 
+_BPE_NUM_MERGES = 16
+
+
+def q_bpe_vocab(sf_dir: str, reduce: str = "driver"):
+    """BPE-merge tokenizer training over the corpus (VERDICT r4 #6;
+    Sennrich, Haddow & Birch 2016) — stages/bpe.py: word counting is
+    the distributed corpus-sized pass (map-side Counter partials +
+    ONE groupby), the merge loop runs over the bounded distinct-word
+    table in two byte-identical tiers (pytest-parity-gated).
+
+    The merge PROCEDURE is iterative and SQL-inexpressible, so the
+    gated row carries the invariants SQL can recompute exactly:
+
+    - the FIRST merge (left, right, weighted count, the full
+      deterministic tie-break) — SQL mirrors round 0's adjacent-pair
+      argmax over character symbols with the EOW marker;
+    - ``total_chars``: the encoder's EOW-stripped character mass over
+      the whole corpus.  BPE merges concatenate symbols and never
+      create or drop characters, so this equals the raw tokenized
+      char mass SQL computes from ``text`` — a broken trainer OR
+      encoder breaks the equality;
+    - ``chars_conserved``: the same conservation verified Ray-side
+      against the word-count table (independent of the encoder path);
+    - ``n_distinct_words``: the merge loop's input cardinality.
+
+    Merge-list determinism, tier parity, block-layout invariance and
+    the greedy-encode == training-segmentation property are pinned by
+    tests/test_bpe.py."""
+    from ..stages.bpe import encode_dataset, train_bpe, word_count_table
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = train_bpe(ds, num_merges=_BPE_NUM_MERGES, reduce=reduce)
+    wc = word_count_table(ds).to_pandas()  # bounded: distinct words
+    raw_chars = int((wc["cnt"] * wc["word"].str.len()).sum())
+    enc = encode_dataset(ds, merges).to_pandas()
+    total_chars = int(enc["token_chars"].sum())
+    first = merges[0]
+    return pd.DataFrame({
+        "first_left": [first["left"]],
+        "first_right": [first["right"]],
+        "first_count": pd.array([first["pair_count"]], dtype="int64"),
+        "total_chars": pd.array([total_chars], dtype="int64"),
+        "chars_conserved": pd.array([total_chars == raw_chars],
+                                    dtype="boolean"),
+        "n_distinct_words": pd.array([len(wc)], dtype="int64"),
+    })
+
+
+SQL_BPE_VOCAB = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+  FROM documents
+), wc AS (
+  SELECT w, count(*)::BIGINT AS cnt FROM tok WHERE w <> '' GROUP BY w
+), wi AS (
+  SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc
+), pairs AS (
+  SELECT substring(w, i, 1) AS left_s,
+         CASE WHEN i + 1 = length(w)
+              THEN substring(w, i + 1, 1) || '</w>'
+              ELSE substring(w, i + 1, 1) END AS right_s,
+         sum(cnt)::BIGINT AS c
+  FROM wi GROUP BY 1, 2
+), best AS (
+  SELECT left_s, right_s, c FROM pairs WHERE c >= 2
+  ORDER BY c DESC, left_s, right_s LIMIT 1
+)
+SELECT best.left_s AS first_left, best.right_s AS first_right,
+       best.c AS first_count,
+       (SELECT sum(cnt * length(w)) FROM wc)::BIGINT AS total_chars,
+       TRUE AS chars_conserved,
+       (SELECT count(*) FROM wc)::BIGINT AS n_distinct_words
+FROM best
+"""
+
+
+def q_bpe_encode_check(sf_dir: str):
+    """Per-doc BPE encoding gate: ``token_chars`` (EOW-stripped char
+    mass of the encoding) is conserved under merges, so SQL recomputes
+    it per doc from the raw text; ``n_words`` is the pre-merge word
+    count (each word encodes to >= 1 token, every token >= 1 char, so
+    ``n_words <= n_tokens <= token_chars`` — the sandwich bool).
+    ``n_tokens`` itself is merge-dependent and stays un-gated (pinned
+    against the sequential reference in tests/test_bpe.py)."""
+    from ..stages.bpe import encode_dataset, train_bpe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = train_bpe(ds, num_merges=_BPE_NUM_MERGES)
+    enc = encode_dataset(ds, merges)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        nw = batch["n_words"].to_numpy(zero_copy_only=False)
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        nc = batch["token_chars"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": batch["n_words"],
+            "token_chars": batch["token_chars"],
+            "tokens_sandwich": pa.array((nw <= nt) & (nt <= nc),
+                                        pa.bool_()),
+        })
+
+    return enc.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_BPE_ENCODE_CHECK = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+  FROM documents
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         sum(length(w))::BIGINT AS token_chars
+  FROM tok WHERE w <> '' GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_words, 0)::BIGINT AS n_words,
+       coalesce(agg.token_chars, 0)::BIGINT AS token_chars,
+       TRUE AS tokens_sandwich
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10744,6 +10867,10 @@ QUERY_FUNCS = {
     "bounce_rate": q_bounce_rate,
     "revenue_pareto": q_revenue_pareto,
     "systematic_sample": q_systematic_sample,
+    "bpe_vocab": q_bpe_vocab,
+    "bpe_vocab_partitioned":
+        lambda sf_dir: q_bpe_vocab(sf_dir, reduce="partitioned"),
+    "bpe_encode_check": q_bpe_encode_check,
 }
 
 ORACLE_SQL = {
@@ -10933,6 +11060,9 @@ ORACLE_SQL = {
     "bounce_rate": SQL_BOUNCE_RATE,
     "revenue_pareto": SQL_REVENUE_PARETO,
     "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
+    "bpe_vocab": SQL_BPE_VOCAB,
+    "bpe_vocab_partitioned": SQL_BPE_VOCAB,
+    "bpe_encode_check": SQL_BPE_ENCODE_CHECK,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
