@@ -10531,6 +10531,59 @@ SELECT doc_id, rn FROM s WHERE rn % {_SYSTEMATIC_K} = 1
 """
 
 
+_SHUFFLE_SHARDS = 8
+
+
+def q_shuffle_export(sf_dir: str):
+    """Deterministic global shuffle export (VERDICT r4 #7,
+    stages/shuffle_export.py): training-order randomization with NO
+    RNG state — order = the total order (knuth_hash(doc_id), doc_id),
+    shards = contiguous hash ranges so shard-major read-back IS the
+    global shuffled order, one _SUCCESS-marked directory per shard
+    (resume re-runs only unmarked shards; membership is a pure
+    function of the id).  The gate row fingerprints the read-back
+    ORDER itself: SQL recomputes md5 of the id sequence under
+    ORDER BY (hash, id) — any dropped/duplicated row, broken shard
+    range, or wrong within-shard sort flips the checksum.  Block-order
+    invariance and resume are pinned by tests/test_shuffle_export.py."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..stages.shuffle_export import read_shuffled_ids, shuffle_export
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = tempfile.mkdtemp(prefix="msr_shuffle_")
+    try:
+        stats = shuffle_export(ds, out, num_shards=_SHUFFLE_SHARDS)
+        ids = read_shuffled_ids(out)
+        checksum = hashlib.md5(
+            ",".join(map(str, ids)).encode()).hexdigest()
+        return pd.DataFrame({
+            "n_rows": pd.array([stats["n_rows"]], dtype="int64"),
+            "n_shards": pd.array([stats["n_shards"]], dtype="int64"),
+            "order_checksum": pd.array([checksum], dtype="string"),
+        })
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_SHUFFLE_EXPORT = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(CAST(doc_id AS HUGEINT) * {_SAMPLE_HASH_MULT}
+              % 4294967296 AS BIGINT) AS hh
+  FROM documents
+)
+SELECT count(*)::BIGINT AS n_rows,
+       count(DISTINCT (hh * {_SHUFFLE_SHARDS}) // 4294967296)::BIGINT
+         AS n_shards,
+       md5(string_agg(doc_id::VARCHAR, ',' ORDER BY hh, doc_id))
+         AS order_checksum
+FROM h
+"""
+
+
 _BPE_NUM_MERGES = 16
 
 
@@ -10867,6 +10920,7 @@ QUERY_FUNCS = {
     "bounce_rate": q_bounce_rate,
     "revenue_pareto": q_revenue_pareto,
     "systematic_sample": q_systematic_sample,
+    "shuffle_export": q_shuffle_export,
     "bpe_vocab": q_bpe_vocab,
     "bpe_vocab_partitioned":
         lambda sf_dir: q_bpe_vocab(sf_dir, reduce="partitioned"),
@@ -11060,6 +11114,7 @@ ORACLE_SQL = {
     "bounce_rate": SQL_BOUNCE_RATE,
     "revenue_pareto": SQL_REVENUE_PARETO,
     "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
+    "shuffle_export": SQL_SHUFFLE_EXPORT,
     "bpe_vocab": SQL_BPE_VOCAB,
     "bpe_vocab_partitioned": SQL_BPE_VOCAB,
     "bpe_encode_check": SQL_BPE_ENCODE_CHECK,
