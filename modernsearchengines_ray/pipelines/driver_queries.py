@@ -10203,6 +10203,24 @@ WHERE ab.rn = 1 AND ba.rn = 1
 """
 
 
+def q_mutual_nn_partitioned(sf_dir: str):
+    """The IVF-bucketed mutual-NN tier (VERDICT r4 #8,
+    stages/ann.py::mutual_nn_ivf): no broadcast of either side's full
+    embedding matrix — only the k x dim centroid table ships — with
+    the candidate search partitioned by coarse cluster (one keyed
+    exchange) and the per-direction argmax folds keyed on a_id/b_id.
+    Gated here with nprobe=all-clusters, where the plan is EXACT and
+    must hash-match the same SQL oracle as the broadcast entry; the
+    nprobe < k approximate scale path is pinned by
+    tests/test_mutual_nn_ivf.py on planted separable clusters."""
+    from ..stages.ann import mutual_nn_ivf
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    return mutual_nn_ivf(ds, _MNN_LABEL_A, _MNN_LABEL_B,
+                         num_clusters=4, nprobe=None)
+
+
 _CONV_FROM, _CONV_TO = "view", "click"
 CONV_QS = (0.25, 0.5, 0.75)
 
@@ -10915,6 +10933,7 @@ QUERY_FUNCS = {
     "token_shards": q_token_shards,
     "benford_prices": q_benford_prices,
     "mutual_nn": q_mutual_nn,
+    "mutual_nn_partitioned": q_mutual_nn_partitioned,
     "conversion_latency": q_conversion_latency,
     "length_gini": q_length_gini,
     "bounce_rate": q_bounce_rate,
@@ -11109,6 +11128,7 @@ ORACLE_SQL = {
     "token_shards": SQL_TOKEN_SHARDS,
     "benford_prices": SQL_BENFORD_PRICES,
     "mutual_nn": SQL_MUTUAL_NN,
+    "mutual_nn_partitioned": SQL_MUTUAL_NN,
     "conversion_latency": SQL_CONVERSION_LATENCY,
     "length_gini": SQL_LENGTH_GINI,
     "bounce_rate": SQL_BOUNCE_RATE,

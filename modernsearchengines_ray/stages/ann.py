@@ -88,13 +88,31 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
 
 
 def kmeans_fit(sample: np.ndarray, num_clusters: int, seed: int = 42,
-               iters: int = 10) -> np.ndarray:
+               iters: int = 10, init: str = "random") -> np.ndarray:
     """Plain seeded Lloyd's on normalized vectors (cosine ~ euclidean
-    on the unit sphere).  Driver-side; sample-sized input."""
+    on the unit sphere).  Driver-side; sample-sized input.
+
+    ``init="random"`` (default, the committed-hash behavior of the
+    IVF entries) seeds from a uniform pick; ``init="greedy"`` seeds
+    farthest-point (the :func:`kmeans_fit_distributed` init), which a
+    cluster-ORDERED sample needs — a uniform pick can drop two seeds
+    in one natural cluster and Lloyd's never recovers the split, the
+    failure mode mutual_nn_ivf's nprobe recall depends on avoiding."""
     rng = np.random.RandomState(seed)
     sample = _normalize(np.asarray(sample, dtype=np.float64))
-    picks = rng.choice(len(sample), size=min(num_clusters, len(sample)),
-                       replace=False)
+    k = min(num_clusters, len(sample))
+    if init == "greedy":
+        chosen = [int(rng.randint(len(sample)))]
+        min_sim = sample @ sample[chosen[0]]
+        while len(chosen) < k:
+            nxt = int(np.argmin(min_sim))
+            chosen.append(nxt)
+            min_sim = np.maximum(min_sim, sample @ sample[nxt])
+        picks = np.array(chosen)
+    elif init == "random":
+        picks = rng.choice(len(sample), size=k, replace=False)
+    else:
+        raise ValueError(f"unknown init: {init!r}")
     centroids = sample[np.sort(picks)].copy()
     for _ in range(iters):
         assign = np.argmax(sample @ centroids.T, axis=1)
@@ -243,3 +261,232 @@ class IVFIndex:
         sims = mat @ qv
         order = np.lexsort((ids, -sims))[:k]
         return [(int(ids[i]), float(sims[i])) for i in order]
+
+
+def mutual_nn_ivf(ds, label_a: int, label_b: int, *,
+                  num_clusters: int = 8, nprobe: int | None = None,
+                  sample_size: int = 10_000, seed: int = 42,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  label_col: str = "label",
+                  num_partitions: int | None = None):
+    """Mutual nearest neighbours between two label groups, IVF-bucketed
+    (the ``reduce="partitioned"`` tier of the driver's ``mutual_nn``
+    entry): the broadcast-B-matrix plan is replaced by a shared coarse
+    quantizer, so the ONLY driver/broadcast state is the k x dim
+    centroid matrix — never a side's full embedding matrix (the 10^9-row
+    handoff the broadcast plan's docstring documents).
+
+    Plan (one exchange, zero driver row state):
+
+    1. fit seeded k-means centroids on a head sample of the union;
+    2. one streaming pass tags each row with its resident cluster
+       (role=0, serves the OTHER side's probes) and its ``nprobe``
+       nearest probe clusters (role=1, searches the other side's
+       residents) — fan-out <= 1 + nprobe rows per input row;
+    3. one ``keyed_blocks`` hash exchange on ``cluster``; a per-block
+       kernel loops the block's clusters and matmuls A-probes x
+       B-residents and B-probes x A-residents (residents id-sorted so
+       the first argmax takes the smallest id on ties), emitting one
+       best-candidate row per (probe row, cluster);
+    4. per-direction folds (keyed exchange on a_id / b_id + vectorized
+       first-per-run after ``lexsort((b_id, -sim, a_id))``) finish the
+       argmax across probed clusters; an inner join keeps mutual pairs.
+
+    ``nprobe=None`` probes every cluster: the result is then EXACT and
+    equal to the broadcast plan / the SQL oracle (how the driver gates
+    this tier); ``nprobe < num_clusters`` is the approximate scale path
+    whose recall the planted-cluster pytest pins.  Cosine is raw
+    ``dot / (|a||b|)`` per pair, matching the ann family and DuckDB's
+    ``list_cosine_similarity``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.dedup import (default_join_partitions, drop_sentinels,
+                                ensure_schema, hash_shuffle_context)
+    from ..stages.windows import keyed_blocks
+
+    if nprobe is None:
+        nprobe = num_clusters
+    nprobe = min(nprobe, num_clusters)
+    nparts = num_partitions or default_join_partitions()
+    out_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                            ("cos_sim", pa.float64())])
+
+    head = ds.limit(sample_size).select_columns([vec_col]) \
+        .to_pandas()[vec_col]
+    if len(head) == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    centroids = kmeans_fit(np.stack(head.to_numpy()), num_clusters,
+                           seed=seed, init="greedy")
+    cent_ref = ray.put(centroids)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mask = pc.or_(pc.equal(batch[label_col], label_a),
+                      pc.equal(batch[label_col], label_b))
+        batch = batch.filter(mask)
+        n = batch.num_rows
+        if n == 0:
+            return pa.schema([
+                ("cluster", pa.int64()), ("side", pa.int8()),
+                ("role", pa.int8()), ("rid", pa.int64()),
+                ("vec", pa.list_(pa.float64())),
+            ]).empty_table()
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        side = (batch[label_col].to_numpy(zero_copy_only=False)
+                == label_b).astype(np.int8)
+        mat = _matrix(batch, vec_col).astype(np.float64)
+        csims = _normalize(mat) @ cents.T            # n x k
+        # probe clusters = nprobe best by centroid sim (order within
+        # the probe set is irrelevant: the fold takes a global max)
+        k = csims.shape[1]
+        if nprobe >= k:
+            probes = np.tile(np.arange(k, dtype=np.int64), n)
+        else:
+            probes = np.argpartition(-csims, nprobe - 1, axis=1) \
+                [:, :nprobe].astype(np.int64).ravel()
+        resident = np.argmax(csims, axis=1).astype(np.int64)
+        take = min(nprobe, k)
+        vec = pa.array(mat.tolist(), pa.list_(pa.float64()))
+        res_t = pa.table({
+            "cluster": pa.array(resident, pa.int64()),
+            "side": pa.array(side, pa.int8()),
+            "role": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "rid": pa.array(ids, pa.int64()),
+            "vec": vec,
+        })
+        rep = pa.array(np.repeat(np.arange(n), take))
+        probe_t = pa.table({
+            "cluster": pa.array(probes, pa.int64()),
+            "side": pa.array(np.repeat(side, take), pa.int8()),
+            "role": pa.array(np.ones(n * take, np.int8), pa.int8()),
+            "rid": pa.array(np.repeat(ids, take), pa.int64()),
+            "vec": vec.take(rep),
+        })
+        return pa.concat_tables([res_t, probe_t])
+
+    tagged = keyed_blocks(ds.map_batches(tag, batch_format="pyarrow"),
+                          ["cluster"], num_partitions=nparts)
+
+    cand_schema = pa.schema([("dir", pa.int8()), ("a_id", pa.int64()),
+                             ("b_id", pa.int64()), ("sim", pa.float64())])
+
+    def per_cluster(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return cand_schema.empty_table()
+        cl = batch["cluster"].to_numpy(zero_copy_only=False)
+        side = batch["side"].to_numpy(zero_copy_only=False)
+        role = batch["role"].to_numpy(zero_copy_only=False)
+        ids = batch["rid"].to_numpy(zero_copy_only=False)
+        mat = _matrix(batch, "vec").astype(np.float64)
+        norm = np.linalg.norm(mat, axis=1)
+        out = []
+
+        def direction(d, pi, ri):
+            # probes of one side vs id-sorted residents of the other
+            if len(pi) == 0 or len(ri) == 0:
+                return
+            ri = ri[np.argsort(ids[ri], kind="stable")]
+            sims = (mat[pi] @ mat[ri].T) \
+                / np.outer(norm[pi], norm[ri])
+            j = np.argmax(sims, axis=1)            # first max = min id
+            p_ids, r_ids = ids[pi], ids[ri][j]
+            best = sims[np.arange(len(pi)), j]
+            a = p_ids if d == 0 else r_ids
+            b = r_ids if d == 0 else p_ids
+            out.append(pa.table({
+                "dir": pa.array(np.full(len(pi), d, np.int8), pa.int8()),
+                "a_id": pa.array(a, pa.int64()),
+                "b_id": pa.array(b, pa.int64()),
+                "sim": pa.array(best, pa.float64()),
+            }))
+
+        order = np.argsort(cl, kind="stable")
+        bounds = np.flatnonzero(
+            np.r_[True, cl[order][1:] != cl[order][:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            rows = order[s:e]
+            m_side, m_role = side[rows], role[rows]
+
+            def sel(sd, rl):
+                return rows[(m_side == sd) & (m_role == rl)]
+
+            direction(0, sel(0, 1), sel(1, 0))     # A probes x B res
+            direction(1, sel(1, 1), sel(0, 0))     # B probes x A res
+        if not out:
+            return cand_schema.empty_table()
+        return pa.concat_tables(out)
+
+    cands = tagged.map_batches(per_cluster, batch_size=None,
+                               batch_format="pyarrow").materialize()
+    if cands.count() == 0:
+        # either label group is empty (no probes or no residents in
+        # any direction): the SQL mirror of a cross join against an
+        # empty side.  count() on the materialized candidates is
+        # O(1) metadata, and returning here avoids the all-empty
+        # plan whose blocks lose their schema (the ADVICE r4
+        # empty-parts guard family).
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def fold(key: str):
+        """Finish one direction's argmax: co-locate by key, then one
+        vectorized first-per-run pass (max sim, ties to the smaller
+        other-side id)."""
+        other = "b_id" if key == "a_id" else "a_id"
+
+        def first_per_run(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.schema([("a_id", pa.int64()),
+                                  ("b_id", pa.int64()),
+                                  ("sim", pa.float64())]).empty_table()
+            kv = batch[key].to_numpy(zero_copy_only=False)
+            ov = batch[other].to_numpy(zero_copy_only=False)
+            sv = batch["sim"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ov, -sv, kv))
+            kv = kv[order]
+            keep = np.r_[True, kv[1:] != kv[:-1]]
+            idx = pa.array(order[keep])
+            return batch.select(["a_id", "b_id", "sim"]).take(idx)
+
+        d = 0 if key == "a_id" else 1
+        side = cands.filter(
+            expr=f"dir == {d}").drop_columns(["dir"])
+        return keyed_blocks(side, [key], num_partitions=nparts) \
+            .map_batches(first_per_run, batch_size=None,
+                         batch_format="pyarrow")
+
+    # BOTH sides guarded: when one label group is empty, nn_ab itself
+    # has only schema-less zero-row blocks and Acero fails exactly as
+    # ensure_schema documents.  The two sentinel rows carry identical
+    # key values, so they inner-join with EACH OTHER — the final
+    # drop_sentinels removes that one pair.  hash_shuffle_context: the
+    # sentinel union's from_arrow snapshots the GLOBAL DataContext at
+    # creation, and the unioned plan executes the folds' keyed
+    # repartitions under THAT snapshot — without the flip they fail
+    # ("key-based repartitioning only supported for HASH_SHUFFLE").
+    with hash_shuffle_context():
+        nn_ab = ensure_schema(
+            fold("a_id"),
+            pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                       ("sim", pa.float64())]), num_blocks=nparts)
+        nn_ba = fold("b_id").drop_columns(["sim"])
+        guarded = ensure_schema(
+            nn_ba, pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())]),
+            num_blocks=nparts)
+        mutual = nn_ab.join(guarded, "inner", num_partitions=nparts,
+                            on=("a_id", "b_id"))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "a_id": batch["a_id"].cast(pa.int64()),
+                "b_id": batch["b_id"].cast(pa.int64()),
+                "cos_sim": pa.array(
+                    np.round(batch["sim"].to_numpy(zero_copy_only=False),
+                             6),
+                    pa.float64()),
+            })
+
+        return drop_sentinels(
+            mutual.map_batches(finish, batch_format="pyarrow"), "a_id")
