@@ -317,22 +317,79 @@ _BUCKETED_TAG_SCHEMA = pa.schema([
 ])
 
 
+def interval_replication_stats(intervals_ds, bucket_us: int) -> dict:
+    """Replication-factor telemetry for :func:`interval_join_bucketed`
+    (the no-silent-caps rule): every interval is replicated to each
+    ``bucket_us`` bucket it overlaps, so a pathological interval set
+    (spans >> bucket_us) silently multiplies the shuffle volume.  One
+    streaming pass over (lo_us, hi_us) reduces to O(blocks) partial
+    rows — ``{"n_intervals", "n_replicas", "max_buckets",
+    "avg_replication"}`` — cheap at any scale and independent of the
+    join itself."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lo = batch["lo_us"].to_numpy(zero_copy_only=False)
+        hi = batch["hi_us"].to_numpy(zero_copy_only=False)
+        live = hi > lo
+        lo, hi = lo[live], hi[live]
+        counts = (hi - 1) // bucket_us - lo // bucket_us + 1
+        return pa.table({
+            "n": pa.array([len(counts)], pa.int64()),
+            "reps": pa.array([int(counts.sum()) if len(counts) else 0],
+                             pa.int64()),
+            "worst": pa.array([int(counts.max()) if len(counts) else 0],
+                              pa.int64()),
+        })
+
+    parts = intervals_ds.select_columns(["lo_us", "hi_us"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum()) if len(parts) else 0
+    reps = int(parts["reps"].sum()) if len(parts) else 0
+    return {
+        "n_intervals": n,
+        "n_replicas": reps,
+        "max_buckets": int(parts["worst"].max()) if len(parts) else 0,
+        "avg_replication": (reps / n) if n else 0.0,
+    }
+
+
 def interval_join_bucketed(ds, intervals_ds, ts_col: str, id_col: str,
                            bucket_us: int,
                            num_partitions: int | None = None,
-                           max_buckets_per_interval: int = 4096):
+                           max_buckets_per_interval: int = 4096,
+                           telemetry: bool = True):
     """Large-side interval join: same semantics as :func:`interval_join`
     (emit (id, window_id) for every interval with ``lo_us <= ts <
     hi_us``; overlapping intervals emit multiple matches) but the
     interval side is a DATASET co-partitioned with the probe side by
     time bucket — safe when intervals don't fit one node's object
-    store.  See the module docstring for the plan."""
+    store.  See the module docstring for the plan.
+
+    ``telemetry=True`` (default) logs the interval replication factor
+    (avg / max buckets per interval) in one line before the join — an
+    extra streaming pass over the interval side's two bound columns,
+    worth it because a silent avg-100x replication is exactly the
+    pathology this tier can hide (the no-silent-caps rule); pass
+    ``telemetry=False`` when the interval side is expensive to
+    recompute."""
+    import logging
+
     import ray.data as rd
 
     from .dedup import default_join_partitions, hash_shuffle_context
 
     if bucket_us <= 0:
         raise ValueError("bucket_us must be positive")
+
+    if telemetry:
+        stats = interval_replication_stats(intervals_ds, bucket_us)
+        logging.getLogger("modernsearchengines_ray").info(
+            "interval_join_bucketed: %d intervals replicate to %d "
+            "bucket copies (avg %.2fx, max %d buckets; cap %d)",
+            stats["n_intervals"], stats["n_replicas"],
+            stats["avg_replication"], stats["max_buckets"],
+            max_buckets_per_interval)
 
     out_schema = pa.schema([(id_col, pa.int64()),
                             ("window_id", pa.int64())])

@@ -312,3 +312,79 @@ class TestSaltedJoin:
         pd.testing.assert_frame_equal(
             a.sort_values("row_id").reset_index(drop=True),
             b.sort_values("row_id").reset_index(drop=True))
+
+
+class TestIntervalReplicationTelemetry:
+    """VERDICT r4 #9: the bucketed tier's interval fan-out must be
+    VISIBLE — one stats line per job (no-silent-caps rule)."""
+
+    def _fixture(self):
+        # 3 intervals over 10us buckets: spans of 4, 1 and 2 buckets
+        # (the zero-length interval is dead and must not count)
+        rows = pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([5 * US, 25 * US], pa.timestamp("us")),
+        })
+        intervals = pa.table({
+            "window_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "lo_us": pa.array([0, 12 * US, 18 * US, 7 * US],
+                              pa.int64()),
+            "hi_us": pa.array([31 * US, 13 * US, 21 * US, 7 * US],
+                              pa.int64()),
+        })
+        return rows, intervals
+
+    def test_stats_values(self, ray_session):
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.joins import (
+            interval_replication_stats,
+        )
+
+        _, intervals = self._fixture()
+        stats = interval_replication_stats(rd.from_arrow(intervals),
+                                           bucket_us=10 * US)
+        # interval 0 -> buckets 0..3 (4), 1 -> bucket 1 (1),
+        # 2 -> buckets 1..2 (2), 3 -> empty (dropped)
+        assert stats == {"n_intervals": 3, "n_replicas": 7,
+                         "max_buckets": 4,
+                         "avg_replication": pytest.approx(7 / 3)}
+
+    def test_join_logs_one_stats_line(self, ray_session, caplog):
+        import logging
+
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.joins import (
+            interval_join_bucketed,
+        )
+
+        rows, intervals = self._fixture()
+        with caplog.at_level(logging.INFO, "modernsearchengines_ray"):
+            interval_join_bucketed(
+                rd.from_arrow(rows), rd.from_arrow(intervals),
+                ts_col="ts", id_col="event_id", bucket_us=10 * US,
+                num_partitions=2).to_pandas()
+        lines = [r.getMessage() for r in caplog.records
+                 if "interval_join_bucketed" in r.getMessage()]
+        assert len(lines) == 1
+        assert "3 intervals replicate to 7 bucket copies" in lines[0]
+        assert "max 4 buckets" in lines[0]
+
+    def test_telemetry_opt_out(self, ray_session, caplog):
+        import logging
+
+        import ray.data as rd
+
+        from modernsearchengines_ray.stages.joins import (
+            interval_join_bucketed,
+        )
+
+        rows, intervals = self._fixture()
+        with caplog.at_level(logging.INFO, "modernsearchengines_ray"):
+            interval_join_bucketed(
+                rd.from_arrow(rows), rd.from_arrow(intervals),
+                ts_col="ts", id_col="event_id", bucket_us=10 * US,
+                num_partitions=2, telemetry=False).to_pandas()
+        assert not [r for r in caplog.records
+                    if "interval_join_bucketed" in r.getMessage()]
