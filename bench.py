@@ -55,6 +55,13 @@ BENCH_QUERIES = [
     # round-4 second-wave additions
     "ks_flag_drift", "rolling_dau", "time_window_sum", "zorder_key",
     "token_budget_sample", "attribution_last_touch",
+    # round-5 additions — each a NEW exchange shape (the fold-in bar):
+    # hash-range partitioned export + per-shard ordered write;
+    # cluster-bucketed ANN candidate exchange (no broadcast side);
+    # iterative pair-count partial rounds (BPE merge selection).
+    # doc_similarity (118 s at sf0.1) stays OUT per the ~8 s/entry
+    # tail budget; its tiers are timed by tests/gate instead.
+    "shuffle_export", "mutual_nn_partitioned", "bpe_vocab",
 ]
 
 SEARCH_QUERIES = [

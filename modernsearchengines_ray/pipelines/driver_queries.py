@@ -8148,35 +8148,103 @@ def q_doc_similarity(sf_dir: str, pair_mining: str = "prefix"):
                  .select_columns(["id_a", "id_b"]),
             pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
             num_blocks=jparts)
-        side_a = u_rows.map_batches(
-            lambda b: b.select(["doc_id", "term", "u"])
-                       .rename_columns(["id_a", "term", "u_a"]),
-            batch_format="pyarrow")
-        j1 = ensure_schema(
-            cand.join(side_a, "inner", num_partitions=jparts,
-                      on=("id_a",)),
-            pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                       ("term", pa.string()),
-                       ("u_a", pa.float64())]),
-            num_blocks=jparts)
-        side_b = u_rows.map_batches(
-            lambda b: b.select(["doc_id", "term", "u"])
-                       .rename_columns(["id_b", "term", "u_b"]),
-            batch_format="pyarrow")
-        j2 = j1.join(side_b, "inner", num_partitions=jparts,
-                     on=("id_b", "term"))
 
-        def dot_p(batch: pa.Table) -> pa.Table:
-            ua = batch["u_a"].to_numpy(zero_copy_only=False)
-            ub = batch["u_b"].to_numpy(zero_copy_only=False)
+        # completion: each candidate needs the FULL sparse dot of its
+        # two docs, so ship ONE list row per doc (terms, units) to the
+        # pair instead of exploding per (pair, term) — the per-term
+        # join shape exchanged |cand| x terms/doc rows plus a
+        # pair-keyed float aggregate (the r4 plan's 148 s at sf0.1);
+        # this shape exchanges |cand| rows, and the dot finishes
+        # block-locally in term-sorted order (deterministic sums).
+        def doc_vec_rows(batch: pa.Table) -> pa.Table:
+            # Acero rejects list-typed non-key join payloads, so the
+            # per-doc vector ships as two scalar blobs: terms joined
+            # on \x1f (a byte no token contains — simple_tokens is
+            # [a-z0-9]+) and units as raw little-endian float64s
+            out_schema_v = pa.schema([
+                ("doc_id", pa.int64()), ("terms", pa.string()),
+                ("us", pa.binary())])
+            if batch.num_rows == 0:
+                return out_schema_v.empty_table()
+            df = pd.DataFrame({
+                "doc_id": batch["doc_id"].to_numpy(
+                    zero_copy_only=False),
+                "term": batch["term"].to_numpy(zero_copy_only=False),
+                "u": batch["u"].to_numpy(zero_copy_only=False),
+            }).sort_values(["doc_id", "term"], kind="mergesort")
+            d = df["doc_id"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            bounds = np.r_[starts, len(d)].astype(np.int32)
+            terms_list = pa.ListArray.from_arrays(
+                pa.array(bounds), pa.array(df["term"], pa.string()))
+            u_np = np.ascontiguousarray(df["u"].to_numpy(), np.float64)
             return pa.table({
-                "id_a": batch["id_a"], "id_b": batch["id_b"],
-                "p": pa.array(ua * ub, pa.float64()),
+                "doc_id": pa.array(d[starts], pa.int64()),
+                "terms": pc.binary_join(terms_list, "\x1f"),
+                "us": pa.array(
+                    [u_np[s:e].tobytes()
+                     for s, e in zip(bounds[:-1], bounds[1:])],
+                    pa.binary()),
             })
 
-        pairs = j2.map_batches(dot_p, batch_format="pyarrow") \
-            .groupby(["id_a", "id_b"], num_partitions=jparts) \
-            .aggregate(Sum("p", alias_name="p"))
+        # consumed by BOTH completion joins
+        doc_vecs = keyed_blocks(
+            u_rows.select_columns(["doc_id", "term", "u"]),
+            ["doc_id"]) \
+            .map_batches(doc_vec_rows, batch_size=None,
+                         batch_format="pyarrow").materialize()
+        va = doc_vecs.map_batches(
+            lambda b: b.rename_columns(["id_a", "terms_a", "us_a"]),
+            batch_format="pyarrow")
+        vb = doc_vecs.map_batches(
+            lambda b: b.rename_columns(["id_b", "terms_b", "us_b"]),
+            batch_format="pyarrow")
+        j2 = cand.join(va, "inner", num_partitions=jparts,
+                       on=("id_a",)) \
+            .join(vb, "inner", num_partitions=jparts, on=("id_b",))
+
+        def sparse_dot(batch: pa.Table) -> pa.Table:
+            out_schema_p = pa.schema([
+                ("id_a", pa.int64()), ("id_b", pa.int64()),
+                ("p", pa.float64())])
+            if batch.num_rows == 0:
+                return out_schema_p.empty_table()
+            n = batch.num_rows
+
+            def flat(terms_col, us_col):
+                # unpack the blob columns: split_pattern gives the
+                # term lists back vectorized; the float blobs decode
+                # with one frombuffer over the concatenation
+                terms_list = pc.split_pattern(terms_col, "\x1f")
+                lens = pc.list_value_length(terms_list).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                blobs = us_col.to_pylist()
+                return (np.repeat(np.arange(n), lens),
+                        pc.list_flatten(terms_list).to_numpy(
+                            zero_copy_only=False),
+                        np.frombuffer(b"".join(blobs), np.float64))
+            ia_, ta_, ua_ = flat(batch["terms_a"], batch["us_a"])
+            ib_, tb_, ub_ = flat(batch["terms_b"], batch["us_b"])
+            # match shared terms per pair in pure numpy: factorize
+            # terms to SORTED int codes, pack (pair, code) into one
+            # int64 key, intersect — the per-pair sum order is then
+            # (pair, term) ascending, deterministic
+            vocab, codes = np.unique(np.concatenate([ta_, tb_]),
+                                     return_inverse=True)
+            t_cap = np.int64(len(vocab))
+            ka = ia_ * t_cap + codes[:len(ta_)]
+            kb = ib_ * t_cap + codes[len(ta_):]
+            common, xa, xb = np.intersect1d(
+                ka, kb, assume_unique=True, return_indices=True)
+            sums = np.zeros(n)
+            np.add.at(sums, common // t_cap, ua_[xa] * ub_[xb])
+            return pa.table({
+                "id_a": batch["id_a"].cast(pa.int64()),
+                "id_b": batch["id_b"].cast(pa.int64()),
+                "p": pa.array(sums, pa.float64()),
+            })
+
+        pairs = j2.map_batches(sparse_dot, batch_format="pyarrow")
 
         # the ensure_schema sentinels (INT64_MIN keys) never match a
         # real doc_id in the inner joins, so none survive to here;
@@ -8195,8 +8263,9 @@ def q_doc_similarity(sf_dir: str, pair_mining: str = "prefix"):
     pairs.context.shuffle_strategy = _SS.HASH_SHUFFLE
 
     def finish(batch: pa.Table) -> pa.Table:
-        cos = np.array([_round_half_away(v) for v in
-                        batch["p"].to_numpy(zero_copy_only=False)])
+        # vectorized _round_half_away (same floor(|v|*1e6 + 0.5) op)
+        p = batch["p"].to_numpy(zero_copy_only=False)
+        cos = np.copysign(np.floor(np.abs(p) * 1e6 + 0.5), p) / 1e6
         keep = cos >= _DOCSIM_THRESHOLD
         return pa.table({
             "id_a": batch["id_a"].filter(pa.array(keep)),
