@@ -10671,6 +10671,467 @@ FROM h
 """
 
 
+def q_bm25_facets(sf_dir: str):
+    """Faceted search (the Lucene/Solr facet-count contract): for the
+    fixed query, ONE scoring pass yields both the ranked result set
+    and per-``source`` facet rows — docs matching >= 1 query term
+    counted per source, with each facet's best BM25 score.  The facet
+    aggregate rides the same (doc, term) posting rows the ranking
+    already mined (matched docs only — never a second corpus pass),
+    then two small groupbys: (doc, source) score sum -> (source)
+    count+max.  Same standard BM25 formulation as ``bm25_topk``."""
+    import ray
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "source"])
+    n_docs = ds.count()
+    query = set(BM25_QUERY_TERMS)
+
+    def posting_rows(batch: pa.Table) -> pa.Table:
+        ids, srcs, terms, tfs, dls = [], [], [], [], []
+        for doc_id, src, text in zip(batch["doc_id"].to_pylist(),
+                                     batch["source"].to_pylist(),
+                                     batch["text"].to_pylist()):
+            tokens = simple_tokens(text)
+            counts = Counter(tokens)
+            for term in sorted(query & counts.keys()):
+                ids.append(doc_id)
+                srcs.append(src)
+                terms.append(term)
+                tfs.append(counts[term])
+                dls.append(len(tokens))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(srcs, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "doc_len": pa.array(dls, pa.int64()),
+        })
+
+    def doc_lens(batch: pa.Table) -> pa.Table:
+        lens = [len(simple_tokens(t))
+                for t in batch["text"].to_pylist()]
+        lens = [x for x in lens if x > 0]
+        return pa.table({
+            "n": pa.array([len(lens)], pa.int64()),
+            "token_sum": pa.array([int(sum(lens))], pa.int64()),
+        })
+
+    len_partials = ds.map_batches(doc_lens, batch_format="pyarrow") \
+        .to_pandas()
+    avgdl = len_partials["token_sum"].sum() / len_partials["n"].sum()
+
+    postings = ds.map_batches(posting_rows, batch_format="pyarrow") \
+        .materialize()  # consumed once; materialized so df_map and
+    #                     the scoring pass share one mining pass
+    pdf = postings.to_pandas()  # |query| x matched docs — small
+    df_map = pdf.groupby("term")["doc_id"].nunique().to_dict()
+    idf_map = {
+        t: float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        for t, df in df_map.items()
+    }
+    idf_ref = ray.put(idf_map)
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        idfs = ray.get(idf_ref)
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        dl = batch["doc_len"].to_numpy().astype(np.float64)
+        idf = np.array([idfs[t] for t in batch["term"].to_pylist()])
+        part = idf * (tf * (K1 + 1.0)) \
+            / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        return pa.table({
+            "doc_id": batch["doc_id"], "source": batch["source"],
+            "part": pa.array(part, pa.float64()),
+        })
+
+    facets = postings.map_batches(score_rows, batch_format="pyarrow") \
+        .groupby(["doc_id", "source"]) \
+        .aggregate(Sum("part", alias_name="score")) \
+        .map_batches(
+            lambda b: pa.table({
+                "source": b["source"],
+                "score": pa.array(
+                    np.round(b["score"].to_numpy(
+                        zero_copy_only=False), 6), pa.float64()),
+            }), batch_format="pyarrow") \
+        .groupby("source") \
+        .aggregate(Count(alias_name="n_matching"),
+                   Max("score", alias_name="best_score")) \
+        .to_pandas()
+    return facets.sort_values("source").reset_index(drop=True)
+
+
+SQL_BM25_FACETS = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl FROM dl),
+n AS (SELECT count(*)::DOUBLE AS c FROM documents),
+tf AS (
+  SELECT doc_id, any_value(source) AS source, term,
+         count(*)::DOUBLE AS tf
+  FROM tok2 WHERE term IN ('data', 'join', 'stream')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, tf.source,
+         round(sum(ln((n.c - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * {K1 + 1.0}
+                   / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl
+                                      / stats.avgdl))), 6) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id,
+       stats, n
+  GROUP BY tf.doc_id, tf.source
+)
+SELECT source, count(*)::BIGINT AS n_matching,
+       max(score) AS best_score
+FROM scores GROUP BY source ORDER BY source
+"""
+
+
+_MLT_SEED_DOC = 7
+_MLT_NUM_TERMS = 5
+
+
+def q_more_like_this(sf_dir: str):
+    """More-like-this retrieval (the Lucene MLT contract): the seed
+    doc's top ``_MLT_NUM_TERMS`` TF-IDF terms (w = tf * ln(N/df),
+    ties to the lexicographically smaller term) become the query, and
+    standard BM25 ranks the corpus with the seed excluded.  ONE
+    corpus pass mines (doc, term, tf, doc_len) rows restricted to the
+    seed's term set (broadcast once) and serves BOTH the df counts
+    the term selection needs and the posting rows the scoring reuses
+    — never a second tokenize pass."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    seed_tab = ds.filter(expr=f"doc_id == {_MLT_SEED_DOC}") \
+        .to_pandas()
+    if len(seed_tab) == 0:
+        return pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "score": pd.array([], dtype="float64")})
+    seed_counts = Counter(simple_tokens(seed_tab["text"].iloc[0]))
+    seed_terms = set(seed_counts)
+    seed_ref = ray.put(seed_terms)
+
+    def posting_rows(batch: pa.Table) -> pa.Table:
+        probe = ray.get(seed_ref)
+        ids, terms, tfs, dls = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            tokens = simple_tokens(text)
+            counts = Counter(tokens)
+            for term in sorted(probe & counts.keys()):
+                ids.append(doc_id)
+                terms.append(term)
+                tfs.append(counts[term])
+                dls.append(len(tokens))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "doc_len": pa.array(dls, pa.int64()),
+        })
+
+    def doc_lens(batch: pa.Table) -> pa.Table:
+        lens = [len(simple_tokens(t))
+                for t in batch["text"].to_pylist()]
+        lens = [x for x in lens if x > 0]
+        return pa.table({
+            "n": pa.array([len(lens)], pa.int64()),
+            "token_sum": pa.array([int(sum(lens))], pa.int64()),
+        })
+
+    len_partials = ds.map_batches(doc_lens, batch_format="pyarrow") \
+        .to_pandas()
+    avgdl = len_partials["token_sum"].sum() / len_partials["n"].sum()
+
+    postings = ds.map_batches(posting_rows, batch_format="pyarrow") \
+        .materialize()
+    pdf = postings.to_pandas()  # |seed vocab| x matched docs
+    df_map = pdf.groupby("term")["doc_id"].nunique()
+
+    # seed term selection: w DESC, term ASC
+    sel = pd.DataFrame({
+        "term": list(df_map.index),
+        "w": [seed_counts[t] * np.log(n_docs / df_map[t])
+              for t in df_map.index],
+    }).sort_values(["w", "term"], ascending=[False, True],
+                   kind="mergesort")
+    query = list(sel["term"].iloc[:_MLT_NUM_TERMS])
+    idf_map = {
+        t: float(np.log((n_docs - df_map[t] + 0.5)
+                        / (df_map[t] + 0.5) + 1.0))
+        for t in query
+    }
+    idf_ref = ray.put(idf_map)
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        idfs = ray.get(idf_ref)
+        keep = np.array([t in idfs
+                         for t in batch["term"].to_pylist()])
+        keep &= batch["doc_id"].to_numpy(zero_copy_only=False) \
+            != _MLT_SEED_DOC
+        batch = batch.filter(pa.array(keep))
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        dl = batch["doc_len"].to_numpy().astype(np.float64)
+        idf = np.array([idfs[t] for t in batch["term"].to_pylist()])
+        part = idf * (tf * (K1 + 1.0)) \
+            / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "part": pa.array(part, pa.float64()),
+        })
+
+    scores = postings.map_batches(score_rows, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("part", alias_name="score")) \
+        .to_pandas()
+    scores["score"] = scores["score"].round(6)
+    return scores.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").iloc[:10] \
+        .reset_index(drop=True)
+
+
+SQL_MORE_LIKE_THIS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl FROM dl),
+n AS (SELECT count(*)::DOUBLE AS c FROM documents),
+seed_tf AS (
+  SELECT term, count(*)::DOUBLE AS tf FROM tok2
+  WHERE doc_id = {_MLT_SEED_DOC} GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2
+  WHERE term IN (SELECT term FROM seed_tf) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+       FROM tf GROUP BY term),
+pick AS (
+  SELECT s.term,
+         row_number() OVER (
+             ORDER BY s.tf * ln((SELECT c FROM n) / df.df) DESC,
+                      s.term) AS rn
+  FROM seed_tf s JOIN df USING (term)
+)
+SELECT tf.doc_id AS doc_id,
+       round(sum(ln((n.c - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * tf.tf * {K1 + 1.0}
+                 / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl
+                                    / stats.avgdl))), 6) AS score
+FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id,
+     stats, n
+WHERE tf.term IN (SELECT term FROM pick WHERE rn <= {_MLT_NUM_TERMS})
+  AND tf.doc_id <> {_MLT_SEED_DOC}
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+_REBALANCE_P_OLD, _REBALANCE_P_NEW = 8, 10
+
+
+def q_shard_rebalance(sf_dir: str):
+    """Resharding cost matrix (consistent-hash-range rebalance): when
+    a hash-range-sharded corpus (shuffle_export's ``(h * P) >> 32``
+    buckets) grows from P={_REBALANCE_P_OLD} to P'={_REBALANCE_P_NEW}
+    shards, which docs MOVE and where?  One streaming map computes
+    both shard ids per row (pure function of doc_id — no data motion,
+    the point of estimating before resharding), keeps movers only,
+    and one tiny groupby folds the (old, new, n) matrix — output
+    O(P x P'), never O(rows)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.shuffle_export import shard_of
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def movers(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        old = shard_of(ids, _REBALANCE_P_OLD)
+        new = shard_of(ids, _REBALANCE_P_NEW)
+        keep = old != new
+        return pa.table({
+            "old_shard": pa.array(old[keep], pa.int64()),
+            "new_shard": pa.array(new[keep], pa.int64()),
+        })
+
+    out = ds.map_batches(movers, batch_format="pyarrow") \
+        .groupby(["old_shard", "new_shard"]) \
+        .aggregate(Count(alias_name="n_moved")).to_pandas()
+    return out.sort_values(["old_shard", "new_shard"]) \
+        .reset_index(drop=True)
+
+
+SQL_SHARD_REBALANCE = f"""
+WITH h AS (
+  SELECT CAST(CAST(doc_id AS HUGEINT) * {_SAMPLE_HASH_MULT}
+              % 4294967296 AS BIGINT) AS hh
+  FROM documents
+), s AS (
+  SELECT (hh * {_REBALANCE_P_OLD}) // 4294967296 AS old_shard,
+         (hh * {_REBALANCE_P_NEW}) // 4294967296 AS new_shard
+  FROM h
+)
+SELECT old_shard, new_shard, count(*)::BIGINT AS n_moved
+FROM s WHERE old_shard <> new_shard
+GROUP BY old_shard, new_shard
+ORDER BY old_shard, new_shard
+"""
+
+
+def q_near_dedup_incremental(sf_dir: str, reduce: str = "driver"):
+    """Incremental NEAR-dedup vs a curated snapshot
+    (stages/dedup.py::near_dedup_incremental): new docs (odd doc_id)
+    are kept only when NO snapshot doc (even doc_id) has 3-gram
+    Jaccard >= 0.8 with them.  LSH bands propose cross-side
+    candidates, exact shingle Jaccard verifies before any drop, so
+    the oracle can be the exhaustive cross-side gram join (the
+    jaccard_pairs equality argument: banded recall over >= 0.8 pairs
+    is 1.0 on this corpus with the fixed seed; cross-side pairs are a
+    subset of the self-join pairs that argument covers).  Returns the
+    kept new doc_ids."""
+    from ..stages.dedup import near_dedup_incremental
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(parity):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 2 == parity))
+        return f
+
+    new_ds = ds.map_batches(side(1), batch_format="pyarrow")
+    ref_ds = ds.map_batches(side(0), batch_format="pyarrow")
+    kept = near_dedup_incremental(new_ds, ref_ds, reduce=reduce)
+    out = kept.to_pandas()[["doc_id"]].sort_values("doc_id")
+    return out.reset_index(drop=True)
+
+
+SQL_NEAR_DEDUP_INCREMENTAL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(words, i, i + 2), ' ') AS gram
+  FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 3
+), sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS ref_id, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY 1, 2
+), matched AS (
+  SELECT DISTINCT p.new_id
+  FROM p JOIN sz sa ON p.new_id = sa.doc_id
+         JOIN sz sb ON p.ref_id = sb.doc_id
+  WHERE p.inter::DOUBLE / (sa.n + sb.n - p.inter) >= 0.8
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT new_id FROM matched)
+ORDER BY doc_id
+"""
+
+
+_COOC_WINDOW = 3
+_COOC_TOPK = 20
+
+
+def q_term_cooccurrence(sf_dir: str):
+    """Windowed collocation mining (the PMI/phrase-detection
+    candidate step): count UNORDERED distinct-term pairs co-occurring
+    within ``_COOC_WINDOW`` token positions, corpus-wide, top
+    ``_COOC_TOPK`` by (count DESC, pair).  Per-block kernel is pure
+    numpy — the token stream shifted against itself once per offset,
+    pairs canonicalized (min, max), np.unique partials per block so
+    the exchange carries distinct-pair rows, never token rows; one
+    groupby Sum + a driver top-k over the tiny aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        toks_a, toks_b = [], []
+        for text in batch["text"].to_pylist():
+            toks = simple_tokens(text)
+            for off in range(1, _COOC_WINDOW + 1):
+                if len(toks) <= off:
+                    continue
+                a = np.asarray(toks[:-off], dtype=object)
+                b = np.asarray(toks[off:], dtype=object)
+                keep = a != b
+                a, b = a[keep], b[keep]
+                lo = np.where(a < b, a, b)
+                hi = np.where(a < b, b, a)
+                toks_a.append(lo)
+                toks_b.append(hi)
+        if not toks_a:
+            return pa.schema([("term_a", pa.string()),
+                              ("term_b", pa.string()),
+                              ("n", pa.int64())]).empty_table()
+        lo = np.concatenate(toks_a)
+        hi = np.concatenate(toks_b)
+        key = np.char.add(np.char.add(lo.astype(str), "\x1f"),
+                          hi.astype(str))
+        uniq, counts = np.unique(key, return_counts=True)
+        split = np.char.partition(uniq, "\x1f")
+        return pa.table({
+            "term_a": pa.array(split[:, 0], pa.string()),
+            "term_b": pa.array(split[:, 2], pa.string()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    agg = ds.map_batches(pair_partials, batch_format="pyarrow") \
+        .groupby(["term_a", "term_b"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    agg = agg.sort_values(["n", "term_a", "term_b"],
+                          ascending=[False, True, True],
+                          kind="mergesort").iloc[:_COOC_TOPK]
+    return agg.reset_index(drop=True)
+
+
+SQL_TERM_COOCCURRENCE = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM documents
+), tok AS (
+  SELECT doc_id, i AS pos, words[i] AS term
+  FROM w, unnest(range(1, len(words) + 1)) AS t(i)
+), p AS (
+  SELECT least(a.term, b.term) AS term_a,
+         greatest(a.term, b.term) AS term_b
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.pos - a.pos BETWEEN 1 AND {_COOC_WINDOW}
+   AND a.term <> b.term
+)
+SELECT term_a, term_b, count(*)::BIGINT AS n
+FROM p GROUP BY term_a, term_b
+ORDER BY n DESC, term_a, term_b
+LIMIT {_COOC_TOPK}
+"""
+
+
 _BPE_NUM_MERGES = 16
 
 
@@ -11009,6 +11470,14 @@ QUERY_FUNCS = {
     "revenue_pareto": q_revenue_pareto,
     "systematic_sample": q_systematic_sample,
     "shuffle_export": q_shuffle_export,
+    "bm25_facets": q_bm25_facets,
+    "more_like_this": q_more_like_this,
+    "shard_rebalance": q_shard_rebalance,
+    "near_dedup_incremental": q_near_dedup_incremental,
+    "term_cooccurrence": q_term_cooccurrence,
+    "near_dedup_incremental_partitioned":
+        lambda sf_dir: q_near_dedup_incremental(
+            sf_dir, reduce="partitioned"),
     "bpe_vocab": q_bpe_vocab,
     "bpe_vocab_partitioned":
         lambda sf_dir: q_bpe_vocab(sf_dir, reduce="partitioned"),
@@ -11204,6 +11673,12 @@ ORACLE_SQL = {
     "revenue_pareto": SQL_REVENUE_PARETO,
     "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
     "shuffle_export": SQL_SHUFFLE_EXPORT,
+    "bm25_facets": SQL_BM25_FACETS,
+    "more_like_this": SQL_MORE_LIKE_THIS,
+    "shard_rebalance": SQL_SHARD_REBALANCE,
+    "near_dedup_incremental": SQL_NEAR_DEDUP_INCREMENTAL,
+    "term_cooccurrence": SQL_TERM_COOCCURRENCE,
+    "near_dedup_incremental_partitioned": SQL_NEAR_DEDUP_INCREMENTAL,
     "bpe_vocab": SQL_BPE_VOCAB,
     "bpe_vocab_partitioned": SQL_BPE_VOCAB,
     "bpe_encode_check": SQL_BPE_ENCODE_CHECK,

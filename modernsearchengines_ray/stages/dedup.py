@@ -1534,3 +1534,219 @@ def dedup_embedding_cosine(ds, id_col: str = "vec_id",
         return batch.filter(pa.array(~dominated, pa.bool_()))
 
     return ds.map_batches(keep_mask, batch_format="pyarrow")
+
+
+# -- incremental NEAR-dedup vs a curated snapshot ---------------------------
+
+def _cross_collision_pairs(ids: np.ndarray, buckets: np.ndarray,
+                           sides: np.ndarray) -> set[tuple]:
+    """Unique (new_id, ref_id) pairs sharing a bucket across sides
+    (side 0 = new, side 1 = reference) — the cross-side form of
+    :func:`_collision_pairs`; expansion runs only inside buckets that
+    contain BOTH sides."""
+    if len(ids) == 0:
+        return set()
+    order = np.lexsort((ids, sides, buckets))
+    b_s, s_s, i_s = buckets[order], sides[order], ids[order]
+    first = np.ones(len(b_s), dtype=bool)
+    first[1:] = (b_s[1:] != b_s[:-1]) | (s_s[1:] != s_s[:-1]) \
+        | (i_s[1:] != i_s[:-1])
+    b_s, s_s, i_s = b_s[first], s_s[first], i_s[first]
+    bounds = np.flatnonzero(
+        np.concatenate(([True], b_s[1:] != b_s[:-1], [True])))
+    pairs: set[tuple] = set()
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        side_b, ids_b = s_s[s:e], i_s[s:e]
+        new_ids = ids_b[side_b == 0]
+        ref_ids = ids_b[side_b == 1]
+        if len(new_ids) and len(ref_ids):
+            pairs.update(
+                (int(n), int(r)) for n in new_ids for r in ref_ids)
+    return pairs
+
+
+def near_dedup_incremental(new_ds, ref_ds, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           threshold: float = 0.8, shingle_n: int = 3,
+                           num_perm: int = 128, num_bands: int = 16,
+                           reduce: str = "driver",
+                           num_partitions: int | None = None):
+    """Incremental NEAR-dedup: keep only the rows of ``new_ds`` with
+    NO near-duplicate (n-gram Jaccard >= threshold) in ``ref_ds``, the
+    already-curated corpus — the recurring-crawl form of
+    :func:`jaccard_candidate_pairs`, where re-mining the union from
+    scratch would re-shuffle the whole historical corpus every
+    snapshot.  Both sides band with the SAME MinHash family, only
+    cross-side band collisions become candidates, and every candidate
+    is verified by exact shingle Jaccard before a new row is dropped —
+    so the LSH layer is semantically invisible whenever banded recall
+    over >= threshold pairs is 1.0 (the ``decontaminate_bloom``
+    prefilter precedent; planted-pair recall is pinned by pytest).
+
+    - ``reduce="driver"``: cross-side collision buckets pull to the
+      driver (singleton-pruned), candidate texts broadcast, matched
+      new-ids broadcast back — for snapshots whose COLLISION set fits
+      one machine.
+    - ``reduce="partitioned"``: band-key inner join new x ref, two-key
+      distinct, per-side text joins, vectorized verify, then a
+      ``left_anti`` join drops matched new rows — zero driver state.
+    """
+    import ray
+
+    def bands_of(ds):
+        def task(batch: pa.Table) -> pa.Table:
+            fn = MinHashBands(id_col=id_col, text_col=text_col,
+                              num_perm=num_perm, num_bands=num_bands,
+                              shingle_n=shingle_n)
+            return fn(batch)
+        return ds.map_batches(task, batch_format="pyarrow")
+
+    if reduce == "partitioned":
+        return _near_dedup_incremental_partitioned(
+            new_ds, ref_ds, bands_of, id_col, text_col, threshold,
+            shingle_n, num_partitions or default_join_partitions())
+    if reduce != "driver":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
+
+    def tag(side):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(batch.num_rows, side, np.int8),
+                                 pa.int8()))
+        return f
+
+    unioned = bands_of(new_ds).map_batches(tag(0), batch_format="pyarrow") \
+        .union(bands_of(ref_ds).map_batches(tag(1),
+                                            batch_format="pyarrow"))
+    btab = _pruned_bucket_pull(unioned, id_col, "band_key")
+    cand = set() if btab.num_columns == 0 else _cross_collision_pairs(
+        btab[id_col].to_numpy(zero_copy_only=False),
+        np.asarray(btab["band_key"].to_pylist(), dtype=object),
+        btab["side"].to_numpy(zero_copy_only=False),
+    )
+    if not cand:
+        return new_ds
+
+    from ..functions.minhash import jaccard as exact_jaccard
+
+    def pull_texts(ds, wanted):
+        ids_arr = pa.array(sorted(wanted), pa.int64())
+        ref = ray.put(ids_arr)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.select([id_col, text_col]).filter(
+                _keep_mask_isin(batch[id_col], ray.get(ref)))
+
+        df = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+        return {i: word_shingles(t, shingle_n)
+                for i, t in zip(df[id_col], df[text_col])}
+
+    new_sh = pull_texts(new_ds, {n for n, _ in cand})
+    ref_sh = pull_texts(ref_ds, {r for _, r in cand})
+    matched = sorted({
+        n for n, r in cand
+        if np.round(exact_jaccard(new_sh[n], ref_sh[r]), 6) >= threshold
+    })
+    if not matched:
+        return new_ds
+    matched_ref = ray.put(pa.array(matched, pa.int64()))
+
+    def drop_matched(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(
+            _keep_mask_isin(batch[id_col], ray.get(matched_ref))))
+
+    return new_ds.map_batches(drop_matched, batch_format="pyarrow")
+
+
+def _near_dedup_incremental_partitioned(new_ds, ref_ds, bands_of,
+                                        id_col, text_col, threshold,
+                                        shingle_n, num_partitions):
+    from ray.data.aggregate import Count
+
+    # both band sides guarded: an EMPTY side (fresh corpus / empty
+    # snapshot) yields only schema-less zero-row blocks and the
+    # band_key join fails exactly as ensure_schema documents; the two
+    # sentinel rows join only with each other and their INT64_MIN ids
+    # never match a real text row downstream
+    ref_bands = ensure_schema(
+        bands_of(ref_ds).map_batches(
+            lambda b: b.rename_columns(["ref_id", "band_key"]),
+            batch_format="pyarrow"),
+        pa.schema([("ref_id", pa.int64()), ("band_key", pa.string())]),
+        num_blocks=num_partitions)
+    new_bands = ensure_schema(
+        bands_of(new_ds),
+        pa.schema([(id_col, pa.int64()), ("band_key", pa.string())]),
+        num_blocks=num_partitions)
+    joined = new_bands.join(
+        ref_bands, "inner", num_partitions=num_partitions,
+        on=("band_key",))
+    pairs = joined.map_batches(
+        lambda b: pa.table({
+            "new_id": b[id_col].cast(pa.int64()),
+            "ref_id": b["ref_id"].cast(pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby(["new_id", "ref_id"]) \
+        .aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    pairs = ensure_schema(pairs, pa.schema([("new_id", pa.int64()),
+                                            ("ref_id", pa.int64())]),
+                          num_blocks=num_partitions)
+    # text sides guarded too (empty snapshot/corpus); the surviving
+    # all-sentinel pair verifies as matched new_id = INT64_MIN, which
+    # the final left_anti can never match against a real row
+    texts_new = ensure_schema(
+        new_ds.map_batches(
+            lambda b: b.select([id_col, text_col])
+                       .rename_columns(["new_id", "text_new"]),
+            batch_format="pyarrow"),
+        pa.schema([("new_id", pa.int64()), ("text_new", pa.string())]),
+        num_blocks=num_partitions)
+    texts_ref = ensure_schema(
+        ref_ds.map_batches(
+            lambda b: b.select([id_col, text_col])
+                       .rename_columns(["ref_id", "text_ref"]),
+            batch_format="pyarrow"),
+        pa.schema([("ref_id", pa.int64()), ("text_ref", pa.string())]),
+        num_blocks=num_partitions)
+    joined = pairs.join(texts_new, "inner",
+                        num_partitions=num_partitions, on=("new_id",))
+    joined = ensure_schema(joined, pa.schema([
+        ("new_id", pa.int64()), ("ref_id", pa.int64()),
+        ("text_new", pa.string())]), num_blocks=num_partitions)
+    joined = joined.join(texts_ref, "inner",
+                         num_partitions=num_partitions, on=("ref_id",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        from ..functions.minhash import jaccard as exact_jaccard
+
+        cache: dict = {}
+
+        def sh(key, text):
+            s = cache.get(key)
+            if s is None:
+                s = cache[key] = word_shingles(text, shingle_n)
+            return s
+
+        n_ids = batch["new_id"].to_pylist()
+        r_ids = batch["ref_id"].to_pylist()
+        scores = np.round([
+            exact_jaccard(sh(("n", a), ta), sh(("r", b), tb))
+            for a, b, ta, tb in zip(n_ids, r_ids,
+                                    batch["text_new"].to_pylist(),
+                                    batch["text_ref"].to_pylist())
+        ], 6)
+        keep = scores >= threshold
+        return pa.table({
+            "new_id": pa.array(
+                np.asarray(n_ids, dtype=np.int64)[keep], pa.int64()),
+        })
+
+    matched = joined.map_batches(verify, batch_format="pyarrow") \
+        .groupby("new_id").aggregate(Count(alias_name="_n")) \
+        .map_batches(
+            lambda b: pa.table({id_col: b["new_id"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    matched = ensure_schema(matched, pa.schema([(id_col, pa.int64())]),
+                            num_blocks=num_partitions)
+    return new_ds.join(matched, "left_anti",
+                       num_partitions=num_partitions, on=(id_col,))
