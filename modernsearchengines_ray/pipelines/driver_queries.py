@@ -11132,6 +11132,228 @@ LIMIT {_COOC_TOPK}
 """
 
 
+_SRCKW_TOPK = 3
+
+
+def q_source_keywords(sf_dir: str):
+    """Class-based TF-IDF keywords per source (the BERTopic
+    representative-terms step, c-TF-IDF): w(term, source) =
+    class_tf * ln(S / df_src) where class_tf counts the term across
+    ALL of the source's docs and df_src counts sources containing the
+    term.  Per-block (source, term, n) Counter partials → one
+    groupby sum; df_src is a tiny groupby over the aggregate itself
+    and joins back (never a driver-held vocab); top-3 per source via
+    one source-keyed exchange + a vectorized first-k-per-run kernel."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import default_join_partitions
+    from ..stages.windows import keyed_blocks
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    nparts = default_join_partitions()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        srcs, terms, ns = [], [], []
+        for src, text in zip(batch["source"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for t, c in sorted(Counter(simple_tokens(text)).items()):
+                srcs.append(src)
+                terms.append(t)
+                ns.append(c)
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    class_tf = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby(["source", "term"]) \
+        .aggregate(Sum("n", alias_name="class_tf")).materialize()
+    n_sources = class_tf.groupby("source").count().count()
+    df_src = class_tf.map_batches(
+        lambda b: b.select(["term"]), batch_format="pyarrow") \
+        .groupby("term").aggregate(Count(alias_name="df_src"))
+    w = class_tf.join(df_src, "inner", num_partitions=nparts,
+                      on=("term",))
+
+    def weight(batch: pa.Table) -> pa.Table:
+        tf = batch["class_tf"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        dfv = batch["df_src"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "source": batch["source"], "term": batch["term"],
+            "w": pa.array(np.round(tf * np.log(n_sources / dfv), 6),
+                          pa.float64()),
+        })
+
+    def topk_per_source(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("source", pa.string()),
+                            ("rank", pa.int64()),
+                            ("term", pa.string()),
+                            ("w", pa.float64())])
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        df = pd.DataFrame({
+            "source": batch["source"].to_numpy(zero_copy_only=False),
+            "term": batch["term"].to_numpy(zero_copy_only=False),
+            "w": batch["w"].to_numpy(zero_copy_only=False),
+        }).sort_values(["source", "w", "term"],
+                       ascending=[True, False, True], kind="mergesort")
+        s = df["source"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        run_start = np.repeat(starts, np.diff(np.r_[starts, len(s)]))
+        rank = np.arange(len(s)) - run_start + 1
+        keep = rank <= _SRCKW_TOPK
+        return pa.table({
+            "source": pa.array(s[keep], pa.string()),
+            "rank": pa.array(rank[keep], pa.int64()),
+            "term": pa.array(df["term"].to_numpy()[keep], pa.string()),
+            "w": pa.array(df["w"].to_numpy()[keep], pa.float64()),
+        })
+
+    out = keyed_blocks(
+        w.map_batches(weight, batch_format="pyarrow"), ["source"],
+        num_partitions=nparts) \
+        .map_batches(topk_per_source, batch_size=None,
+                     batch_format="pyarrow").to_pandas()
+    return out.sort_values(["source", "rank"]).reset_index(drop=True)
+
+
+SQL_SOURCE_KEYWORDS = f"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+ctf AS (
+  SELECT source, term, count(*)::BIGINT AS class_tf
+  FROM tok2 GROUP BY source, term
+),
+s AS (SELECT count(DISTINCT source)::DOUBLE AS n FROM ctf),
+dfs AS (SELECT term, count(*)::DOUBLE AS df_src FROM ctf GROUP BY term),
+w AS (
+  SELECT ctf.source, ctf.term,
+         round(ctf.class_tf * ln((SELECT n FROM s) / dfs.df_src), 6)
+           AS w
+  FROM ctf JOIN dfs USING (term)
+), ranked AS (
+  SELECT source, term, w,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY w DESC, term) AS rank
+  FROM w
+)
+SELECT source, rank, term, w FROM ranked
+WHERE rank <= {_SRCKW_TOPK}
+ORDER BY source, rank
+"""
+
+
+_CORESET_K = 8
+
+
+def q_coreset_select(sf_dir: str):
+    """Greedy k-center coreset selection over the embedding table
+    (farthest-point traversal — the facility-location data-selection
+    primitive for diverse training subsets, also the k-means++ init
+    family).  Seed = smallest vec_id; each of the K-1 rounds is ONE
+    streaming pass: every batch matmuls against the broadcast
+    selected matrix (K x dim — driver state never exceeds the
+    selection itself), per-pair cosine distance rounds to 6 dp BEFORE
+    the min/argmax (so numpy and DuckDB agree bit-for-bit), per-block
+    (max min-dist, id) partials, O(blocks) driver fold, ties to the
+    smallest id.  K passes over the data is the canonical cost of
+    greedy k-center; the oracle unrolls the same K rounds as CTEs."""
+    import ray
+
+    from ..functions.arrowlist import list_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int(ids.min())], pa.int64())})
+
+    seed = int(ds.map_batches(seed_partial, batch_format="pyarrow")
+               .to_pandas()["m"].min())
+    selected = [seed]
+
+    for _ in range(_CORESET_K - 1):
+        sel_tab = pq_read_selected(sf_dir, selected)
+        sel_ids = sel_tab["vec_id"].to_numpy()
+        order = np.argsort(sel_ids)
+        sel_mat = list_matrix(sel_tab["embedding"].combine_chunks(),
+                              len(sel_ids)).astype(np.float64)[order]
+        sel_norm = np.linalg.norm(sel_mat, axis=1)
+        sel_ref = ray.put((sel_mat, sel_norm))
+
+        def far_partial(batch: pa.Table) -> pa.Table:
+            mat_s, norm_s = ray.get(sel_ref)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            o = np.argsort(ids)
+            ids = ids[o]
+            m = list_matrix(batch["embedding"].combine_chunks(),
+                            len(ids)).astype(np.float64)[o]
+            norms = np.linalg.norm(m, axis=1)
+            cos = (m @ mat_s.T) / np.outer(norms, norm_s)
+            dist = np.round(1.0 - cos, 6)
+            md = dist.min(axis=1)
+            j = int(np.argmax(md))  # ids sorted: first max = min id
+            return pa.table({
+                "best_id": pa.array([int(ids[j])], pa.int64()),
+                "best_d": pa.array([float(md[j])], pa.float64()),
+            })
+
+        parts = ds.map_batches(far_partial, batch_format="pyarrow") \
+            .to_pandas().sort_values(["best_d", "best_id"],
+                                     ascending=[False, True],
+                                     kind="mergesort")
+        selected.append(int(parts["best_id"].iloc[0]))
+
+    return pd.DataFrame({
+        "rank": pd.array(range(len(selected)), dtype="int64"),
+        "vec_id": pd.array(selected, dtype="int64"),
+    })
+
+
+def pq_read_selected(sf_dir: str, ids: list) -> pa.Table:
+    """Partition-pruned point reads of the selected embedding rows
+    (K rows — the docstore point-lookup shape, not a table scan)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "in", list(ids))])
+
+
+def _coreset_sql(k: int) -> str:
+    """Unrolled greedy k-center oracle: round i's CTE picks the row
+    maximizing (rounded) min distance to every earlier pick."""
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings)",
+            "d AS (SELECT a.vec_id AS x, b.vec_id AS s, "
+            "round(1 - list_cosine_similarity(a.v, b.v), 6) AS dist "
+            "FROM e a, e b)",
+            "s0 AS (SELECT min(vec_id) AS id, 0 AS rank FROM e)"]
+    prev = ["s0"]
+    for i in range(1, k):
+        sel = " UNION ALL ".join(f"SELECT id FROM {p}" for p in prev)
+        ctes.append(
+            f"s{i} AS (SELECT x AS id, {i} AS rank FROM ("
+            f"SELECT x, min(dist) AS md FROM d "
+            f"WHERE s IN ({sel}) GROUP BY x) "
+            f"ORDER BY md DESC, x LIMIT 1)")
+        prev.append(f"s{i}")
+    union = " UNION ALL ".join(
+        f"SELECT rank, id AS vec_id FROM {p}" for p in prev)
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT rank, vec_id FROM ({union}) ORDER BY rank")
+
+
+SQL_CORESET_SELECT = _coreset_sql(_CORESET_K)
+
+
 _BPE_NUM_MERGES = 16
 
 
@@ -11475,6 +11697,8 @@ QUERY_FUNCS = {
     "shard_rebalance": q_shard_rebalance,
     "near_dedup_incremental": q_near_dedup_incremental,
     "term_cooccurrence": q_term_cooccurrence,
+    "source_keywords": q_source_keywords,
+    "coreset_select": q_coreset_select,
     "near_dedup_incremental_partitioned":
         lambda sf_dir: q_near_dedup_incremental(
             sf_dir, reduce="partitioned"),
@@ -11678,6 +11902,8 @@ ORACLE_SQL = {
     "shard_rebalance": SQL_SHARD_REBALANCE,
     "near_dedup_incremental": SQL_NEAR_DEDUP_INCREMENTAL,
     "term_cooccurrence": SQL_TERM_COOCCURRENCE,
+    "source_keywords": SQL_SOURCE_KEYWORDS,
+    "coreset_select": SQL_CORESET_SELECT,
     "near_dedup_incremental_partitioned": SQL_NEAR_DEDUP_INCREMENTAL,
     "bpe_vocab": SQL_BPE_VOCAB,
     "bpe_vocab_partitioned": SQL_BPE_VOCAB,
