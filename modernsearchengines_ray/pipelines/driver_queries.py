@@ -10644,8 +10644,11 @@ def q_shuffle_export(sf_dir: str):
     try:
         stats = shuffle_export(ds, out, num_shards=_SHUFFLE_SHARDS)
         ids = read_shuffled_ids(out)
+        # SQL mirror: md5(string_agg(...)) over zero rows is NULL,
+        # not md5("")
         checksum = hashlib.md5(
-            ",".join(map(str, ids)).encode()).hexdigest()
+            ",".join(map(str, ids)).encode()).hexdigest() \
+            if ids else None
         return pd.DataFrame({
             "n_rows": pd.array([stats["n_rows"]], dtype="int64"),
             "n_shards": pd.array([stats["n_shards"]], dtype="int64"),
@@ -10687,6 +10690,13 @@ def q_bm25_facets(sf_dir: str):
     ds = _read(sf_dir, "documents",
                columns=["doc_id", "text", "source"])
     n_docs = ds.count()
+    if n_docs == 0:
+        # SQL mirror: an empty corpus yields zero facet rows (and
+        # avgdl would otherwise divide 0/0)
+        return pd.DataFrame({
+            "source": pd.array([], dtype="string"),
+            "n_matching": pd.array([], dtype="int64"),
+            "best_score": pd.array([], dtype="float64")})
     query = set(BM25_QUERY_TERMS)
 
     def posting_rows(batch: pa.Table) -> pa.Table:
@@ -10976,6 +10986,13 @@ def q_shard_rebalance(sf_dir: str):
     out = ds.map_batches(movers, batch_format="pyarrow") \
         .groupby(["old_shard", "new_shard"]) \
         .aggregate(Count(alias_name="n_moved")).to_pandas()
+    if len(out) == 0:
+        # SQL mirror: no movers (or empty corpus) -> zero rows; an
+        # empty groupby's to_pandas drops columns, so retype here
+        return pd.DataFrame({
+            "old_shard": pd.array([], dtype="int64"),
+            "new_shard": pd.array([], dtype="int64"),
+            "n_moved": pd.array([], dtype="int64")})
     return out.sort_values(["old_shard", "new_shard"]) \
         .reset_index(drop=True)
 
@@ -11021,8 +11038,12 @@ def q_near_dedup_incremental(sf_dir: str, reduce: str = "driver"):
     new_ds = ds.map_batches(side(1), batch_format="pyarrow")
     ref_ds = ds.map_batches(side(0), batch_format="pyarrow")
     kept = near_dedup_incremental(new_ds, ref_ds, reduce=reduce)
-    out = kept.to_pandas()[["doc_id"]].sort_values("doc_id")
-    return out.reset_index(drop=True)
+    out = kept.to_pandas()
+    if len(out) == 0:
+        # SQL mirror: empty corpus -> zero kept rows (empty to_pandas
+        # drops columns, so retype)
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64")})
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
 SQL_NEAR_DEDUP_INCREMENTAL = """
@@ -11104,6 +11125,13 @@ def q_term_cooccurrence(sf_dir: str):
     agg = ds.map_batches(pair_partials, batch_format="pyarrow") \
         .groupby(["term_a", "term_b"]) \
         .aggregate(Sum("n", alias_name="n")).to_pandas()
+    if len(agg) == 0:
+        # SQL mirror: empty corpus -> zero pair rows (empty to_pandas
+        # drops columns, so retype)
+        return pd.DataFrame({
+            "term_a": pd.array([], dtype="string"),
+            "term_b": pd.array([], dtype="string"),
+            "n": pd.array([], dtype="int64")})
     agg = agg.sort_values(["n", "term_a", "term_b"],
                           ascending=[False, True, True],
                           kind="mergesort").iloc[:_COOC_TOPK]
@@ -11169,6 +11197,14 @@ def q_source_keywords(sf_dir: str):
     class_tf = ds.map_batches(partials, batch_format="pyarrow") \
         .groupby(["source", "term"]) \
         .aggregate(Sum("n", alias_name="class_tf")).materialize()
+    if class_tf.count() == 0:
+        # SQL mirror: empty corpus -> zero keyword rows (the df_src
+        # join would otherwise see schema-less empty sides)
+        return pd.DataFrame({
+            "source": pd.array([], dtype="string"),
+            "rank": pd.array([], dtype="int64"),
+            "term": pd.array([], dtype="string"),
+            "w": pd.array([], dtype="float64")})
     n_sources = class_tf.groupby("source").count().count()
     df_src = class_tf.map_batches(
         lambda b: b.select(["term"]), batch_format="pyarrow") \
@@ -11274,8 +11310,15 @@ def q_coreset_select(sf_dir: str):
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         return pa.table({"m": pa.array([int(ids.min())], pa.int64())})
 
-    seed = int(ds.map_batches(seed_partial, batch_format="pyarrow")
-               .to_pandas()["m"].min())
+    seed_parts = ds.map_batches(seed_partial, batch_format="pyarrow") \
+        .to_pandas()
+    if len(seed_parts) == 0:
+        # SQL mirror: s0 = min over empty = NULL, every later round's
+        # LIMIT-1 subquery is empty -> one (rank 0, NULL) row
+        return pd.DataFrame({
+            "rank": pd.array([0], dtype="int64"),
+            "vec_id": pd.array([None], dtype="Int64")})
+    seed = int(seed_parts["m"].min())
     selected = [seed]
 
     for _ in range(_CORESET_K - 1):

@@ -141,3 +141,79 @@ def test_mutual_nn_empty_b_side(ray_session, empty_sf_dir):
     ds = q_mutual_nn(empty_sf_dir)
     assert ds.count() == 0
     assert ds.schema().names == ["a_id", "b_id", "cos_sim"]
+
+
+def test_bm25_facets_empty_documents(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_bm25_facets
+
+    out = q_bm25_facets(empty_sf_dir)
+    assert len(out) == 0
+    assert list(out.columns) == ["source", "n_matching", "best_score"]
+
+
+def test_more_like_this_empty_documents(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_more_like_this
+
+    out = q_more_like_this(empty_sf_dir)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "score"]
+
+
+def test_shard_rebalance_empty_documents(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_shard_rebalance
+
+    out = q_shard_rebalance(empty_sf_dir)
+    assert len(out) == 0
+    assert list(out.columns) == ["old_shard", "new_shard", "n_moved"]
+
+
+def test_near_dedup_incremental_empty_documents(ray_session,
+                                               empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_near_dedup_incremental
+
+    out = q_near_dedup_incremental(empty_sf_dir)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id"]
+
+
+def test_term_cooccurrence_empty_documents(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_term_cooccurrence
+
+    out = q_term_cooccurrence(empty_sf_dir)
+    assert len(out) == 0
+    assert list(out.columns) == ["term_a", "term_b", "n"]
+
+
+def test_source_keywords_empty_documents(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_source_keywords
+
+    out = q_source_keywords(empty_sf_dir)
+    assert len(out) == 0
+    assert list(out.columns) == ["source", "rank", "term", "w"]
+
+
+def test_coreset_select_empty_embeddings(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_coreset_select
+
+    # SQL mirror: min over empty = NULL -> one (rank 0, NULL) row
+    out = q_coreset_select(empty_sf_dir)
+    assert len(out) == 1
+    assert out["rank"].iloc[0] == 0
+    assert out["vec_id"].isna().iloc[0]
+
+
+def test_shuffle_export_empty_documents(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_shuffle_export
+
+    out = q_shuffle_export(empty_sf_dir)
+    assert len(out) == 1
+    assert out["n_rows"].iloc[0] == 0
+    assert out["order_checksum"].isna().iloc[0]
