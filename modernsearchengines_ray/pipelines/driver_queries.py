@@ -11331,6 +11331,10 @@ def q_coreset_select(sf_dir: str):
         sel_ref = ray.put((sel_mat, sel_norm))
 
         def far_partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.schema([("best_id", pa.int64()),
+                                  ("best_d", pa.float64())]) \
+                    .empty_table()
             mat_s, norm_s = ray.get(sel_ref)
             ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
