@@ -187,6 +187,13 @@ def q_bm25_topk(sf_dir: str, lang: str | None = None,
                    columns=["doc_id", "text", "lang"]) \
             .map_batches(keep_lang, batch_format="pyarrow")
     n_docs = ds.count()
+    if n_docs == 0:
+        # SQL mirror: empty (or fully filtered) corpus -> zero rows;
+        # without this the empty postings pull loses its columns and
+        # avgdl divides 0/0
+        return pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "score": pd.array([], dtype="float64")})
     query = set(BM25_QUERY_TERMS)
 
     def posting_rows(batch: pa.Table) -> pa.Table:
@@ -11217,10 +11224,13 @@ def q_source_keywords(sf_dir: str):
             .astype(np.float64)
         dfv = batch["df_src"].to_numpy(zero_copy_only=False) \
             .astype(np.float64)
+        w_raw = tf * np.log(n_sources / dfv)
         return pa.table({
             "source": batch["source"], "term": batch["term"],
-            "w": pa.array(np.round(tf * np.log(n_sources / dfv), 6),
-                          pa.float64()),
+            # half-AWAY rounding (DuckDB round parity)
+            "w": pa.array(
+                np.copysign(np.floor(np.abs(w_raw) * 1e6 + 0.5),
+                            w_raw) / 1e6, pa.float64()),
         })
 
     def topk_per_source(batch: pa.Table) -> pa.Table:
@@ -11344,7 +11354,11 @@ def q_coreset_select(sf_dir: str):
                             len(ids)).astype(np.float64)[o]
             norms = np.linalg.norm(m, axis=1)
             cos = (m @ mat_s.T) / np.outer(norms, norm_s)
-            dist = np.round(1.0 - cos, 6)
+            # half-AWAY rounding (DuckDB round parity; np.round banks
+            # to even and diverges on exact .5e-6 boundaries)
+            d_raw = 1.0 - cos
+            dist = np.copysign(
+                np.floor(np.abs(d_raw) * 1e6 + 0.5), d_raw) / 1e6
             md = dist.min(axis=1)
             j = int(np.argmax(md))  # ids sorted: first max = min id
             return pa.table({
@@ -11399,6 +11413,188 @@ def _coreset_sql(k: int) -> str:
 
 
 SQL_CORESET_SELECT = _coreset_sql(_CORESET_K)
+
+
+_PERC_QUERIES = {
+    "q_data_join": ("data", "join"),
+    "q_stream_window": ("stream", "window"),
+    "q_cust_order_line": ("customer", "order", "line"),
+    "q_absent": ("data", "zzznotaterm"),
+}
+
+
+def q_percolate(sf_dir: str):
+    """Reverse search (the Elasticsearch percolate contract): a FIXED
+    set of stored conjunctive queries is matched against every doc —
+    which alerts would this document trigger?  The query table
+    broadcasts once (queries ≪ docs, always); one streaming pass
+    tests each doc's token SET against every query's term set (the
+    per-doc loop is the tokenizer's own; the set probes are O(query
+    terms) hash lookups, negligible next to tokenization) and emits
+    per-block per-query count partials; one tiny fold.  Queries
+    matching nothing still emit
+    their zero row (SQL mirror: the query table is the left side)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+    qnames = sorted(_PERC_QUERIES)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(len(qnames), dtype=np.int64)
+        for text in batch["text"].to_pylist():
+            toks = set(simple_tokens(text))
+            for qi, qn in enumerate(qnames):
+                if all(t in toks for t in _PERC_QUERIES[qn]):
+                    counts[qi] += 1
+        return pa.table({
+            "query_id": pa.array(qnames, pa.string()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("query_id").aggregate(Sum("n", alias_name="n_docs")) \
+        .to_pandas()
+    if len(out) == 0:
+        out = pd.DataFrame({
+            "query_id": pd.array(qnames, dtype="string"),
+            "n_docs": pd.array([0] * len(qnames), dtype="int64")})
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def _percolate_sql() -> str:
+    qrows = " UNION ALL ".join(
+        f"SELECT '{qn}' AS query_id, '{t}' AS term"
+        for qn in sorted(_PERC_QUERIES) for t in _PERC_QUERIES[qn])
+    return f"""
+WITH q AS ({qrows}),
+qsize AS (SELECT query_id, count(*) AS k FROM q GROUP BY query_id),
+tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+hits AS (
+  SELECT q.query_id, tok.doc_id, count(*) AS n_terms
+  FROM q JOIN tok USING (term) GROUP BY q.query_id, tok.doc_id
+),
+full_hits AS (
+  SELECT h.query_id, h.doc_id
+  FROM hits h JOIN qsize USING (query_id)
+  WHERE h.n_terms = qsize.k
+)
+SELECT qs.query_id, count(f.doc_id)::BIGINT AS n_docs
+FROM qsize qs LEFT JOIN full_hits f USING (query_id)
+GROUP BY qs.query_id ORDER BY qs.query_id
+"""
+
+
+SQL_PERCOLATE = _percolate_sql()
+
+
+_MMR_LAMBDA = 0.5
+_MMR_K = 5
+_MMR_POOL = 10
+
+
+def q_mmr_rerank(sf_dir: str):
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998 — the standard search-result / RAG-context
+    de-redundancy rerank): the distributed BM25 kernel supplies the
+    top-{_MMR_POOL} pool, their embeddings point-read once, and the
+    greedy λ-tradeoff ``mmr = λ·rel − (1−λ)·max_sim_to_selected``
+    picks {_MMR_K} results.  rel = score/max_score and every cosine
+    round to 6 dp BEFORE the argmax (the coreset_select parity rule),
+    ties to the smaller doc_id.  Pool scoring is the distributed
+    stage; the greedy loop runs over ≤ {_MMR_POOL} candidates — MMR
+    state is O(k·pool), driver-appropriate at any corpus size."""
+    import pyarrow.parquet as pq
+
+    from ..functions.arrowlist import list_matrix
+
+    pool = q_bm25_topk(sf_dir, k=_MMR_POOL)
+    out_empty = pd.DataFrame({
+        "rank": pd.array([], dtype="int64"),
+        "doc_id": pd.array([], dtype="int64"),
+        "mmr": pd.array([], dtype="float64")})
+    if len(pool) == 0:
+        return out_empty
+    def _r6(x):
+        # DuckDB-parity rounding: half AWAY from zero (np.round banks
+        # to even — the _round_half_away rule, vectorized)
+        x = np.asarray(x, dtype=np.float64)
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+    ids = pool["doc_id"].to_numpy().astype(np.int64)
+    rel = _r6(pool["score"].to_numpy() / pool["score"].max())
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", ids.tolist())])
+    e_ids = tab["vec_id"].to_numpy()
+    mat = list_matrix(tab["embedding"].combine_chunks(),
+                      len(e_ids)).astype(np.float64)
+    pos = {int(v): i for i, v in enumerate(e_ids)}
+    mat = mat[[pos[int(i)] for i in ids]]
+    norms = np.linalg.norm(mat, axis=1)
+    sims = _r6((mat @ mat.T) / np.outer(norms, norms))
+
+    # pool is sorted (score desc, doc_id asc) => row 0 is the rank-0
+    # pick (argmax rel, ties to the smaller id)
+    picked = [0]
+    ranks = [0]
+    scores = [float(_r6(_MMR_LAMBDA * rel[0]))]
+    while len(picked) < min(_MMR_K, len(ids)):
+        cand = np.setdiff1d(np.arange(len(ids)), picked)
+        max_sim = sims[np.ix_(cand, picked)].max(axis=1)
+        mmr = _r6(_MMR_LAMBDA * rel[cand]
+                  - (1.0 - _MMR_LAMBDA) * max_sim)
+        order = np.lexsort((ids[cand], -mmr))
+        best = cand[order[0]]
+        picked.append(int(best))
+        ranks.append(len(picked) - 1)
+        scores.append(float(mmr[order[0]]))
+    return pd.DataFrame({
+        "rank": pd.array(ranks, dtype="int64"),
+        "doc_id": pd.array(ids[picked], dtype="int64"),
+        "mmr": pd.array(scores, dtype="float64")})
+
+
+def _mmr_sql() -> str:
+    lam, one_m = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    bm25_pool = SQL_BM25_TOPK.replace("LIMIT 20", f"LIMIT {_MMR_POOL}")
+    ctes = [
+        f"pool AS ({bm25_pool})",
+        "rel AS (SELECT doc_id, round(score / (SELECT max(score) "
+        "FROM pool), 6) AS rel FROM pool)",
+        "sim AS (SELECT a.vec_id AS ia, b.vec_id AS ib, "
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], "
+        "b.embedding::DOUBLE[]), 6) AS s "
+        "FROM embeddings a JOIN embeddings b ON TRUE "
+        "WHERE a.vec_id IN (SELECT doc_id FROM pool) "
+        "AND b.vec_id IN (SELECT doc_id FROM pool))",
+        f"m0 AS (SELECT doc_id, 0 AS rank, "
+        f"round({lam} * rel, 6) AS mmr "
+        f"FROM rel ORDER BY rel DESC, doc_id LIMIT 1)",
+    ]
+    prev = ["m0"]
+    for i in range(1, _MMR_K):
+        sel = " UNION ALL ".join(
+            f"SELECT doc_id FROM {p}" for p in prev)
+        ctes.append(
+            f"m{i} AS (SELECT doc_id, {i} AS rank, mmr FROM ("
+            f"SELECT r.doc_id, round({lam} * r.rel - {one_m} * ("
+            f"SELECT max(s.s) FROM sim s WHERE s.ia = r.doc_id "
+            f"AND s.ib IN ({sel})), 6) AS mmr "
+            f"FROM rel r WHERE r.doc_id NOT IN ({sel})) "
+            f"ORDER BY mmr DESC, doc_id LIMIT 1)")
+        prev.append(f"m{i}")
+    union = " UNION ALL ".join(
+        f"SELECT rank, doc_id, mmr FROM {p}" for p in prev)
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT rank, doc_id, mmr FROM ({union}) ORDER BY rank")
+
+
+SQL_MMR_RERANK = _mmr_sql()
 
 
 _BPE_NUM_MERGES = 16
@@ -11746,6 +11942,8 @@ QUERY_FUNCS = {
     "term_cooccurrence": q_term_cooccurrence,
     "source_keywords": q_source_keywords,
     "coreset_select": q_coreset_select,
+    "percolate": q_percolate,
+    "mmr_rerank": q_mmr_rerank,
     "near_dedup_incremental_partitioned":
         lambda sf_dir: q_near_dedup_incremental(
             sf_dir, reduce="partitioned"),
@@ -11951,6 +12149,8 @@ ORACLE_SQL = {
     "term_cooccurrence": SQL_TERM_COOCCURRENCE,
     "source_keywords": SQL_SOURCE_KEYWORDS,
     "coreset_select": SQL_CORESET_SELECT,
+    "percolate": SQL_PERCOLATE,
+    "mmr_rerank": SQL_MMR_RERANK,
     "near_dedup_incremental_partitioned": SQL_NEAR_DEDUP_INCREMENTAL,
     "bpe_vocab": SQL_BPE_VOCAB,
     "bpe_vocab_partitioned": SQL_BPE_VOCAB,

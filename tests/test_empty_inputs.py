@@ -217,3 +217,23 @@ def test_shuffle_export_empty_documents(ray_session, empty_sf_dir):
     assert len(out) == 1
     assert out["n_rows"].iloc[0] == 0
     assert out["order_checksum"].isna().iloc[0]
+
+
+def test_percolate_empty_documents(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        _PERC_QUERIES, q_percolate
+
+    # SQL mirror: the query table is the LEFT side, so every stored
+    # query still emits its zero row
+    out = q_percolate(empty_sf_dir)
+    assert len(out) == len(_PERC_QUERIES)
+    assert (out["n_docs"] == 0).all()
+
+
+def test_mmr_rerank_empty_documents(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_mmr_rerank
+
+    out = q_mmr_rerank(empty_sf_dir)
+    assert len(out) == 0
+    assert list(out.columns) == ["rank", "doc_id", "mmr"]
