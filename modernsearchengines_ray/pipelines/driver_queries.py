@@ -11597,6 +11597,107 @@ def _mmr_sql() -> str:
 SQL_MMR_RERANK = _mmr_sql()
 
 
+_NOVELTY_N = 5
+
+
+def q_doc_novelty(sf_dir: str):
+    """Within-corpus novelty score (the incremental-crawl curation
+    signal): per doc, the share of its distinct {_NOVELTY_N}-gram
+    shingles whose FIRST corpus occurrence (minimum doc_id) is this
+    doc — 1.0 = wholly novel, near 0 = assembled from earlier docs.
+    One exchange: distinct (doc, gram) rows → map-side per-block
+    gram-min combine → one groupby Min elects first owners → hash
+    join back → per-doc vectorized fold.  Docs with < {_NOVELTY_N}
+    words carry no grams and drop out (SQL mirror).  Deterministic on
+    any block order: "first" is by doc_id, not arrival."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.quality import word_ngrams
+    from ..stages.dedup import default_join_partitions
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    nparts = default_join_partitions()
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        dids, grams = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for g in sorted(word_ngrams(text, _NOVELTY_N)):
+                dids.append(did)
+                grams.append(g)
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "gram": pa.array(grams, pa.string()),
+        })
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow") \
+        .materialize()  # consumed by the min-election AND the join
+    if grams.count() == 0:
+        # SQL mirror: no doc reaches the gram threshold -> zero rows
+        # (and the join would otherwise see schema-less empty sides);
+        # count() on the materialized rows is O(1) metadata
+        return pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "n_grams": pd.array([], dtype="int64"),
+            "novel": pd.array([], dtype="int64"),
+            "novelty": pd.array([], dtype="float64")})
+    firsts = grams.groupby("gram") \
+        .aggregate(Min("doc_id", alias_name="first_doc"))
+    joined = grams.join(firsts, "inner", num_partitions=nparts,
+                        on=("gram",))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        f = batch["first_doc"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": d, "n": 1,
+                           "novel": (d == f).astype(np.int64)})
+        agg = df.groupby("doc_id", sort=False, as_index=False).sum()
+        return pa.table({
+            "doc_id": pa.array(agg["doc_id"].to_numpy(), pa.int64()),
+            "n_grams": pa.array(agg["n"].to_numpy(), pa.int64()),
+            "novel": pa.array(agg["novel"].to_numpy(), pa.int64()),
+        })
+
+    out = joined.map_batches(fold, batch_format="pyarrow") \
+        .groupby("doc_id") \
+        .aggregate(Sum("n_grams", alias_name="n_grams"),
+                   Sum("novel", alias_name="novel")).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "n_grams": pd.array([], dtype="int64"),
+            "novel": pd.array([], dtype="int64"),
+            "novelty": pd.array([], dtype="float64")})
+    nov = out["novel"].to_numpy() / out["n_grams"].to_numpy()
+    out["novelty"] = np.copysign(
+        np.floor(np.abs(nov) * 1e6 + 0.5), nov) / 1e6
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_NOVELTY = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(
+             list_slice(words, i, i + {_NOVELTY_N - 1}), ' ') AS gram
+  FROM w, unnest(range(1, len(words) - {_NOVELTY_N - 2})) AS t(i)
+  WHERE len(words) >= {_NOVELTY_N}
+), firsts AS (
+  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)::BIGINT
+         AS novel,
+       round(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS novelty
+FROM g JOIN firsts f USING (gram)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
 _BPE_NUM_MERGES = 16
 
 
@@ -11944,6 +12045,7 @@ QUERY_FUNCS = {
     "coreset_select": q_coreset_select,
     "percolate": q_percolate,
     "mmr_rerank": q_mmr_rerank,
+    "doc_novelty": q_doc_novelty,
     "near_dedup_incremental_partitioned":
         lambda sf_dir: q_near_dedup_incremental(
             sf_dir, reduce="partitioned"),
@@ -12151,6 +12253,7 @@ ORACLE_SQL = {
     "coreset_select": SQL_CORESET_SELECT,
     "percolate": SQL_PERCOLATE,
     "mmr_rerank": SQL_MMR_RERANK,
+    "doc_novelty": SQL_DOC_NOVELTY,
     "near_dedup_incremental_partitioned": SQL_NEAR_DEDUP_INCREMENTAL,
     "bpe_vocab": SQL_BPE_VOCAB,
     "bpe_vocab_partitioned": SQL_BPE_VOCAB,

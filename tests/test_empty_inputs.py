@@ -237,3 +237,13 @@ def test_mmr_rerank_empty_documents(ray_session, empty_sf_dir):
     out = q_mmr_rerank(empty_sf_dir)
     assert len(out) == 0
     assert list(out.columns) == ["rank", "doc_id", "mmr"]
+
+
+def test_doc_novelty_empty_documents(ray_session, empty_sf_dir):
+    from modernsearchengines_ray.pipelines.driver_queries import \
+        q_doc_novelty
+
+    out = q_doc_novelty(empty_sf_dir)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "n_grams", "novel",
+                                 "novelty"]
