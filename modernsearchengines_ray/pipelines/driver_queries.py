@@ -3944,6 +3944,64 @@ FROM documents
 """
 
 
+def q_maxscore_search(sf_dir: str):
+    """BM25 top-10 via the MaxScore kernel (functions/maxscore.py,
+    Turtle & Flood 1995) + the same two-round exact merge, gated the
+    same way as `wand_search`: the skipped-list top-10 must equal an
+    exhaustive decode-everything index scan (doc_id, score) for
+    (doc_id, score), AND be bit-identical to the WAND serving path —
+    any pruning bug or FP-order drift flips a bool and breaks the
+    hash compare.  SQL supplies the real corpus size."""
+    import shutil
+    import tempfile
+
+    from ..config import IndexConfig
+    from ..functions.tokenizer import tokenize
+    from ..pipelines.build_index import build_index
+    from ..pipelines.query import QueryEngine
+    from ..state.shards import load_index_postings
+
+    query = "stream data query join"
+    cfg = IndexConfig(prepend_url_words=False, num_shards=8)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    tmp = tempfile.mkdtemp(prefix="msr_maxscore_")
+    try:
+        build_index(ds, tmp, cfg=cfg, corpus_id=sf_dir)
+        engine = QueryEngine(tmp, num_scorers=2)
+        try:
+            hits = engine.search_bm25(query, k=10, algo="maxscore")
+            wand_hits = engine.search_bm25(query, k=10)
+        finally:
+            engine.shutdown()
+        postings = load_index_postings(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    acc: dict[int, float] = {}
+    for t in sorted({t for t, _ in tokenize(query.lower())}):
+        for d, (s, _) in postings.get(t, {}).items():
+            acc[d] = acc.get(d, 0.0) + s
+    want = sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:10]
+    same = ([d for d, _ in hits] == [d for d, _ in want]
+            and np.allclose([s for _, s in hits], [s for _, s in want],
+                            atol=1e-9))
+    return pd.DataFrame({
+        "n_docs": pd.array([n_docs], dtype="int64"),
+        "k": pd.array([10], dtype="int64"),
+        "maxscore_equals_exhaustive": pd.array(
+            [bool(same) and len(hits) > 0], dtype="boolean"),
+        "maxscore_equals_wand": pd.array([hits == wand_hits],
+                                         dtype="boolean"),
+    })
+
+
+SQL_MAXSCORE_SEARCH = """
+SELECT count(*)::BIGINT AS n_docs, 10::BIGINT AS k,
+       TRUE AS maxscore_equals_exhaustive, TRUE AS maxscore_equals_wand
+FROM documents
+"""
+
+
 def q_index_lifecycle_check(sf_dir: str):
     """Derived invariant gating the index LIFECYCLE in the driver gate
     (pipelines/delete.py, pipelines/compact.py): build the real index
@@ -11914,6 +11972,7 @@ QUERY_FUNCS = {
     "ref_search": q_ref_search,
     "trec_run": q_trec_run,
     "wand_search": q_wand_search,
+    "maxscore_search": q_maxscore_search,
     "index_lifecycle_check": q_index_lifecycle_check,
     "index_merge_check": q_index_merge_check,
     "distinct_users_hll_check": q_distinct_users_hll_check,
@@ -12165,6 +12224,7 @@ ORACLE_SQL = {
     "ref_search": SQL_REF_SEARCH,
     "trec_run": SQL_TREC_RUN,
     "wand_search": SQL_WAND_SEARCH,
+    "maxscore_search": SQL_MAXSCORE_SEARCH,
     "distinct_users_approx": SQL_DISTINCT_USERS_APPROX,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "paragraph_dedup_partitioned": SQL_PARAGRAPH_DEDUP,

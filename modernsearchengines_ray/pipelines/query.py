@@ -340,15 +340,22 @@ class ShardScorer:
         return rows
 
     def topk_bm25(self, terms: list[str], k: int,
-                  threshold: float = 0.0):
-        """Exact local top-k over this scorer's terms via block-max WAND.
+                  threshold: float = 0.0, algo: str = "wand"):
+        """Exact local top-k over this scorer's terms — block-max WAND
+        (default) or MaxScore non-essential skipping (``algo=
+        "maxscore"``, functions/maxscore.py).  Both kernels are exact
+        and share the canonical term-order FP sum, so the choice never
+        changes a score bit; MaxScore is the long-query serving path
+        (no per-doc pivot re-sort over every list).
 
         Returns (hits, theta_k, stats); theta_k = k-th local score (0 if
         fewer than k docs matched)."""
+        from ..functions.maxscore import maxscore_topk
         from ..functions.wand import make_cursors, wand_topk
 
+        kernel = {"wand": wand_topk, "maxscore": maxscore_topk}[algo]
         cursors = make_cursors(self._wand_rows(terms), self.block_size)
-        hits, stats = wand_topk(cursors, k, initial_threshold=threshold)
+        hits, stats = kernel(cursors, k, initial_threshold=threshold)
         theta_k = hits[-1][1] if len(hits) == k else 0.0
         return hits, theta_k, stats
 
@@ -743,7 +750,8 @@ class QueryEngine:
             raise ValueError(f"unknown merge mode: {merge!r}")
         return rank_postings(fetched, tokens, original, self.rank_cfg)
 
-    def search_bm25(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search_bm25(self, query: str, k: int = 10,
+                    algo: str = "wand") -> list[tuple[int, float]]:
         """Standard BM25 top-k (score = Σ per-term index-time BM25) with
         block-max WAND pruning inside each shard scorer and an exact
         two-round TPUT-style merge (Cao & Wang 2004) across scorers:
@@ -755,8 +763,12 @@ class QueryEngine:
            candidates missing a scorer's contribution get exact local
            scores filled in.
 
-        Single-scorer queries finish in round 1 (pure WAND)."""
-        return self._bm25_terms(sorted(set(self._clause_stems(query))), k)
+        Single-scorer queries finish in round 1 (pure WAND).  ``algo=
+        "maxscore"`` swaps the phase-1 kernel for MaxScore
+        non-essential skipping (functions/maxscore.py) — both kernels
+        are exact, so the result is bit-identical either way."""
+        return self._bm25_terms(sorted(set(self._clause_stems(query))), k,
+                                algo=algo)
 
     def search_after(self, query: str, k: int = 10,
                      after: tuple[int, float] | None = None
@@ -794,8 +806,8 @@ class QueryEngine:
                 return []
             need *= 2
 
-    def _bm25_terms(self, terms: list[str],
-                    k: int) -> list[tuple[int, float]]:
+    def _bm25_terms(self, terms: list[str], k: int,
+                    algo: str = "wand") -> list[tuple[int, float]]:
         """WAND+TPUT BM25 top-k over already-stemmed index terms
         (search_bm25 minus the tokenization — callers that hold stems,
         like more_like_this, must not re-stem)."""
@@ -809,7 +821,7 @@ class QueryEngine:
         owners = sorted(by_scorer)
 
         phase1 = ray.get([
-            self.scorers[i].topk_bm25.remote(by_scorer[i], k)
+            self.scorers[i].topk_bm25.remote(by_scorer[i], k, algo=algo)
             for i in owners
         ])
         if len(owners) == 1:
