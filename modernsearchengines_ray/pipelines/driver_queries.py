@@ -4002,6 +4002,66 @@ FROM documents
 """
 
 
+def q_suggest(sf_dir: str):
+    """Dictionary autocomplete (`QueryEngine.suggest`): top-10 index
+    terms completing a prefix, ranked (df desc, term asc) — the ES
+    completion-suggester contract served off the sorted term locator
+    (pipelines/query.py::ShardScorer.suggest_terms).  Gated like
+    `wand_search`: for each probe prefix the engine's completions
+    must equal a full decode-everything index scan's (term, df)
+    truth; any locator-window or merge bug flips the bool and breaks
+    the hash compare.  SQL supplies the real corpus size."""
+    import shutil
+    import tempfile
+
+    from ..config import IndexConfig
+    from ..pipelines.build_index import build_index
+    from ..pipelines.query import QueryEngine
+    from ..state.shards import load_index_postings
+
+    prefixes = ["st", "pro", "a"]
+    cfg = IndexConfig(prepend_url_words=False, num_shards=8)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    tmp = tempfile.mkdtemp(prefix="msr_suggest_")
+    try:
+        build_index(ds, tmp, cfg=cfg, corpus_id=sf_dir)
+        engine = QueryEngine(tmp, num_scorers=2)
+        try:
+            got = {p: engine.suggest(p, n=10) for p in prefixes}
+        finally:
+            engine.shutdown()
+        postings = load_index_postings(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    ok = True
+    nonempty = 0
+    for p in prefixes:
+        truth = sorted(
+            ((t, len(docs)) for t, docs in postings.items()
+             if t.startswith(p)),
+            key=lambda x: (-x[1], x[0]))[:10]
+        ok = ok and got[p] == truth
+        nonempty += bool(truth)
+    # the df<=5 persist prune leaves small-sf dictionaries sparse, so
+    # some probe windows are legitimately empty (and must come back
+    # empty) — the gate needs every window EQUAL and at least one
+    # probe to have actually exercised the ranked path
+    return pd.DataFrame({
+        "n_docs": pd.array([n_docs], dtype="int64"),
+        "n_prefixes": pd.array([len(prefixes)], dtype="int64"),
+        "suggest_equals_scan": pd.array([ok and nonempty > 0],
+                                        dtype="boolean"),
+    })
+
+
+SQL_SUGGEST = """
+SELECT count(*)::BIGINT AS n_docs, 3::BIGINT AS n_prefixes,
+       TRUE AS suggest_equals_scan
+FROM documents
+"""
+
+
 def q_index_lifecycle_check(sf_dir: str):
     """Derived invariant gating the index LIFECYCLE in the driver gate
     (pipelines/delete.py, pipelines/compact.py): build the real index
@@ -11973,6 +12033,7 @@ QUERY_FUNCS = {
     "trec_run": q_trec_run,
     "wand_search": q_wand_search,
     "maxscore_search": q_maxscore_search,
+    "suggest": q_suggest,
     "index_lifecycle_check": q_index_lifecycle_check,
     "index_merge_check": q_index_merge_check,
     "distinct_users_hll_check": q_distinct_users_hll_check,
@@ -12225,6 +12286,7 @@ ORACLE_SQL = {
     "trec_run": SQL_TREC_RUN,
     "wand_search": SQL_WAND_SEARCH,
     "maxscore_search": SQL_MAXSCORE_SEARCH,
+    "suggest": SQL_SUGGEST,
     "distinct_users_approx": SQL_DISTINCT_USERS_APPROX,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "paragraph_dedup_partitioned": SQL_PARAGRAPH_DEDUP,

@@ -200,6 +200,25 @@ class ShardScorer:
         matches, _scanned = self._termdict.match(kind, probe, max_edits)
         return matches
 
+    def suggest_terms(self, prefix: str, n: int) -> list[tuple[str, int]]:
+        """Top-n ``(term, df)`` completions of ``prefix`` among this
+        scorer's dictionary, ranked (df desc, term asc) — the
+        Lucene/ES completion-suggester shape with document frequency
+        as the popularity signal.  The window is two searchsorted
+        calls on the shared sorted locator; only the window's ``df``
+        scalars are read (no posting decode), and only n pairs cross
+        the wire.  Cost is O(window): a one-letter probe scans that
+        letter's whole dictionary band, same as Lucene's
+        ``Terms.intersect`` — callers wanting a bound enforce a
+        minimum prefix length."""
+        matches, _scanned = self._termdict.match("prefix", prefix)
+        scored = []
+        for t in matches:
+            row = self._raw(t, fields=("df",))
+            scored.append((-int(row["df"]), t))
+        scored.sort()
+        return [(t, -neg_df) for neg_df, t in scored[:n]]
+
     def _row_table(self, ti: int, ri: int):
         """(table, local row index) holding row ``ri`` of shard ``ti``."""
         if not self._lazy:
@@ -957,6 +976,22 @@ class QueryEngine:
             cands, [(fetched[s][0], fetched[s][1]) for s in present])
         order = np.lexsort((cands, -totals))[:k]
         return [(int(cands[i]), float(totals[i])) for i in order]
+
+    def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
+        """Autocomplete: the top-n index terms completing ``prefix``,
+        ranked (df desc, term asc) — the Elasticsearch completion
+        suggester served straight off the term dictionary, no
+        separate FST sidecar to keep in sync with the index.  The
+        probe is lowercased but NOT analyzed (dictionary terms are
+        already stemmed — multi-term-query semantics, same as
+        ``search_prefix``).  Terms are hash-sharded so each scorer's
+        dictionary is disjoint: the merge is a driver-side fold of m
+        per-scorer top-n lists (≤ m·n pairs), never the window."""
+        parts = ray.get([
+            s.suggest_terms.remote(prefix.lower(), n)
+            for s in self.scorers])
+        best = sorted((-df, t) for part in parts for t, df in part)
+        return [(t, -neg_df) for neg_df, t in best[:n]]
 
     def search_prefix(self, prefix: str,
                       k: int = 10) -> list[tuple[int, float]]:
