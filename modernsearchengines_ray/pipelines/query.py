@@ -364,8 +364,9 @@ class ShardScorer:
         (default) or MaxScore non-essential skipping (``algo=
         "maxscore"``, functions/maxscore.py).  Both kernels are exact
         and share the canonical term-order FP sum, so the choice never
-        changes a score bit; MaxScore is the long-query serving path
-        (no per-doc pivot re-sort over every list).
+        changes a score bit; WAND is the measured-faster default on
+        this index's tight block metadata, MaxScore the block-free
+        alternative (see functions/maxscore.py for the numbers).
 
         Returns (hits, theta_k, stats); theta_k = k-th local score (0 if
         fewer than k docs matched)."""
