@@ -8198,6 +8198,14 @@ def q_doc_similarity(sf_dir: str, pair_mining: str = "prefix"):
     df_tab = tf.groupby("term").aggregate(Count(alias_name="df"))
 
     nparts = 2
+    # sentinel guards on both groupby outputs feeding joins below: a
+    # join partition with no right rows builds a no-column table and
+    # Acero fails (see dedup.ensure_schema); the inner joins drop the
+    # sentinels (term outside [a-z0-9]+, doc_id outside the id domain)
+    from ..stages.dedup import ensure_schema
+    df_tab = ensure_schema(
+        df_tab, pa.schema([("term", pa.string()),
+                           ("df", pa.int64())]), num_blocks=nparts)
     w = tf.join(df_tab, "inner", num_partitions=nparts, on=("term",))
 
     def weight(batch: pa.Table) -> pa.Table:
@@ -8225,6 +8233,9 @@ def q_doc_similarity(sf_dir: str, pair_mining: str = "prefix"):
 
     norms = w.map_batches(norm_partial, batch_format="pyarrow") \
         .groupby("doc_id").aggregate(Sum("w2", alias_name="w2"))
+    norms = ensure_schema(
+        norms, pa.schema([("doc_id", pa.int64()),
+                          ("w2", pa.float64())]), num_blocks=nparts)
 
     u = w.join(norms, "inner", num_partitions=nparts, on=("doc_id",))
 
@@ -11334,6 +11345,14 @@ def q_source_keywords(sf_dir: str):
     df_src = class_tf.map_batches(
         lambda b: b.select(["term"]), batch_format="pyarrow") \
         .groupby("term").aggregate(Count(alias_name="df_src"))
+    # sentinel guard: a join partition with no right rows builds a
+    # no-column table and Acero fails (see dedup.ensure_schema); the
+    # sentinel term is outside simple_tokens' [a-z0-9]+ domain, so the
+    # inner join drops it before weight() ever sees its df_src
+    from ..stages.dedup import ensure_schema
+    df_src = ensure_schema(
+        df_src, pa.schema([("term", pa.string()),
+                           ("df_src", pa.int64())]), num_blocks=nparts)
     w = class_tf.join(df_src, "inner", num_partitions=nparts,
                       on=("term",))
 
@@ -11761,6 +11780,13 @@ def q_doc_novelty(sf_dir: str):
             "novelty": pd.array([], dtype="float64")})
     firsts = grams.groupby("gram") \
         .aggregate(Min("doc_id", alias_name="first_doc"))
+    # sentinel guard (see dedup.ensure_schema): the sentinel gram is
+    # outside the token domain, so the inner join drops it
+    from ..stages.dedup import ensure_schema
+    firsts = ensure_schema(
+        firsts, pa.schema([("gram", pa.string()),
+                           ("first_doc", pa.int64())]),
+        num_blocks=nparts)
     joined = grams.join(firsts, "inner", num_partitions=nparts,
                         on=("gram",))
 
