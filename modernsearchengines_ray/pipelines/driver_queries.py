@@ -12283,6 +12283,180 @@ LIMIT {PRF_EXPANSION_TERMS}
 """
 
 
+MIN_WINDOW_TERMS = ("data", "join")
+
+
+def q_min_window(sf_dir: str):
+    """Positional proximity under the SQL gate (the A10 kernel's
+    contract): per doc containing BOTH probe terms, the minimum token
+    distance ``min |p_i - p_j|`` between any occurrence pair — the
+    quantity the reference's proximity boost consumes
+    (`/root/reference/retrieval.py` min-window; the full multi-term
+    window lives in functions/proximity.py and its rank-identity
+    tests).  Pure map-side: positions never leave the batch kernel,
+    output is one row per co-occurrence doc."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    t_a, t_b = MIN_WINDOW_TERMS
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        ids, wins = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            tokens = simple_tokens(text)
+            pos_a = np.flatnonzero(np.array(tokens, dtype=object) == t_a)
+            if not pos_a.size:
+                continue
+            pos_b = np.flatnonzero(np.array(tokens, dtype=object) == t_b)
+            if not pos_b.size:
+                continue
+            # sorted positions: min pairwise |a-b| via merged insertion
+            j = np.searchsorted(pos_b, pos_a)
+            best = np.inf
+            left = j > 0
+            if left.any():
+                best = min(best, np.min(pos_a[left] - pos_b[j[left] - 1]))
+            right = j < pos_b.size
+            if right.any():
+                best = min(best, np.min(pos_b[j[right]] - pos_a[right]))
+            ids.append(doc_id)
+            wins.append(int(best))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "min_window": pa.array(wins, pa.int64()),
+        })
+
+    return ds.map_batches(window_rows, batch_format="pyarrow")
+
+
+SQL_MIN_WINDOW = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+), pos AS (
+  SELECT doc_id, i AS pos, arr[i] AS term
+  FROM tok, unnest(range(1, len(arr) + 1)) AS t(i)
+  WHERE arr[i] IN ('{MIN_WINDOW_TERMS[0]}', '{MIN_WINDOW_TERMS[1]}')
+)
+SELECT a.doc_id AS doc_id, min(abs(a.pos - b.pos))::BIGINT AS min_window
+FROM pos a JOIN pos b USING (doc_id)
+WHERE a.term = '{MIN_WINDOW_TERMS[0]}' AND b.term = '{MIN_WINDOW_TERMS[1]}'
+GROUP BY a.doc_id
+"""
+
+
+def q_ltr_features(sf_dir: str):
+    """Learning-to-rank feature extraction: the per-(query, doc)
+    feature row a reranker trains on — ``n_matched`` query terms,
+    ``tf_sum``, ``dl``, full ``bm25``, and ``max_idf`` over matched
+    terms, one row per candidate doc.  The LTR-export shape: features
+    computed in ONE distributed pass over candidate postings with the
+    (|q|-sized) idf table broadcast, no per-doc second read."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    query = set(BM25_QUERY_TERMS)
+
+    def posting_rows(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs, dls = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            tokens = simple_tokens(text)
+            counts = Counter(tokens)
+            for term in sorted(query & counts.keys()):
+                ids.append(doc_id)
+                terms.append(term)
+                tfs.append(counts[term])
+                dls.append(len(tokens))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "doc_len": pa.array(dls, pa.int64()),
+        })
+
+    def doc_len_partials(batch: pa.Table) -> pa.Table:
+        lens = [len(simple_tokens(t)) for t in batch["text"].to_pylist()]
+        lens = [x for x in lens if x > 0]
+        return pa.table({
+            "n": pa.array([len(lens)], pa.int64()),
+            "token_sum": pa.array([int(sum(lens))], pa.int64()),
+        })
+
+    lp = ds.map_batches(doc_len_partials, batch_format="pyarrow").to_pandas()
+    avgdl = lp["token_sum"].sum() / lp["n"].sum()
+
+    postings = ds.map_batches(posting_rows,
+                              batch_format="pyarrow").to_pandas()
+    if postings.empty:
+        return pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "n_matched": pd.array([], dtype="int64"),
+            "tf_sum": pd.array([], dtype="int64"),
+            "dl": pd.array([], dtype="int64"),
+            "bm25": pd.array([], dtype="float64"),
+            "max_idf": pd.array([], dtype="float64")})
+    df_map = postings.groupby("term")["doc_id"].nunique()
+    idf = postings["term"].map(
+        np.log((n_docs - df_map + 0.5) / (df_map + 0.5) + 1.0))
+    tf = postings["tf"].to_numpy(dtype=np.float64)
+    dl = postings["doc_len"].to_numpy(dtype=np.float64)
+    part = (idf.to_numpy() * tf * (K1 + 1.0)
+            / (tf + K1 * (1.0 - B + B * dl / avgdl)))
+    feat = pd.DataFrame({
+        "doc_id": postings["doc_id"],
+        "tf": postings["tf"],
+        "dl": postings["doc_len"],
+        "idf": idf.to_numpy(),
+        "part": part,
+    }).groupby("doc_id").agg(
+        n_matched=("tf", "size"), tf_sum=("tf", "sum"), dl=("dl", "first"),
+        bm25=("part", "sum"), max_idf=("idf", "max")).reset_index()
+    return pd.DataFrame({
+        "doc_id": feat["doc_id"].astype("int64"),
+        "n_matched": feat["n_matched"].astype("int64"),
+        "tf_sum": feat["tf_sum"].astype("int64"),
+        "dl": feat["dl"].astype("int64"),
+        "bm25": np.round(feat["bm25"].to_numpy(), 6),
+        "max_idf": np.round(feat["max_idf"].to_numpy(), 6),
+    })
+
+
+SQL_LTR_FEATURES = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT avg(dl::DOUBLE) AS avgdl FROM dl
+),
+n AS (SELECT count(*)::DOUBLE AS c FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2
+  WHERE term IN ('data', 'join', 'stream') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term, ln((n.c - df.df + 0.5) / (df.df + 0.5) + 1) AS idf
+  FROM df, n
+)
+SELECT tf.doc_id AS doc_id,
+       count(*)::BIGINT AS n_matched,
+       sum(tf.tf)::BIGINT AS tf_sum,
+       any_value(dl.dl) AS dl,
+       round(sum(idf.idf * tf.tf * {K1 + 1.0}
+                 / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))),
+             6) AS bm25,
+       round(max(idf.idf), 6) AS max_idf
+FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats, n
+GROUP BY tf.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12520,6 +12694,8 @@ QUERY_FUNCS = {
     "lm_dirichlet_topk": q_lm_dirichlet_topk,
     "tfidf_cosine_topk": q_tfidf_cosine_topk,
     "prf_expand": q_prf_expand,
+    "min_window": q_min_window,
+    "ltr_features": q_ltr_features,
 }
 
 ORACLE_SQL = {
@@ -12730,6 +12906,8 @@ ORACLE_SQL = {
     "lm_dirichlet_topk": SQL_LM_DIRICHLET_TOPK,
     "tfidf_cosine_topk": SQL_TFIDF_COSINE_TOPK,
     "prf_expand": SQL_PRF_EXPAND,
+    "min_window": SQL_MIN_WINDOW,
+    "ltr_features": SQL_LTR_FEATURES,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
