@@ -12457,6 +12457,74 @@ GROUP BY tf.doc_id
 """
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: for EVERY vector
+    (anchor), its most-similar vector with a DIFFERENT label — the
+    standard triplet/InfoNCE negative-selection op.  tie order (sim
+    desc, neg_id asc) enforced by candidate-matrix vec_id order (np
+    argmax returns the first maximum); cosine rounded only at output,
+    matching `mutual_nn`'s convention.
+
+    Scale shape: the candidate matrix is one `ray.put` broadcast read
+    by every block (n x dim once in the object store, never per
+    batch); per-block work is one matmul + a label-mask argmax.  At
+    10^9 vectors the broadcast side hands off to the IVF-bucketed
+    plan exactly as `mutual_nn_partitioned` does
+    (stages/ann.py::mutual_nn_ivf)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.arrowlist import list_matrix
+
+    table = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+    order = np.argsort(table["vec_id"].to_numpy())
+    cand_ids = table["vec_id"].to_numpy()[order]
+    cand_labels = table["label"].to_numpy()[order]
+    cand = list_matrix(table["embedding"], len(cand_ids))[order]
+    cand = cand / np.linalg.norm(cand, axis=1, keepdims=True)
+    cand_ref = ray.put((cand_ids, cand_labels, cand))
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+
+    def mine(batch: pa.Table) -> pa.Table:
+        c_ids, c_labels, c_mat = ray.get(cand_ref)
+        ids = batch["vec_id"].to_numpy()
+        labels = batch["label"].to_numpy()
+        mat = list_matrix(batch["embedding"], len(ids))
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ c_mat.T
+        sims[labels[:, None] == c_labels[None, :]] = -np.inf
+        best = np.argmax(sims, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "neg_id": pa.array(c_ids[best], pa.int64()),
+            "cos_sim": pa.array(
+                np.round(sims[np.arange(len(ids)), best], 6),
+                pa.float64()),
+        })
+
+    return ds.map_batches(mine, batch_format="pyarrow")
+
+
+SQL_HARD_NEGATIVES = """
+WITH sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+         list_cosine_similarity(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS sim
+  FROM embeddings a JOIN embeddings b ON a.label <> b.label
+), ranked AS (
+  SELECT vec_id, neg_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, neg_id) AS rn
+  FROM sims
+)
+SELECT vec_id, neg_id, round(sim, 6) AS cos_sim
+FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12696,6 +12764,7 @@ QUERY_FUNCS = {
     "prf_expand": q_prf_expand,
     "min_window": q_min_window,
     "ltr_features": q_ltr_features,
+    "hard_negatives": q_hard_negatives,
 }
 
 ORACLE_SQL = {
@@ -12908,6 +12977,7 @@ ORACLE_SQL = {
     "prf_expand": SQL_PRF_EXPAND,
     "min_window": SQL_MIN_WINDOW,
     "ltr_features": SQL_LTR_FEATURES,
+    "hard_negatives": SQL_HARD_NEGATIVES,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
