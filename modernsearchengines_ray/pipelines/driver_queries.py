@@ -12003,8 +12003,9 @@ def q_lm_dirichlet_topk(sf_dir: str):
 
     coll = ds.map_batches(collection_partials,
                           batch_format="pyarrow").to_pandas()
-    coll = coll.groupby("term")["cnt"].sum()
-    total_tokens = float(coll["__total__"])
+    coll = coll.groupby("term")["cnt"].sum() if len(coll) else pd.Series(
+        dtype="int64")
+    total_tokens = float(coll.get("__total__", 0))
     # only corpus-observed query terms smooth to a nonzero background
     p_coll = {t: float(coll[t]) / total_tokens
               for t in sorted(query) if t in coll.index and coll[t] > 0}
@@ -12193,7 +12194,7 @@ def q_prf_expand(sf_dir: str):
     fb_ids = set(int(d) for d in fb["doc_id"])
     if not fb_ids:
         return pd.DataFrame({
-            "term": pd.array([], dtype="str"),
+            "term": pd.array([], dtype="string"),
             "weight": pd.array([], dtype="float64")})
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -12385,19 +12386,23 @@ def q_ltr_features(sf_dir: str):
             "token_sum": pa.array([int(sum(lens))], pa.int64()),
         })
 
+    empty = pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "n_matched": pd.array([], dtype="int64"),
+        "tf_sum": pd.array([], dtype="int64"),
+        "dl": pd.array([], dtype="int64"),
+        "bm25": pd.array([], dtype="float64"),
+        "max_idf": pd.array([], dtype="float64")})
     lp = ds.map_batches(doc_len_partials, batch_format="pyarrow").to_pandas()
+    if lp.empty or lp["n"].sum() == 0:
+        # SQL mirror: no tokenizable docs -> no candidates either
+        return empty
     avgdl = lp["token_sum"].sum() / lp["n"].sum()
 
     postings = ds.map_batches(posting_rows,
                               batch_format="pyarrow").to_pandas()
     if postings.empty:
-        return pd.DataFrame({
-            "doc_id": pd.array([], dtype="int64"),
-            "n_matched": pd.array([], dtype="int64"),
-            "tf_sum": pd.array([], dtype="int64"),
-            "dl": pd.array([], dtype="int64"),
-            "bm25": pd.array([], dtype="float64"),
-            "max_idf": pd.array([], dtype="float64")})
+        return empty
     df_map = postings.groupby("term")["doc_id"].nunique()
     idf = postings["term"].map(
         np.log((n_docs - df_map + 0.5) / (df_map + 0.5) + 1.0))
@@ -12478,6 +12483,15 @@ def q_hard_negatives(sf_dir: str):
 
     table = pq.read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding", "label"])
+    # SQL mirror: no cross-label pair exists (empty table or a single
+    # label) -> zero rows; without this the all-masked argmax below
+    # would pick index 0 at sim -inf (the q_mutual_nn lesson, ADVICE r4)
+    if (table.num_rows == 0
+            or len(pc.unique(table["label"])) < 2):
+        return pd.DataFrame({
+            "vec_id": pd.array([], dtype="int64"),
+            "neg_id": pd.array([], dtype="int64"),
+            "cos_sim": pd.array([], dtype="float64")})
     order = np.argsort(table["vec_id"].to_numpy())
     cand_ids = table["vec_id"].to_numpy()[order]
     cand_labels = table["label"].to_numpy()[order]
