@@ -12179,7 +12179,9 @@ def q_prf_expand(sf_dir: str):
     """Rocchio pseudo-relevance-feedback expansion: run BM25, take the
     top-``PRF_FB_DOCS`` docs as the feedback set F, and mine the
     expansion vocabulary by centroid weight
-    ``w(t) = (sum_{d in F} tf_td) * ln(N/df_t) / |F|`` — original
+    ``w(t) = (sum_{d in F} tf_td) * ln(N/df_t) / PRF_FB_DOCS`` (the
+    divisor is the constant feedback budget, not |F|, so a sparse
+    corpus can't inflate weights) — original
     query terms excluded, top-``PRF_EXPANSION_TERMS`` by (weight desc,
     term).  df is over the FULL corpus (not just F).
 
