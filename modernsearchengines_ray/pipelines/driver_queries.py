@@ -12541,6 +12541,53 @@ FROM ranked WHERE rn = 1
 """
 
 
+_DM_BOUNDS = (150.0, 300.0, 450.0)
+_DM_TARGETS = (0.1, 0.2, 0.3, 0.4)
+
+
+def q_distribution_match(sf_dir: str):
+    """Distribution-matching rejection sampling over document length
+    (stages/sampling.py::distribution_match_sample): reshape the
+    n_chars histogram toward the fixed target shares — the
+    training-mix primitive the other sampling entries
+    (temperature/cap/stratified) don't cover, a per-bucket importance
+    resample against an explicit reference distribution."""
+    from ..stages.sampling import distribution_match_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return distribution_match_sample(
+        ds, value_col="n_chars", id_col="doc_id",
+        boundaries=_DM_BOUNDS, target_shares=_DM_TARGETS)
+
+
+SQL_DISTRIBUTION_MATCH = f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 150 THEN 0
+              WHEN n_chars < 300 THEN 1
+              WHEN n_chars < 450 THEN 2
+              ELSE 3 END AS bucket
+  FROM documents
+), c AS (SELECT bucket, count(*)::DOUBLE AS n FROM b GROUP BY bucket),
+t AS (
+  SELECT bucket,
+         (CASE bucket WHEN 0 THEN 0.1 WHEN 1 THEN 0.2
+                      WHEN 2 THEN 0.3 ELSE 0.4 END) / n AS ratio
+  FROM c
+),
+m AS (SELECT max(ratio) AS rmax FROM t),
+r AS (
+  SELECT bucket,
+         CAST(floor(1000 * (ratio / rmax)) AS BIGINT) AS permille
+  FROM t, m
+)
+SELECT b.doc_id AS doc_id, b.bucket AS bucket
+FROM b JOIN r USING (bucket)
+WHERE ((b.doc_id::HUGEINT * {_SAMPLE_HASH_MULT}) % 4294967296) % 1000
+      < r.permille
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12781,6 +12828,7 @@ QUERY_FUNCS = {
     "min_window": q_min_window,
     "ltr_features": q_ltr_features,
     "hard_negatives": q_hard_negatives,
+    "distribution_match": q_distribution_match,
 }
 
 ORACLE_SQL = {
@@ -12994,6 +13042,7 @@ ORACLE_SQL = {
     "min_window": SQL_MIN_WINDOW,
     "ltr_features": SQL_LTR_FEATURES,
     "hard_negatives": SQL_HARD_NEGATIVES,
+    "distribution_match": SQL_DISTRIBUTION_MATCH,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its

@@ -190,3 +190,70 @@ def token_budget_sample(ds, group_col: str, id_col: str,
             pa.array(bucket < lim))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def distribution_match_sample(ds, value_col: str, id_col: str,
+                              boundaries, target_shares,
+                              permille_scale: int = 1000):
+    """Importance-resampling to a TARGET bucket distribution (the
+    data-mixing primitive: reshape a corpus's length/quality histogram
+    toward a reference distribution by per-bucket rejection).
+
+    Buckets are fixed ``boundaries`` cut-points over ``value_col``
+    (bucket i = searchsorted position, len(boundaries)+1 buckets);
+    ``target_shares[i]`` is the desired mass of bucket i.  Acceptance
+    is the classic rejection-sampling rate, normalized so the most
+    under-represented bucket keeps everything:
+
+        a_b = (t_b / n_b) / max_c (t_c / n_c)
+        keep iff knuth_bucket(id) % permille_scale
+                 < floor(permille_scale * a_b)
+
+    Determinism contract: bucket counts come from one tiny
+    ``groupby(bucket).count()`` broadcast once; every arithmetic step
+    (two divisions, one multiply, floor) is an IEEE-correctly-rounded
+    double op written in the SAME expression order as the SQL oracle,
+    so the integer permille rates — and therefore the kept set — gate
+    hash-exact on any cluster size / block order.  One streaming
+    filter, no data shuffle.  Returns (id_col, bucket)."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    bounds = np.asarray(boundaries, dtype=np.float64)
+    targets = np.asarray(target_shares, dtype=np.float64)
+    assert len(targets) == len(bounds) + 1
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        bucket = np.searchsorted(bounds, v, side="right")
+        return pa.table({
+            id_col: batch[id_col],
+            "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+        })
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    counts = bucketed.select_columns(["bucket"]) \
+        .groupby("bucket").aggregate(Count(alias_name="n")).take_all()
+    if not counts:
+        return bucketed
+    ratio = {r["bucket"]: targets[r["bucket"]] / float(r["n"])
+             for r in counts}
+    rmax = max(ratio.values())
+    rates = {b: int(np.floor(permille_scale * (x / rmax)))
+             for b, x in ratio.items()}
+    rates_ref = ray.put(rates)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = ((ids * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)) \
+            % np.uint64(permille_scale)
+        lim = np.array([r[b] for b in
+                        batch["bucket"].to_numpy(zero_copy_only=False)],
+                       dtype=np.uint64)
+        return batch.filter(pa.array(h < lim))
+
+    return bucketed.map_batches(keep, batch_format="pyarrow")

@@ -158,3 +158,62 @@ class TestHardNegatives:
         out = q_hard_negatives(sf)
         assert len(out) == 0
         assert list(out.columns) == ["vec_id", "neg_id", "cos_sim"]
+
+
+class TestDistributionMatch:
+    def test_underrepresented_bucket_keeps_all(self, ray_session, tmp_sf):
+        from modernsearchengines_ray.stages.sampling import (
+            distribution_match_sample)
+        import ray.data as rd
+
+        # bucket 3 (>=450) has 2 docs vs target 0.4 -> highest
+        # target/size ratio -> permille 1000 -> all survive; bucket 0
+        # (60 docs vs target 0.1) downsamples hard
+        n0 = 60
+        tab = pa.table({
+            "doc_id": pa.array(list(range(1, n0 + 1)) + [900, 901],
+                               pa.int64()),
+            "n_chars": pa.array([100] * n0 + [500, 520], pa.int64()),
+        })
+        ds = rd.from_arrow(tab)
+        out = distribution_match_sample(
+            ds, value_col="n_chars", id_col="doc_id",
+            boundaries=(150.0, 300.0, 450.0),
+            target_shares=(0.1, 0.2, 0.3, 0.4)).to_pandas()
+        kept3 = out[out["bucket"] == 3]["doc_id"].tolist()
+        assert sorted(kept3) == [900, 901]
+        # rate for bucket 0: floor(1000 * (0.1/60) / (0.4/2)) = 8
+        kept0 = out[out["bucket"] == 0]
+        assert len(kept0) <= n0 * 0.2  # heavily downsampled
+
+    def test_deterministic_across_block_layouts(self, ray_session,
+                                                tmp_sf):
+        from modernsearchengines_ray.stages.sampling import (
+            distribution_match_sample)
+        import ray.data as rd
+
+        tab = pa.table({
+            "doc_id": pa.array(list(range(1, 201)), pa.int64()),
+            "n_chars": pa.array([(i * 37) % 600 for i in range(200)],
+                                pa.int64()),
+        })
+        args = dict(value_col="n_chars", id_col="doc_id",
+                    boundaries=(150.0, 300.0, 450.0),
+                    target_shares=(0.1, 0.2, 0.3, 0.4))
+        a = distribution_match_sample(
+            rd.from_arrow(tab), **args).to_pandas()
+        b = distribution_match_sample(
+            rd.from_arrow(tab).repartition(7), **args).to_pandas()
+        key = ["doc_id", "bucket"]
+        assert a.sort_values(key).reset_index(drop=True).equals(
+            b.sort_values(key).reset_index(drop=True))
+
+    def test_empty_input(self, ray_session, tmp_sf):
+        sf = tmp_sf("documents", pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+        }))
+        from modernsearchengines_ray.pipelines.driver_queries import (
+            q_distribution_match)
+        out = q_distribution_match(sf)
+        assert out.count() == 0
