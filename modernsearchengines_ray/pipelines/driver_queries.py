@@ -12588,6 +12588,101 @@ WHERE ((b.doc_id::HUGEINT * {_SAMPLE_HASH_MULT}) % 4294967296) % 1000
 """
 
 
+_RANK_EVAL_K = 10
+
+
+def q_rank_eval(sf_dir: str):
+    """Offline ranking-quality evaluation — the IR-eval op every
+    search/LLM-retrieval pipeline needs: nDCG@10, MRR and P@10 of the
+    BM25 ranking against a deterministic graded-relevance oracle
+    (rel(d) = number of distinct query terms in d, 0-3; binary
+    relevance for MRR/P@10 is rel >= 2).  IDCG normalizes against the
+    best ordering of ALL candidates (not just the returned page), so
+    nDCG < 1 when a high-relevance doc misses the top-10.
+
+    Scale shape: both legs reuse the distributed candidate-postings
+    pass (`ltr_features` / `bm25_topk`); the metric fold is O(k) on
+    the driver.  Output: one row (n_candidates, ndcg10, mrr, p10)."""
+    feats = q_ltr_features(sf_dir)
+    if len(feats) == 0:
+        return pd.DataFrame({
+            "n_candidates": pd.array([], dtype="int64"),
+            "ndcg10": pd.array([], dtype="float64"),
+            "mrr": pd.array([], dtype="float64"),
+            "p10": pd.array([], dtype="float64")})
+    rel = dict(zip(feats["doc_id"].astype(int),
+                   feats["n_matched"].astype(int)))
+    ranking = q_bm25_topk(sf_dir, k=_RANK_EVAL_K)["doc_id"].astype(int)
+
+    rels = np.array([rel[d] for d in ranking], dtype=np.float64)
+    disc = np.log2(np.arange(2, len(rels) + 2, dtype=np.float64))
+    dcg = float(np.sum((np.power(2.0, rels) - 1.0) / disc))
+    ideal = np.sort(np.fromiter(rel.values(), dtype=np.float64))[::-1] \
+        [:_RANK_EVAL_K]
+    idcg = float(np.sum((np.power(2.0, ideal) - 1.0)
+                        / np.log2(np.arange(2, len(ideal) + 2,
+                                            dtype=np.float64))))
+    hits = np.flatnonzero(rels >= 2)
+    mrr = 1.0 / (hits[0] + 1) if hits.size else 0.0
+    p10 = hits.size / float(_RANK_EVAL_K)
+    return pd.DataFrame({
+        "n_candidates": pd.array([len(rel)], dtype="int64"),
+        "ndcg10": pd.array([round(dcg / idcg, 6)], dtype="float64"),
+        "mrr": pd.array([round(mrr, 6)], dtype="float64"),
+        "p10": pd.array([round(p10, 6)], dtype="float64"),
+    })
+
+
+SQL_RANK_EVAL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl FROM dl),
+n AS (SELECT count(*)::DOUBLE AS c FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2
+  WHERE term IN ('data', 'join', 'stream') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+rel AS (SELECT doc_id, count(*)::DOUBLE AS rel FROM tf GROUP BY doc_id),
+bm25 AS (
+  SELECT tf.doc_id AS doc_id,
+         round(sum(ln((n.c - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * {K1 + 1.0}
+                   / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))),
+               6) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats, n
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm25 QUALIFY r <= {_RANK_EVAL_K}
+),
+dcg AS (
+  SELECT sum((pow(2, rel.rel) - 1) / log2(r + 1)) AS dcg,
+         min(CASE WHEN rel.rel >= 2 THEN r END) AS first_hit,
+         count(CASE WHEN rel.rel >= 2 THEN 1 END)::DOUBLE AS n_hits
+  FROM ranked JOIN rel USING (doc_id)
+),
+ideal AS (
+  SELECT sum((pow(2, rel) - 1) / log2(ir + 1)) AS idcg
+  FROM (SELECT rel,
+               row_number() OVER (ORDER BY rel DESC, doc_id) AS ir
+        FROM rel QUALIFY ir <= {_RANK_EVAL_K})
+)
+SELECT (SELECT count(*) FROM rel)::BIGINT AS n_candidates,
+       round(dcg.dcg / ideal.idcg, 6) AS ndcg10,
+       round(coalesce(1.0 / dcg.first_hit, 0), 6) AS mrr,
+       round(dcg.n_hits / {_RANK_EVAL_K}, 6) AS p10
+FROM dcg, ideal
+WHERE (SELECT count(*) FROM rel) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12829,6 +12924,7 @@ QUERY_FUNCS = {
     "ltr_features": q_ltr_features,
     "hard_negatives": q_hard_negatives,
     "distribution_match": q_distribution_match,
+    "rank_eval": q_rank_eval,
 }
 
 ORACLE_SQL = {
@@ -13043,6 +13139,7 @@ ORACLE_SQL = {
     "ltr_features": SQL_LTR_FEATURES,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "distribution_match": SQL_DISTRIBUTION_MATCH,
+    "rank_eval": SQL_RANK_EVAL,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its

@@ -217,3 +217,37 @@ class TestDistributionMatch:
             q_distribution_match)
         out = q_distribution_match(sf)
         assert out.count() == 0
+
+
+class TestRankEval:
+    def test_single_perfect_candidate(self, ray_session, tmp_sf):
+        from modernsearchengines_ray.pipelines.driver_queries import (
+            q_rank_eval)
+
+        sf = _docs(tmp_sf, ["data join stream", "unrelated words"])
+        out = q_rank_eval(sf)
+        assert int(out["n_candidates"].iloc[0]) == 1
+        assert out["ndcg10"].iloc[0] == pytest.approx(1.0)
+        assert out["mrr"].iloc[0] == pytest.approx(1.0)
+        assert out["p10"].iloc[0] == pytest.approx(0.1)
+
+    def test_graded_order_is_ideal(self, ray_session, tmp_sf):
+        from modernsearchengines_ray.pipelines.driver_queries import (
+            q_rank_eval)
+
+        # doc2 (rel 2) outranks doc1 (rel 1) under BM25, matching the
+        # ideal ordering -> ndcg 1.0; only doc2 counts as a binary hit
+        sf = _docs(tmp_sf, ["data filler", "data join"])
+        out = q_rank_eval(sf)
+        assert int(out["n_candidates"].iloc[0]) == 2
+        assert out["ndcg10"].iloc[0] == pytest.approx(1.0)
+        assert out["mrr"].iloc[0] == pytest.approx(1.0)
+        assert out["p10"].iloc[0] == pytest.approx(0.1)
+
+    def test_no_candidates_returns_empty(self, ray_session, tmp_sf):
+        from modernsearchengines_ray.pipelines.driver_queries import (
+            q_rank_eval)
+
+        sf = _docs(tmp_sf, ["alpha", "beta"])
+        out = q_rank_eval(sf)
+        assert len(out) == 0
