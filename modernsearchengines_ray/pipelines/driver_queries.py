@@ -12588,6 +12588,21 @@ WHERE ((b.doc_id::HUGEINT * {_SAMPLE_HASH_MULT}) % 4294967296) % 1000
 """
 
 
+def q_hard_negatives_partitioned(sf_dir: str):
+    """The IVF-bucketed hard-negative tier
+    (stages/ann.py::hard_negatives_ivf): no broadcast of the corpus
+    embedding matrix — only the k x dim centroid table ships, the
+    candidate search is partitioned by coarse cluster (one keyed
+    exchange) and the per-probe argmax folds keyed on vec_id.  Gated
+    with nprobe=all-clusters, where the plan is EXACT and must
+    hash-match the same SQL oracle as the broadcast entry."""
+    from ..stages.ann import hard_negatives_ivf
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    return hard_negatives_ivf(ds, nprobe=None)
+
+
 _RANK_EVAL_K = 10
 
 
@@ -12925,6 +12940,7 @@ QUERY_FUNCS = {
     "hard_negatives": q_hard_negatives,
     "distribution_match": q_distribution_match,
     "rank_eval": q_rank_eval,
+    "hard_negatives_partitioned": q_hard_negatives_partitioned,
 }
 
 ORACLE_SQL = {
@@ -13140,6 +13156,7 @@ ORACLE_SQL = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "distribution_match": SQL_DISTRIBUTION_MATCH,
     "rank_eval": SQL_RANK_EVAL,
+    "hard_negatives_partitioned": SQL_HARD_NEGATIVES,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its

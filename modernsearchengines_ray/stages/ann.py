@@ -490,3 +490,167 @@ def mutual_nn_ivf(ds, label_a: int, label_b: int, *,
 
         return drop_sentinels(
             mutual.map_batches(finish, batch_format="pyarrow"), "a_id")
+
+
+def hard_negatives_ivf(ds, *, num_clusters: int = 8,
+                       nprobe: int | None = None,
+                       sample_size: int = 10_000, seed: int = 42,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label",
+                       num_partitions: int | None = None):
+    """Hard-negative mining, IVF-bucketed (the ``reduce="partitioned"``
+    tier of the driver's ``hard_negatives`` entry): the broadcast
+    candidate-matrix plan is replaced by the same shared coarse
+    quantizer as ``mutual_nn_ivf`` — the ONLY broadcast state is the
+    k x dim centroid matrix, never the corpus's embedding matrix.
+
+    Plan (one exchange, zero driver row state):
+
+    1. seeded k-means centroids on a head sample;
+    2. one streaming pass emits each row once as a RESIDENT of its
+       nearest cluster and ``nprobe`` times as a PROBE — fan-out
+       <= 1 + nprobe rows per input row;
+    3. ``keyed_blocks`` hash exchange on ``cluster``; the per-block
+       kernel matmuls probes x id-sorted residents per cluster with a
+       same-label mask (so the first argmax takes the smallest
+       DIFFERENT-label id on ties) and emits one best-candidate row
+       per (probe, cluster) — all-masked probes emit nothing;
+    4. a keyed fold on the probe id finishes the argmax across probed
+       clusters (lexsort: max sim, ties to the smaller neg id).
+
+    ``nprobe=None`` probes every cluster: EXACT, equal to the
+    broadcast plan / the SQL oracle (how the driver gates this tier);
+    ``nprobe < num_clusters`` is the approximate scale path."""
+    import ray
+
+    from ..stages.windows import keyed_blocks
+
+    if nprobe is None:
+        nprobe = num_clusters
+    nprobe = min(nprobe, num_clusters)
+    from ..stages.dedup import default_join_partitions
+    nparts = num_partitions or default_join_partitions()
+    out_schema = pa.schema([("vec_id", pa.int64()),
+                            ("neg_id", pa.int64()),
+                            ("cos_sim", pa.float64())])
+
+    head = ds.limit(sample_size).select_columns([vec_col]) \
+        .to_pandas()[vec_col]
+    if len(head) == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    centroids = kmeans_fit(np.stack(head.to_numpy()), num_clusters,
+                           seed=seed, init="greedy")
+    cent_ref = ray.put(centroids)
+
+    tag_schema = pa.schema([
+        ("cluster", pa.int64()), ("role", pa.int8()),
+        ("rid", pa.int64()), ("lab", pa.int64()),
+        ("vec", pa.list_(pa.float64())),
+    ])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        n = batch.num_rows
+        if n == 0:
+            return tag_schema.empty_table()
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        labs = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = _matrix(batch, vec_col).astype(np.float64)
+        csims = _normalize(mat) @ cents.T
+        k = csims.shape[1]
+        if nprobe >= k:
+            probes = np.tile(np.arange(k, dtype=np.int64), n)
+        else:
+            probes = np.argpartition(-csims, nprobe - 1, axis=1) \
+                [:, :nprobe].astype(np.int64).ravel()
+        resident = np.argmax(csims, axis=1).astype(np.int64)
+        take = min(nprobe, k)
+        vec = pa.array(mat.tolist(), pa.list_(pa.float64()))
+        rep = pa.array(np.repeat(np.arange(n), take))
+        return pa.concat_tables([
+            pa.table({
+                "cluster": pa.array(resident, pa.int64()),
+                "role": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "rid": pa.array(ids, pa.int64()),
+                "lab": pa.array(labs, pa.int64()),
+                "vec": vec,
+            }),
+            pa.table({
+                "cluster": pa.array(probes, pa.int64()),
+                "role": pa.array(np.ones(n * take, np.int8), pa.int8()),
+                "rid": pa.array(np.repeat(ids, take), pa.int64()),
+                "lab": pa.array(np.repeat(labs, take), pa.int64()),
+                "vec": vec.take(rep),
+            }),
+        ])
+
+    tagged = keyed_blocks(ds.map_batches(tag, batch_format="pyarrow"),
+                          ["cluster"], num_partitions=nparts)
+
+    cand_schema = pa.schema([("pid", pa.int64()), ("neg_id", pa.int64()),
+                             ("sim", pa.float64())])
+
+    def per_cluster(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return cand_schema.empty_table()
+        cl = batch["cluster"].to_numpy(zero_copy_only=False)
+        role = batch["role"].to_numpy(zero_copy_only=False)
+        ids = batch["rid"].to_numpy(zero_copy_only=False)
+        labs = batch["lab"].to_numpy(zero_copy_only=False)
+        mat = _matrix(batch, "vec").astype(np.float64)
+        norm = np.linalg.norm(mat, axis=1)
+        out = []
+        order = np.argsort(cl, kind="stable")
+        bounds = np.flatnonzero(
+            np.r_[True, cl[order][1:] != cl[order][:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            rows = order[s:e]
+            pi = rows[role[rows] == 1]
+            ri = rows[role[rows] == 0]
+            if len(pi) == 0 or len(ri) == 0:
+                continue
+            ri = ri[np.argsort(ids[ri], kind="stable")]
+            sims = (mat[pi] @ mat[ri].T) / np.outer(norm[pi], norm[ri])
+            sims[labs[pi][:, None] == labs[ri][None, :]] = -np.inf
+            j = np.argmax(sims, axis=1)            # first max = min id
+            best = sims[np.arange(len(pi)), j]
+            ok = np.isfinite(best)                 # all-masked -> drop
+            if not ok.any():
+                continue
+            out.append(pa.table({
+                "pid": pa.array(ids[pi][ok], pa.int64()),
+                "neg_id": pa.array(ids[ri][j][ok], pa.int64()),
+                "sim": pa.array(best[ok], pa.float64()),
+            }))
+        if not out:
+            return cand_schema.empty_table()
+        return pa.concat_tables(out)
+
+    cands = tagged.map_batches(per_cluster, batch_size=None,
+                               batch_format="pyarrow").materialize()
+    if cands.count() == 0:
+        # no cross-label pair anywhere (empty input or single label):
+        # the SQL mirror of the label-inequality join over no pairs
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def first_per_run(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        kv = batch["pid"].to_numpy(zero_copy_only=False)
+        ov = batch["neg_id"].to_numpy(zero_copy_only=False)
+        sv = batch["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ov, -sv, kv))
+        kv_s = kv[order]
+        keep = np.r_[True, kv_s[1:] != kv_s[:-1]]
+        idx = order[keep]
+        return pa.table({
+            "vec_id": pa.array(kv[idx], pa.int64()),
+            "neg_id": pa.array(ov[idx], pa.int64()),
+            "cos_sim": pa.array(np.round(sv[idx], 6), pa.float64()),
+        })
+
+    return keyed_blocks(cands, ["pid"], num_partitions=nparts) \
+        .map_batches(first_per_run, batch_size=None,
+                     batch_format="pyarrow")
