@@ -12698,6 +12698,709 @@ WHERE (SELECT count(*) FROM rel) > 0
 """
 
 
+LM_LAMBDA = 0.4
+PL2_C = 1.0
+PROX_ALPHA, PROX_BETA = 0.7, 0.3
+
+
+def q_lm_jm_topk(sf_dir: str):
+    """Query-likelihood ranking with Jelinek-Mercer smoothing (the
+    linear-interpolation sibling of `lm_dirichlet_topk`, Zhai &
+    Lafferty 2001): ``score(d) = sum_t ln((1-lambda)*tf_td/dl_d +
+    lambda*p(t|C))`` over the fixed query terms, lambda =
+    ``LM_LAMBDA``.  Same candidate/smoothing contract as the
+    Dirichlet entry: candidates = docs matching >= 1 term, tf = 0
+    rows still contribute the background ln(lambda*p(t|C)), and
+    query terms absent from the whole corpus drop on both sides.
+
+    Scale shape identical to `lm_dirichlet_topk`: an O(|q|)-rows-per-
+    batch collection-model fold plus one pruned candidate-postings
+    pass; scoring is a vectorized pivot over the candidate set."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    query = set(BM25_QUERY_TERMS)
+
+    def collection_partials(batch: pa.Table) -> pa.Table:
+        total = 0
+        ctf: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            tokens = simple_tokens(text)
+            total += len(tokens)
+            for t in tokens:
+                if t in query:
+                    ctf[t] += 1
+        terms = ["__total__"] + sorted(ctf)
+        counts = [total] + [ctf[t] for t in sorted(ctf)]
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "cnt": pa.array(counts, pa.int64()),
+        })
+
+    coll = ds.map_batches(collection_partials,
+                          batch_format="pyarrow").to_pandas()
+    coll = coll.groupby("term")["cnt"].sum() if len(coll) else pd.Series(
+        dtype="int64")
+    total_tokens = float(coll.get("__total__", 0))
+    p_coll = {t: float(coll[t]) / total_tokens
+              for t in sorted(query) if t in coll.index and coll[t] > 0}
+    empty = pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "score": pd.array([], dtype="float64")})
+    if not p_coll:
+        return empty
+
+    def posting_rows(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs, dls = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            tokens = simple_tokens(text)
+            counts = Counter(tokens)
+            if not (query & counts.keys()):
+                continue
+            for term in sorted(p_coll):
+                ids.append(doc_id)
+                terms.append(term)
+                tfs.append(counts.get(term, 0))
+                dls.append(len(tokens))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "doc_len": pa.array(dls, pa.int64()),
+        })
+
+    cand = ds.map_batches(posting_rows, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return empty
+    bg = cand["term"].map(p_coll).to_numpy(dtype=np.float64)
+    part = np.log(
+        (1.0 - LM_LAMBDA) * cand["tf"].to_numpy(dtype=np.float64)
+        / cand["doc_len"].to_numpy(dtype=np.float64)
+        + LM_LAMBDA * bg)
+    scores = pd.DataFrame({"doc_id": cand["doc_id"], "part": part}) \
+        .groupby("doc_id", as_index=False)["part"].sum()
+    out = pd.DataFrame({
+        "doc_id": scores["doc_id"].astype("int64"),
+        "score": np.round(scores["part"].to_numpy(), 6),
+    }).sort_values(["score", "doc_id"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+SQL_LM_JM_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+tot AS (SELECT count(*)::DOUBLE AS c FROM tok2),
+ctf AS (
+  SELECT term, count(*)::DOUBLE AS ctf FROM tok2
+  WHERE term IN ('data', 'join', 'stream') GROUP BY term
+),
+cand AS (
+  SELECT DISTINCT doc_id FROM tok2
+  WHERE term IN ('data', 'join', 'stream')
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2
+  WHERE term IN ('data', 'join', 'stream') GROUP BY doc_id, term
+)
+SELECT cand.doc_id AS doc_id,
+       round(sum(ln((1 - {LM_LAMBDA}) * coalesce(tf.tf, 0) / dl.dl
+                    + {LM_LAMBDA} * (ctf.ctf / tot.c))), 6) AS score
+FROM cand CROSS JOIN ctf
+LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = ctf.term
+JOIN dl ON dl.doc_id = cand.doc_id, tot
+GROUP BY cand.doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_pl2_topk(sf_dir: str):
+    """Divergence-from-randomness PL2 ranking (Amati & van
+    Rijsbergen 2002; the Terrier default): per matched query term
+    (tf >= 1 only — DFR scores occurrences, unlike the smoothed LMs),
+    ``tfn = tf * log2(1 + c*avgdl/dl)``, ``lambda_t = ctf_t/N``, and
+    ``score_t = (tfn*log2(tfn/lambda_t) + (lambda_t - tfn)*log2(e)
+    + 0.5*log2(2*pi*tfn)) / (tfn + 1)``; c = ``PL2_C``.
+
+    Scale shape: the same O(|q|)-per-batch collection fold as the LM
+    entries (ctf + token totals + tokenizable-doc count feed
+    lambda_t and avgdl) plus one pruned candidate-postings pass;
+    no tf = 0 rows ship."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(ds.count())
+    query = set(BM25_QUERY_TERMS)
+
+    def collection_partials(batch: pa.Table) -> pa.Table:
+        total, docs = 0, 0
+        ctf: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            tokens = simple_tokens(text)
+            total += len(tokens)
+            docs += 1 if tokens else 0
+            for t in tokens:
+                if t in query:
+                    ctf[t] += 1
+        terms = ["__total__", "__docs__"] + sorted(ctf)
+        counts = [total, docs] + [ctf[t] for t in sorted(ctf)]
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "cnt": pa.array(counts, pa.int64()),
+        })
+
+    coll = ds.map_batches(collection_partials,
+                          batch_format="pyarrow").to_pandas()
+    coll = coll.groupby("term")["cnt"].sum() if len(coll) else pd.Series(
+        dtype="int64")
+    empty = pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "score": pd.array([], dtype="float64")})
+    n_tokenizable = float(coll.get("__docs__", 0))
+    if n_tokenizable == 0:
+        return empty
+    avgdl = float(coll.get("__total__", 0)) / n_tokenizable
+    lam = {t: float(coll[t]) / n_docs
+           for t in sorted(query) if t in coll.index and coll[t] > 0}
+    if not lam:
+        return empty
+
+    def posting_rows(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs, dls = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            tokens = simple_tokens(text)
+            counts = Counter(tokens)
+            for term in sorted(lam):
+                if counts.get(term, 0) > 0:
+                    ids.append(doc_id)
+                    terms.append(term)
+                    tfs.append(counts[term])
+                    dls.append(len(tokens))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "doc_len": pa.array(dls, pa.int64()),
+        })
+
+    cand = ds.map_batches(posting_rows, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return empty
+    tf = cand["tf"].to_numpy(dtype=np.float64)
+    dl = cand["doc_len"].to_numpy(dtype=np.float64)
+    lam_v = cand["term"].map(lam).to_numpy(dtype=np.float64)
+    tfn = tf * np.log2(1.0 + PL2_C * avgdl / dl)
+    part = (tfn * np.log2(tfn / lam_v)
+            + (lam_v - tfn) * np.log2(np.e)
+            + 0.5 * np.log2(2.0 * np.pi * tfn)) / (tfn + 1.0)
+    scores = pd.DataFrame({"doc_id": cand["doc_id"], "part": part}) \
+        .groupby("doc_id", as_index=False)["part"].sum()
+    out = pd.DataFrame({
+        "doc_id": scores["doc_id"].astype("int64"),
+        "score": np.round(scores["part"].to_numpy(), 6),
+    }).sort_values(["score", "doc_id"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+SQL_PL2_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl FROM dl),
+n AS (SELECT count(*)::DOUBLE AS c FROM documents),
+ctf AS (
+  SELECT term, count(*)::DOUBLE AS ctf FROM tok2
+  WHERE term IN ('data', 'join', 'stream') GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2
+  WHERE term IN ('data', 'join', 'stream') GROUP BY doc_id, term
+),
+tfn AS (
+  SELECT tf.doc_id AS doc_id, tf.term AS term,
+         tf.tf * log2(1 + {PL2_C} * stats.avgdl / dl.dl) AS tfn,
+         ctf.ctf / n.c AS lam
+  FROM tf JOIN ctf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, stats, n
+)
+SELECT doc_id,
+       round(sum((tfn * log2(tfn / lam)
+                  + (lam - tfn) * log2(exp(1))
+                  + 0.5 * log2(2 * pi() * tfn)) / (tfn + 1)), 6) AS score
+FROM tfn
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf's-law fit over the corpus unigram distribution — the
+    corpus-health diagnostic every webtext pipeline plots: OLS slope
+    and intercept of ``ln(freq) ~ ln(rank)`` over the FULL vocabulary
+    ranked by ``(freq DESC, term ASC)``; healthy natural-language
+    webtext sits near slope -1 (Zipf 1949), and a corpus of boilerplate
+    or templated spam bends far off it.
+
+    Scale shape: Counter partials -> one ``groupby(term)`` Sum, one
+    range sort for the global rank (stages/rank.py::global_row_number,
+    O(blocks) driver state), then per-block (k, Sx, Sy, Sxy, Sxx)
+    moment partials folded to the closed-form OLS on the driver —
+    the vocabulary itself never materializes off-cluster."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.rank import global_row_number
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            counter.update(simple_tokens(text))
+        return pa.table({
+            "term": pa.array(list(counter.keys()), pa.string()),
+            "n": pa.array(list(counter.values()), pa.int64()),
+        })
+
+    counts = ds.map_batches(term_counts, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n", alias_name="n"))
+    counts = counts.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("n"), "n",
+                               b["n"].cast(pa.int64())),
+        batch_format="pyarrow")
+    ranked = global_row_number(counts, ["n", "term"], out_col="rnk",
+                               descending=[True, False])
+
+    def moment_partials(batch: pa.Table) -> pa.Table:
+        x = np.log(batch["rnk"].to_numpy(zero_copy_only=False)
+                   .astype(np.float64))
+        y = np.log(batch["n"].to_numpy(zero_copy_only=False)
+                   .astype(np.float64))
+        return pa.table({
+            "k": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([float(x.sum())], pa.float64()),
+            "sy": pa.array([float(y.sum())], pa.float64()),
+            "sxy": pa.array([float((x * y).sum())], pa.float64()),
+            "sxx": pa.array([float((x * x).sum())], pa.float64()),
+        })
+
+    m = ranked.map_batches(moment_partials, batch_format="pyarrow") \
+        .to_pandas()
+    k = int(m["k"].sum()) if len(m) else 0
+    # SQL mirror: < 2 vocabulary terms -> no fit row (var(x) would be 0)
+    if k < 2:
+        return pd.DataFrame({
+            "n_terms": pd.array([], dtype="int64"),
+            "slope": pd.array([], dtype="float64"),
+            "intercept": pd.array([], dtype="float64")})
+    sx, sy = float(m["sx"].sum()), float(m["sy"].sum())
+    sxy, sxx = float(m["sxy"].sum()), float(m["sxx"].sum())
+    slope = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+    intercept = sy / k - slope * (sx / k)
+    return pd.DataFrame({
+        "n_terms": pd.array([k], dtype="int64"),
+        "slope": pd.array([round(slope, 6)], dtype="float64"),
+        "intercept": pd.array([round(intercept, 6)], dtype="float64"),
+    })
+
+
+SQL_ZIPF_SLOPE = """
+WITH tok AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x <> '')) AS term
+  FROM documents
+), c AS (
+  SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY 1
+), r AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS rnk FROM c
+)
+SELECT count(*)::BIGINT AS n_terms,
+       round(regr_slope(ln(n), ln(rnk)), 6) AS slope,
+       round(regr_intercept(ln(n), ln(rnk)), 6) AS intercept
+FROM r
+HAVING count(*) >= 2
+"""
+
+
+def q_heaps_law(sf_dir: str):
+    """Heaps'-law vocabulary-growth curve (Heaps 1978): distinct-term
+    count after each decile of the corpus in ``doc_id`` order — the
+    diagnostic that says whether a crawl is still finding new
+    vocabulary or has saturated.  Output: one row per decile with
+    ``docs_seen`` (= ceil(N*i/10)), cumulative ``tokens_seen`` and
+    ``vocab_size``.
+
+    Scale shape: one range sort over the PROJECTED doc_id column
+    elects the 10 decile-boundary doc_ids (text never enters the
+    sort); the tokenize pass then bins each doc by
+    ``searchsorted(boundaries, doc_id)`` and emits 10-long partial
+    arrays for tokens plus distinct (term, first_bin) rows whose
+    ``groupby(term).min`` feeds an O(10) first-occurrence histogram
+    — driver state is ten int64 cells, independent of corpus size."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from ..stages.rank import global_row_number
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    deciles = np.arange(1, 11, dtype=np.int64)
+    ks = np.ceil(n_docs * deciles / 10.0).astype(np.int64)
+    if n_docs == 0:
+        # SQL mirror: all checkpoints are k=0 -> zero rows everywhere
+        zero = np.zeros(10, dtype=np.int64)
+        return pd.DataFrame({
+            "decile": deciles, "docs_seen": zero,
+            "tokens_seen": zero, "vocab_size": zero})
+
+    ranked = global_row_number(ds.select_columns(["doc_id"]),
+                               ["doc_id"], out_col="r")
+    k_set = np.unique(ks)
+    bd = ranked.map_batches(
+        lambda b: b.filter(pc.is_in(b["r"], pa.array(k_set, pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    rank_to_doc = dict(zip(bd["r"].astype(int), bd["doc_id"].astype(int)))
+    # boundaries[j] = largest doc_id admitted to bin j (ascending)
+    boundaries = np.array([rank_to_doc[int(r)] for r in k_set],
+                          dtype=np.int64)
+    nb = len(boundaries)
+
+    def token_partials(batch: pa.Table) -> pa.Table:
+        toks = np.zeros(nb, dtype=np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bins = np.searchsorted(boundaries, ids, side="left")
+        for b_idx, text in zip(bins, batch["text"].to_pylist()):
+            toks[b_idx] += len(simple_tokens(text))
+        return pa.table({
+            "bin": pa.array(np.arange(nb, dtype=np.int64), pa.int64()),
+            "toks": pa.array(toks, pa.int64()),
+        })
+
+    def term_bins(batch: pa.Table) -> pa.Table:
+        terms, bins_out = [], []
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bins = np.searchsorted(boundaries, ids, side="left")
+        for b_idx, text in zip(bins, batch["text"].to_pylist()):
+            for t in set(simple_tokens(text)):
+                terms.append(t)
+                bins_out.append(int(b_idx))
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "bin": pa.array(bins_out, pa.int64()),
+        })
+
+    tp = ds.map_batches(token_partials, batch_format="pyarrow").to_pandas()
+    toks_by_bin = np.zeros(nb, dtype=np.int64)
+    np.add.at(toks_by_bin, tp["bin"].to_numpy(), tp["toks"].to_numpy())
+
+    first = ds.map_batches(term_bins, batch_format="pyarrow") \
+        .groupby("term").aggregate(Min("bin", alias_name="fb"))
+
+    def first_hist(batch: pa.Table) -> pa.Table:
+        hist = np.zeros(nb, dtype=np.int64)
+        fb = batch["fb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        np.add.at(hist, fb, 1)
+        return pa.table({
+            "bin": pa.array(np.arange(nb, dtype=np.int64), pa.int64()),
+            "vocab": pa.array(hist, pa.int64()),
+        })
+
+    fh = first.map_batches(first_hist, batch_format="pyarrow").to_pandas()
+    vocab_by_bin = np.zeros(nb, dtype=np.int64)
+    if len(fh):
+        np.add.at(vocab_by_bin, fh["bin"].to_numpy(), fh["vocab"].to_numpy())
+
+    cum_toks = np.cumsum(toks_by_bin)
+    cum_vocab = np.cumsum(vocab_by_bin)
+    j = np.searchsorted(k_set, ks, side="left")
+    return pd.DataFrame({
+        "decile": deciles,
+        "docs_seen": ks,
+        "tokens_seen": cum_toks[j],
+        "vocab_size": cum_vocab[j],
+    })
+
+
+SQL_HEAPS_LAW = """
+WITH d AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r FROM documents
+), tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+tl AS (
+  SELECT d.r AS r, count(*)::BIGINT AS toks
+  FROM tok2 JOIN d USING (doc_id) GROUP BY d.r
+),
+fr AS (
+  SELECT term, min(d.r) AS fr
+  FROM tok2 JOIN d USING (doc_id) GROUP BY term
+),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+cp AS (
+  SELECT i::BIGINT AS decile,
+         CAST(ceil(n.n * i / 10.0) AS BIGINT) AS k
+  FROM range(1, 11) t(i), n
+)
+SELECT cp.decile AS decile, cp.k AS docs_seen,
+       coalesce((SELECT sum(toks) FROM tl WHERE r <= cp.k), 0)::BIGINT
+         AS tokens_seen,
+       (SELECT count(*) FROM fr WHERE fr <= cp.k)::BIGINT AS vocab_size
+FROM cp
+ORDER BY decile
+"""
+
+
+def q_term_entropy_by_source(sf_dir: str):
+    """Per-source unigram Shannon entropy (nats) — the
+    corpus-diversity screen that separates rich natural-language
+    sources from templated/boilerplate feeds (low entropy = heavy
+    repetition).  ``H = ln(N) - sum(n*ln(n))/N`` per source, the
+    associative form whose partials fold without shipping p(t).
+
+    Scale shape: (source, term) Counter partials -> one groupby Sum
+    -> per-row ``n*ln(n)`` kernel -> one tiny groupby(source) fold;
+    output is O(sources)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for source, text in zip(batch["source"].to_pylist(),
+                                batch["text"].to_pylist()):
+            for t in simple_tokens(text):
+                counter[(source, t)] += 1
+        srcs = [s for s, _ in counter.keys()]
+        terms = [t for _, t in counter.keys()]
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array(list(counter.values()), pa.int64()),
+        })
+
+    counts = ds.map_batches(pair_counts, batch_format="pyarrow") \
+        .groupby(["source", "term"]).aggregate(Sum("n", alias_name="n"))
+
+    def fold_rows(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "source": batch["source"],
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "nlogn": pa.array(n * np.log(n), pa.float64()),
+            "one": pa.array(np.ones(len(n), np.int64), pa.int64()),
+        })
+
+    agg = counts.map_batches(fold_rows, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n", alias_name="n_tokens"),
+            Sum("nlogn", alias_name="s_nlogn"),
+            Sum("one", alias_name="n_terms")).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({
+            "source": pd.array([], dtype="str"),
+            "n_tokens": pd.array([], dtype="int64"),
+            "n_terms": pd.array([], dtype="int64"),
+            "entropy": pd.array([], dtype="float64")})
+    n_tok = agg["n_tokens"].to_numpy(dtype=np.float64)
+    entropy = np.log(n_tok) - agg["s_nlogn"].to_numpy(dtype=np.float64) \
+        / n_tok
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "n_tokens": agg["n_tokens"].astype("int64"),
+        "n_terms": agg["n_terms"].astype("int64"),
+        "entropy": np.round(entropy, 6),
+    }).sort_values("source")
+    return out.reset_index(drop=True)
+
+
+SQL_TERM_ENTROPY_BY_SOURCE = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+c AS (
+  SELECT source, term, count(*)::DOUBLE AS n
+  FROM tok2 GROUP BY source, term
+)
+SELECT source,
+       sum(n)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_terms,
+       round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+FROM c
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_prox_boosted_topk(sf_dir: str):
+    """Proximity-blended ranking — the SQL-gated shadow of the
+    reference's A6-A11 score blend (`/root/reference/retrieval.py`:
+    BM25 accumulation -> min-max normalization -> alpha-blend with a
+    proximity boost): candidates = docs containing BOTH
+    ``MIN_WINDOW_TERMS``; ``score = alpha * minmax(bm25) +
+    beta * 1/(1 + min_window)`` with the same BM25 idf/saturation as
+    `ltr_features` and the same min-window kernel as `min_window`.
+    Degenerate normalization (one candidate / all-equal BM25) pins
+    the BM25 leg to 0 on both engines.
+
+    Scale shape: one avgdl fold plus ONE corpus pass emitting a row
+    per doc matching >= 1 term (tf_a, tf_b, dl, win) — df folds from
+    those rows, positions never leave the batch kernel; the min-max
+    + blend is an O(candidates) driver fold like the bm25 family."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(ds.count())
+    t_a, t_b = MIN_WINDOW_TERMS
+
+    def doc_len_partials(batch: pa.Table) -> pa.Table:
+        lens = [len(simple_tokens(t)) for t in batch["text"].to_pylist()]
+        lens = [x for x in lens if x > 0]
+        return pa.table({
+            "n": pa.array([len(lens)], pa.int64()),
+            "token_sum": pa.array([int(sum(lens))], pa.int64()),
+        })
+
+    empty = pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "min_window": pd.array([], dtype="int64"),
+        "score": pd.array([], dtype="float64")})
+    lp = ds.map_batches(doc_len_partials, batch_format="pyarrow").to_pandas()
+    if lp.empty or lp["n"].sum() == 0:
+        return empty
+    avgdl = lp["token_sum"].sum() / lp["n"].sum()
+
+    def match_rows(batch: pa.Table) -> pa.Table:
+        ids, tfa, tfb, dls, wins = [], [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            tokens = simple_tokens(text)
+            counts = Counter(tokens)
+            ca, cb = counts.get(t_a, 0), counts.get(t_b, 0)
+            if ca == 0 and cb == 0:
+                continue
+            win = -1
+            if ca and cb:
+                arr = np.array(tokens, dtype=object)
+                pos_a = np.flatnonzero(arr == t_a)
+                pos_b = np.flatnonzero(arr == t_b)
+                j = np.searchsorted(pos_b, pos_a)
+                best = np.inf
+                left = j > 0
+                if left.any():
+                    best = min(best,
+                               np.min(pos_a[left] - pos_b[j[left] - 1]))
+                right = j < pos_b.size
+                if right.any():
+                    best = min(best,
+                               np.min(pos_b[j[right]] - pos_a[right]))
+                win = int(best)
+            ids.append(doc_id)
+            tfa.append(ca)
+            tfb.append(cb)
+            dls.append(len(tokens))
+            wins.append(win)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "tf_a": pa.array(tfa, pa.int64()),
+            "tf_b": pa.array(tfb, pa.int64()),
+            "dl": pa.array(dls, pa.int64()),
+            "win": pa.array(wins, pa.int64()),
+        })
+
+    rows = ds.map_batches(match_rows, batch_format="pyarrow").to_pandas()
+    if rows.empty:
+        return empty
+    # full per-term df (docs containing the term), not both-only
+    df_a = float((rows["tf_a"] > 0).sum())
+    df_b = float((rows["tf_b"] > 0).sum())
+    cand = rows[rows["win"] >= 0]
+    if cand.empty:
+        return empty
+
+    def sat(tf: np.ndarray, dl: np.ndarray, df: float) -> np.ndarray:
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * tf * (K1 + 1.0) / (
+            tf + K1 * (1.0 - B + B * dl / avgdl))
+
+    dl = cand["dl"].to_numpy(dtype=np.float64)
+    s = sat(cand["tf_a"].to_numpy(dtype=np.float64), dl, df_a) \
+        + sat(cand["tf_b"].to_numpy(dtype=np.float64), dl, df_b)
+    mn, mx = float(s.min()), float(s.max())
+    norm = (s - mn) / (mx - mn) if mx > mn else np.zeros_like(s)
+    win = cand["win"].to_numpy(dtype=np.float64)
+    score = PROX_ALPHA * norm + PROX_BETA * (1.0 / (1.0 + win))
+    out = pd.DataFrame({
+        "doc_id": cand["doc_id"].astype("int64"),
+        "min_window": cand["win"].astype("int64"),
+        "score": np.round(score, 6),
+    }).sort_values(["score", "doc_id"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+SQL_PROX_BOOSTED_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl FROM dl),
+n AS (SELECT count(*)::DOUBLE AS c FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2
+  WHERE term IN ('{MIN_WINDOW_TERMS[0]}', '{MIN_WINDOW_TERMS[1]}')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+), pos AS (
+  SELECT doc_id, i AS pos, arr[i] AS term
+  FROM arrs, unnest(range(1, len(arr) + 1)) AS t(i)
+  WHERE arr[i] IN ('{MIN_WINDOW_TERMS[0]}', '{MIN_WINDOW_TERMS[1]}')
+),
+win AS (
+  SELECT a.doc_id AS doc_id, min(abs(a.pos - b.pos))::BIGINT AS w
+  FROM pos a JOIN pos b USING (doc_id)
+  WHERE a.term = '{MIN_WINDOW_TERMS[0]}'
+    AND b.term = '{MIN_WINDOW_TERMS[1]}'
+  GROUP BY a.doc_id
+),
+bm25 AS (
+  SELECT tf.doc_id AS doc_id,
+         sum(ln((n.c - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)))
+           AS s
+  FROM tf JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats, n
+  WHERE tf.doc_id IN (SELECT doc_id FROM win)
+  GROUP BY tf.doc_id
+),
+st AS (SELECT min(s) AS mn, max(s) AS mx FROM bm25)
+SELECT win.doc_id AS doc_id, win.w AS min_window,
+       round({PROX_ALPHA} * (CASE WHEN st.mx > st.mn
+                                  THEN (bm25.s - st.mn) / (st.mx - st.mn)
+                                  ELSE 0 END)
+             + {PROX_BETA} * (1.0 / (1 + win.w)), 6) AS score
+FROM win JOIN bm25 USING (doc_id), st
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12941,6 +13644,12 @@ QUERY_FUNCS = {
     "distribution_match": q_distribution_match,
     "rank_eval": q_rank_eval,
     "hard_negatives_partitioned": q_hard_negatives_partitioned,
+    "lm_jm_topk": q_lm_jm_topk,
+    "pl2_topk": q_pl2_topk,
+    "zipf_slope": q_zipf_slope,
+    "heaps_law": q_heaps_law,
+    "term_entropy_by_source": q_term_entropy_by_source,
+    "prox_boosted_topk": q_prox_boosted_topk,
 }
 
 ORACLE_SQL = {
@@ -13157,6 +13866,12 @@ ORACLE_SQL = {
     "distribution_match": SQL_DISTRIBUTION_MATCH,
     "rank_eval": SQL_RANK_EVAL,
     "hard_negatives_partitioned": SQL_HARD_NEGATIVES,
+    "lm_jm_topk": SQL_LM_JM_TOPK,
+    "pl2_topk": SQL_PL2_TOPK,
+    "zipf_slope": SQL_ZIPF_SLOPE,
+    "heaps_law": SQL_HEAPS_LAW,
+    "term_entropy_by_source": SQL_TERM_ENTROPY_BY_SOURCE,
+    "prox_boosted_topk": SQL_PROX_BOOSTED_TOPK,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
