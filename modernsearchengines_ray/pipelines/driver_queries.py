@@ -297,141 +297,6 @@ SQL_BM25_TOPK_EN = SQL_BM25_TOPK.replace(
     "FROM documents", "FROM documents WHERE lang = 'en'")
 
 
-MLT_SOURCE_DOC = 7
-MLT_MAX_TERMS = 10
-
-
-def q_more_like_this(sf_dir: str):
-    """More-like-this (Lucene MLT analogue, SQL-parity tokenizer):
-    mine the source document's ``MLT_MAX_TERMS`` highest tf*idf terms,
-    then BM25 top-20 over those terms excluding the source itself.
-
-    Scale shape: the source text is one point read; term mining needs
-    only per-term df, computed as map-side partials (|source terms|
-    rows per batch reach the driver, never postings); the scoring pass
-    broadcasts the mined terms and reuses the distributed
-    groupby(doc_id) BM25 sum.  The index-serving MLT path
-    (``QueryEngine.more_like_this``: stored term stats + WAND/TPUT)
-    is gated by pytest rank-identity on the fixture.
-    """
-    import ray
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    n_docs = ds.count()
-
-    def source_text(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.equal(batch["doc_id"], MLT_SOURCE_DOC)) \
-                    .select(["text"])
-
-    src = ds.map_batches(source_text, batch_format="pyarrow").take(1)
-    src_counts = Counter(simple_tokens(src[0]["text"]))
-    src_terms_ref = ray.put(set(src_counts))
-
-    def partials(batch: pa.Table) -> pa.Table:
-        """Per-batch (term-df over source terms) + doc-len partials."""
-        watch = ray.get(src_terms_ref)
-        df_counts: Counter = Counter()
-        n = token_sum = 0
-        for text in batch["text"].to_pylist():
-            tokens = simple_tokens(text)
-            if tokens:
-                n += 1
-                token_sum += len(tokens)
-            df_counts.update(watch & set(tokens))
-        terms = sorted(df_counts)
-        return pa.table({
-            "term": pa.array(terms + [""], pa.string()),
-            "df": pa.array([df_counts[t] for t in terms] + [0], pa.int64()),
-            "n": pa.array([0] * len(terms) + [n], pa.int64()),
-            "token_sum": pa.array([0] * len(terms) + [token_sum],
-                                  pa.int64()),
-        })
-
-    part = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
-    avgdl = part["token_sum"].sum() / part["n"].sum()
-    df_map = part[part["term"] != ""].groupby("term")["df"].sum().to_dict()
-
-    def idf(df: float) -> float:
-        return float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
-
-    mined = sorted(((src_counts[t] * idf(df), t)
-                    for t, df in df_map.items()),
-                   key=lambda x: (-x[0], x[1]))[:MLT_MAX_TERMS]
-    terms = {t for _, t in mined}
-    idf_map = {t: idf(df_map[t]) for t in terms}
-    bcast = ray.put((terms, idf_map))
-
-    def score_rows(batch: pa.Table) -> pa.Table:
-        query, idfs = ray.get(bcast)
-        ids, parts = [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            if doc_id == MLT_SOURCE_DOC:
-                continue
-            tokens = simple_tokens(text)
-            counts = Counter(tokens)
-            dl = float(len(tokens))
-            score = 0.0
-            for term in query & counts.keys():
-                tf = float(counts[term])
-                score += idfs[term] * tf * (K1 + 1.0) / (
-                    tf + K1 * (1.0 - B + B * dl / avgdl))
-            if score > 0.0:
-                ids.append(doc_id)
-                parts.append(score)
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "score": pa.array(np.round(parts, 6), pa.float64()),
-        })
-
-    out = ds.map_batches(score_rows, batch_format="pyarrow").to_pandas()
-    out = out.sort_values(["score", "doc_id"],
-                          ascending=[False, True]).head(20)
-    return out.reset_index(drop=True)
-
-
-SQL_MORE_LIKE_THIS = f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
-  FROM documents
-), tok2 AS (SELECT * FROM tok WHERE term <> ''),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
-stats AS (SELECT avg(dl) AS avgdl FROM dl),
-n AS (SELECT count(*)::DOUBLE AS c FROM documents),
-src_tf AS (
-  SELECT term, count(*)::DOUBLE AS tf FROM tok2
-  WHERE doc_id = {MLT_SOURCE_DOC} GROUP BY term
-),
-df_all AS (
-  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok2
-  WHERE term IN (SELECT term FROM src_tf) GROUP BY term
-),
-mined AS (
-  SELECT term, df FROM (
-    SELECT s.term, d.df,
-           row_number() OVER (
-             ORDER BY s.tf * ln((n.c - d.df + 0.5) / (d.df + 0.5) + 1)
-               DESC, s.term) AS rn
-    FROM src_tf s JOIN df_all d USING (term), n
-  ) WHERE rn <= {MLT_MAX_TERMS}
-),
-tf AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2
-  WHERE term IN (SELECT term FROM mined) GROUP BY doc_id, term
-)
-SELECT tf.doc_id AS doc_id,
-       round(sum(ln((n.c - m.df + 0.5) / (m.df + 0.5) + 1)
-                 * tf.tf * {K1 + 1.0}
-                 / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))), 6)
-         AS score
-FROM tf JOIN mined m USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats, n
-WHERE tf.doc_id <> {MLT_SOURCE_DOC}
-GROUP BY tf.doc_id
-ORDER BY score DESC, doc_id
-LIMIT 20
-"""
 
 
 PHRASE_QUERY = ("data", "stream")
@@ -13411,7 +13276,6 @@ QUERY_FUNCS = {
     "df_idf": q_df_idf,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_filtered": lambda sf_dir: q_bm25_topk(sf_dir, lang="en"),
-    "more_like_this": q_more_like_this,
     "phrase_match": q_phrase_match,
     "boolean_retrieval": q_boolean_retrieval,
     "facet_counts": q_facet_counts,
@@ -13658,7 +13522,6 @@ ORACLE_SQL = {
     "df_idf": SQL_DF_IDF,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_topk_filtered": SQL_BM25_TOPK_EN,
-    "more_like_this": SQL_MORE_LIKE_THIS,
     "phrase_match": SQL_PHRASE_MATCH,
     "boolean_retrieval": SQL_BOOLEAN_RETRIEVAL,
     "facet_counts": SQL_FACET_COUNTS,
