@@ -11564,16 +11564,20 @@ def q_mmr_rerank(sf_dir: str):
 def _mmr_sql() -> str:
     lam, one_m = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
     bm25_pool = SQL_BM25_TOPK.replace("LIMIT 20", f"LIMIT {_MMR_POOL}")
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
+    # expensive BM25 pool would be re-tokenized once per m{i} CTE in
+    # the greedy chain (~70 s at sf0.01); materializing pool/rel/sim
+    # evaluates each once (~1 s), results identical.
     ctes = [
-        f"pool AS ({bm25_pool})",
-        "rel AS (SELECT doc_id, round(score / (SELECT max(score) "
-        "FROM pool), 6) AS rel FROM pool)",
-        "sim AS (SELECT a.vec_id AS ia, b.vec_id AS ib, "
+        f"pool AS MATERIALIZED ({bm25_pool})",
+        "rel AS MATERIALIZED (SELECT doc_id, round(score / "
+        "(SELECT max(score) FROM pool), 6) AS rel FROM pool)",
+        "pe AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id IN (SELECT doc_id FROM pool))",
+        "sim AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, "
         "round(list_cosine_similarity(a.embedding::DOUBLE[], "
         "b.embedding::DOUBLE[]), 6) AS s "
-        "FROM embeddings a JOIN embeddings b ON TRUE "
-        "WHERE a.vec_id IN (SELECT doc_id FROM pool) "
-        "AND b.vec_id IN (SELECT doc_id FROM pool))",
+        "FROM pe a JOIN pe b ON TRUE)",
         f"m0 AS (SELECT doc_id, 0 AS rank, "
         f"round({lam} * rel, 6) AS mmr "
         f"FROM rel ORDER BY rel DESC, doc_id LIMIT 1)",
@@ -13267,6 +13271,357 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# round-5 additions: field-weighted BM25F, dedup-cluster histogram,
+# Heaps-law vocabulary growth, bigram-LM cross-entropy scoring
+# ---------------------------------------------------------------------------
+
+_BM25F_HEAD_CHARS = 120
+_BM25F_WEIGHT = {"head": 2.0, "body": 1.0}
+_BM25F_B = {"head": 0.5, "body": 0.75}
+
+
+def q_bm25f_topk(sf_dir: str, k: int = 20):
+    """Field-weighted BM25F top-20 (Zaragoza et al., CIKM 2004 — the
+    simple variant every fielded fulltext engine serves): field tf is
+    length-normalized PER FIELD, weighted, summed across fields, and
+    the combined tf feeds ONE saturation ``idf * wtf / (k1 + wtf)``.
+    Fields derive deterministically from the corpus (head = first
+    {_BM25F_HEAD_CHARS} chars — the title analogue — at weight
+    {_BM25F_WEIGHT['head']}/b={_BM25F_B['head']}; body = the rest);
+    df counts docs matching in EITHER field.
+
+    Scale shape: identical to `bm25_topk` — one corpus pass emits
+    query-matched (doc, field, term, tf, field_len) rows, per-field
+    avglen and per-term df are O(fields)/O(|query|) partial
+    aggregates, the weighted-tf combine is a groupby(doc, term) Sum,
+    and the final per-doc score another groupby Sum.  Nothing driver-
+    side exceeds O(matched docs) at the final top-k."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    out_empty = pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "score": pd.array([], dtype="float64")})
+    if n_docs == 0:
+        return out_empty
+    query = set(BM25_QUERY_TERMS)
+    head_n = _BM25F_HEAD_CHARS
+
+    def field_rows(batch: pa.Table) -> pa.Table:
+        ids, flds, terms, tfs, lens = [], [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            for fld, part in (("head", text[:head_n]),
+                              ("body", text[head_n:])):
+                counts = Counter(simple_tokens(part))
+                flen = sum(counts.values())
+                for term in sorted(query & counts.keys()):
+                    ids.append(doc_id)
+                    flds.append(fld)
+                    terms.append(term)
+                    tfs.append(counts[term])
+                    lens.append(flen)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "fld": pa.array(flds, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "flen": pa.array(lens, pa.int64()),
+        })
+
+    def len_partials(batch: pa.Table) -> pa.Table:
+        # per-field (docs-with-tokens, token-sum) partials
+        n = {"head": 0, "body": 0}
+        s = {"head": 0, "body": 0}
+        for text in batch["text"].to_pylist():
+            for fld, part in (("head", text[:head_n]),
+                              ("body", text[head_n:])):
+                flen = len(simple_tokens(part))
+                if flen > 0:
+                    n[fld] += 1
+                    s[fld] += flen
+        return pa.table({
+            "fld": pa.array(["head", "body"], pa.string()),
+            "n": pa.array([n["head"], n["body"]], pa.int64()),
+            "token_sum": pa.array([s["head"], s["body"]], pa.int64()),
+        })
+
+    lens = ds.map_batches(len_partials, batch_format="pyarrow") \
+        .groupby("fld").aggregate(Sum("n", alias_name="n"),
+                                  Sum("token_sum", alias_name="s")) \
+        .to_pandas()
+    avglen = {r["fld"]: (r["s"] / r["n"]) if r["n"] else 0.0
+              for _, r in lens.iterrows()}
+
+    postings = ds.map_batches(field_rows,
+                              batch_format="pyarrow").materialize()
+    # df per query term over either field: O(|query|) rows to driver
+    df_rows = postings.groupby(["term", "doc_id"]).count() \
+        .groupby("term").count().take_all()
+    idf_map = {
+        r["term"]: float(np.log(
+            (n_docs - r["count()"] + 0.5) / (r["count()"] + 0.5) + 1.0))
+        for r in df_rows
+    }
+    if not idf_map:
+        return out_empty
+    idf_ref = ray.put(idf_map)
+
+    def field_contrib(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        fl = batch["flen"].to_numpy().astype(np.float64)
+        flds = batch["fld"].to_pylist()
+        w = np.array([_BM25F_WEIGHT[f] for f in flds])
+        b = np.array([_BM25F_B[f] for f in flds])
+        al = np.array([avglen[f] for f in flds])
+        contrib = w * tf / (1.0 - b + b * fl / al)
+        return pa.table({
+            "doc_id": batch["doc_id"], "term": batch["term"],
+            "contrib": pa.array(contrib, pa.float64()),
+        })
+
+    wtf = postings.map_batches(field_contrib, batch_format="pyarrow") \
+        .groupby(["doc_id", "term"]) \
+        .aggregate(Sum("contrib", alias_name="wtf"))
+
+    def term_score(batch: pa.Table) -> pa.Table:
+        idfs = ray.get(idf_ref)
+        w = batch["wtf"].to_numpy().astype(np.float64)
+        idf = np.array([idfs[t] for t in batch["term"].to_pylist()])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "part": pa.array(idf * w / (K1 + w), pa.float64()),
+        })
+
+    scores = wtf.map_batches(term_score, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("part", alias_name="score")) \
+        .to_pandas()
+    scores["score"] = np.round(scores["score"].to_numpy(), 6)
+    out = scores.sort_values(["score", "doc_id"],
+                             ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+def _bm25f_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    wh, wb = _BM25F_WEIGHT["head"], _BM25F_WEIGHT["body"]
+    bh, bb = _BM25F_B["head"], _BM25F_B["body"]
+    return f"""
+WITH fields AS (
+  SELECT doc_id, substr(text, 1, {_BM25F_HEAD_CHARS}) AS head,
+         substr(text, {_BM25F_HEAD_CHARS} + 1) AS body
+  FROM documents
+), tok AS (
+  SELECT doc_id, 'head' AS fld,
+         unnest(regexp_split_to_array(lower(head), '[^a-z0-9]+')) AS term
+  FROM fields
+  UNION ALL
+  SELECT doc_id, 'body' AS fld,
+         unnest(regexp_split_to_array(lower(body), '[^a-z0-9]+')) AS term
+  FROM fields
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+flen AS (SELECT doc_id, fld, count(*)::DOUBLE AS len
+         FROM tok2 GROUP BY doc_id, fld),
+avglen AS (SELECT fld, avg(len) AS avglen FROM flen GROUP BY fld),
+n AS (SELECT count(*)::DOUBLE AS c FROM documents),
+tf AS (SELECT doc_id, fld, term, count(*)::DOUBLE AS tf FROM tok2
+       WHERE term IN ({terms}) GROUP BY doc_id, fld, term),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok2
+       WHERE term IN ({terms}) GROUP BY term),
+wtf AS (
+  SELECT t.doc_id, t.term,
+         sum(CASE t.fld WHEN 'head' THEN {wh} ELSE {wb} END * t.tf
+             / (1 - CASE t.fld WHEN 'head' THEN {bh} ELSE {bb} END
+                + CASE t.fld WHEN 'head' THEN {bh} ELSE {bb} END
+                  * l.len / a.avglen)) AS wtf
+  FROM tf t JOIN flen l ON t.doc_id = l.doc_id AND t.fld = l.fld
+            JOIN avglen a ON t.fld = a.fld
+  GROUP BY t.doc_id, t.term)
+SELECT w.doc_id AS doc_id,
+       round(sum(ln(((SELECT c FROM n) - d.df + 0.5) / (d.df + 0.5) + 1)
+                 * w.wtf / ({K1} + w.wtf)), 6) AS score
+FROM wtf w JOIN df d USING (term)
+GROUP BY w.doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+SQL_BM25F_TOPK = _bm25f_sql()
+
+
+def q_dup_cluster_hist(sf_dir: str):
+    """Duplicate-cluster size histogram — the dedup diagnostic every
+    curation run reports (how much of the corpus is singletons vs
+    boilerplate families): group docs by md5(text), histogram the
+    group sizes.  Two cheap exchanges: per-block (hash, n) partials →
+    groupby(hash) Sum (the only corpus-wide exchange, on a uniform
+    128-bit key), then O(distinct sizes) groupby — driver never sees
+    doc- or hash-cardinality data."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter(
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist())
+        hs = list(counts.keys())
+        return pa.table({
+            "h": pa.array(hs, pa.string()),
+            "n": pa.array([counts[h] for h in hs], pa.int64()),
+        })
+
+    sizes = ds.map_batches(hash_partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n", alias_name="size"))
+    hist = sizes.map_batches(lambda t: t.select(["size"]),
+                             batch_format="pyarrow") \
+        .groupby("size").aggregate(Count(alias_name="n_clusters"))
+    out = hist.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "size": pd.array([], dtype="int64"),
+            "n_clusters": pd.array([], dtype="int64")})
+    out = out.sort_values("size").reset_index(drop=True)
+    out["size"] = out["size"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out
+
+
+SQL_DUP_CLUSTER_HIST = """
+SELECT size, count(*)::BIGINT AS n_clusters FROM (
+  SELECT count(*)::BIGINT AS size FROM documents GROUP BY md5(text)
+) GROUP BY size ORDER BY size
+"""
+
+
+_XENT_TOP_N = 20
+
+
+def q_bigram_xent(sf_dir: str):
+    """Per-document cross-entropy under an add-one-smoothed corpus
+    bigram LM — the CCNet-style statistical-LM quality signal
+    (high-entropy docs are gibberish/boilerplate candidates):
+    ``xent(d) = mean over d's bigrams of -ln((c_ab + 1) / (c_a• + V))``
+    with c_ab the corpus bigram count, c_a• the count of `a` as a
+    bigram left-hand side and V the corpus unigram vocabulary.
+    Top-{_XENT_TOP_N} most-surprising docs.
+
+    Scale shape (the `bigram_pmi` plan, space-split token parity):
+    per-doc bigram counts are exact map-side rows (a doc is one
+    parquet row); corpus c_ab is one groupby over block-level
+    partials, c_a• a groupby over c_ab itself; V a streaming count.
+    Attaching counts to doc rows is TWO hash joins (the vocab
+    outgrows any driver broadcast at web scale), and the per-doc fold
+    is a groupby(doc_id) Sum pair — never per-doc Python."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import default_join_partitions, ensure_schema
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def doc_bigrams(batch: pa.Table) -> pa.Table:
+        ids, a_, b_, cs = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            toks = text.split(" ")
+            counts = Counter(zip(toks, toks[1:]))
+            for (a, b), c in sorted(counts.items()):
+                ids.append(doc_id)
+                a_.append(a)
+                b_.append(b)
+                cs.append(c)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "a": pa.array(a_, pa.string()),
+            "b": pa.array(b_, pa.string()),
+            "c": pa.array(cs, pa.int64()),
+        })
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        vocab = set()
+        for t in batch["text"].to_pylist():
+            vocab.update(t.split(" "))
+        return pa.table({"w": pa.array(sorted(vocab), pa.string())})
+
+    doc_bi = ds.map_batches(doc_bigrams,
+                            batch_format="pyarrow").materialize()
+    out_empty = pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "xent": pd.array([], dtype="float64")})
+    if doc_bi.count() == 0:
+        return out_empty
+    vocab_n = ds.map_batches(uni_partial, batch_format="pyarrow") \
+        .groupby("w").count().count()
+
+    cab = doc_bi.map_batches(lambda t: t.select(["a", "b", "c"]),
+                             batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Sum("c", alias_name="cab")) \
+        .materialize()
+    ca = cab.map_batches(lambda t: t.select(["a", "cab"]),
+                         batch_format="pyarrow") \
+        .groupby("a").aggregate(Sum("cab", alias_name="ca"))
+
+    nparts = default_join_partitions()
+    cab = ensure_schema(cab, pa.schema([
+        ("a", pa.string()), ("b", pa.string()), ("cab", pa.int64())]),
+        num_blocks=nparts)
+    ca = ensure_schema(ca, pa.schema([
+        ("a", pa.string()), ("ca", pa.int64())]), num_blocks=nparts)
+    joined = doc_bi.join(cab, "inner", num_partitions=nparts,
+                         on=("a", "b")) \
+        .join(ca, "inner", num_partitions=nparts, on=("a",))
+
+    def nll_rows(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy().astype(np.float64)
+        cabv = batch["cab"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cav = batch["ca"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nll = -np.log((cabv + 1.0) / (cav + float(vocab_n)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "wnll": pa.array(c * nll, pa.float64()),
+            "nbi": pa.array(c, pa.float64()),
+        })
+
+    folded = joined.map_batches(nll_rows, batch_format="pyarrow") \
+        .groupby("doc_id") \
+        .aggregate(Sum("wnll", alias_name="wnll"),
+                   Sum("nbi", alias_name="nbi")).to_pandas()
+    folded["xent"] = np.round(
+        folded["wnll"].to_numpy() / folded["nbi"].to_numpy(), 6)
+    out = folded.sort_values(["xent", "doc_id"],
+                             ascending=[False, True]) \
+        .head(_XENT_TOP_N)
+    return out[["doc_id", "xent"]].reset_index(drop=True)
+
+
+SQL_BIGRAM_XENT = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), db AS (
+  SELECT doc_id, a, b, count(*)::DOUBLE AS c FROM (
+    SELECT doc_id, t[i] AS a, t[i+1] AS b
+    FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  ) GROUP BY doc_id, a, b
+), cab AS (SELECT a, b, sum(c) AS cab FROM db GROUP BY a, b),
+ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY a),
+v AS (SELECT count(DISTINCT w)::DOUBLE AS n
+      FROM (SELECT unnest(t) AS w FROM toks))
+SELECT db.doc_id AS doc_id,
+       round(sum(db.c * -ln((cab.cab + 1) / (ca.ca + (SELECT n FROM v))))
+             / sum(db.c), 6) AS xent
+FROM db JOIN cab USING (a, b) JOIN ca USING (a)
+GROUP BY db.doc_id
+ORDER BY xent DESC, doc_id
+LIMIT {_XENT_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13514,6 +13869,9 @@ QUERY_FUNCS = {
     "heaps_law": q_heaps_law,
     "term_entropy_by_source": q_term_entropy_by_source,
     "prox_boosted_topk": q_prox_boosted_topk,
+    "bm25f_topk": q_bm25f_topk,
+    "dup_cluster_hist": q_dup_cluster_hist,
+    "bigram_xent": q_bigram_xent,
 }
 
 ORACLE_SQL = {
@@ -13735,6 +14093,9 @@ ORACLE_SQL = {
     "heaps_law": SQL_HEAPS_LAW,
     "term_entropy_by_source": SQL_TERM_ENTROPY_BY_SOURCE,
     "prox_boosted_topk": SQL_PROX_BOOSTED_TOPK,
+    "bm25f_topk": SQL_BM25F_TOPK,
+    "dup_cluster_hist": SQL_DUP_CLUSTER_HIST,
+    "bigram_xent": SQL_BIGRAM_XENT,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
