@@ -13297,7 +13297,7 @@ def q_bm25f_topk(sf_dir: str, k: int = 20):
     and the final per-doc score another groupby Sum.  Nothing driver-
     side exceeds O(matched docs) at the final top-k."""
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = ds.count()
@@ -13518,7 +13518,8 @@ def q_bigram_xent(sf_dir: str):
     is a groupby(doc_id) Sum pair — never per-doc Python."""
     from ray.data.aggregate import Sum
 
-    from ..stages.dedup import default_join_partitions, ensure_schema
+    from ..stages.dedup import (default_join_partitions, drop_sentinels,
+                                ensure_schema)
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -13565,6 +13566,12 @@ def q_bigram_xent(sf_dir: str):
         .groupby("a").aggregate(Sum("cab", alias_name="ca"))
 
     nparts = default_join_partitions()
+    # sentinel guards on EVERY join input: a hash partition that
+    # receives no rows builds a schema-less table and Acero fails
+    # (dedup.ensure_schema's documented requirement)
+    doc_bi = ensure_schema(doc_bi, pa.schema([
+        ("doc_id", pa.int64()), ("a", pa.string()),
+        ("b", pa.string()), ("c", pa.int64())]), num_blocks=nparts)
     cab = ensure_schema(cab, pa.schema([
         ("a", pa.string()), ("b", pa.string()), ("cab", pa.int64())]),
         num_blocks=nparts)
@@ -13573,6 +13580,9 @@ def q_bigram_xent(sf_dir: str):
     joined = doc_bi.join(cab, "inner", num_partitions=nparts,
                          on=("a", "b")) \
         .join(ca, "inner", num_partitions=nparts, on=("a",))
+    # sentinels carry the SAME out-of-domain keys on every side, so an
+    # inner join keeps exactly the sentinel∞sentinel row — drop it
+    joined = drop_sentinels(joined, "doc_id")
 
     def nll_rows(batch: pa.Table) -> pa.Table:
         c = batch["c"].to_numpy().astype(np.float64)
