@@ -13395,12 +13395,21 @@ def q_bm25f_topk(sf_dir: str, k: int = 20):
             "part": pa.array(idf * w / (K1 + w), pa.float64()),
         })
 
-    scores = wtf.map_batches(term_score, batch_format="pyarrow") \
+    def round_score(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "score": pa.array(
+                np.round(batch["score"].to_numpy(), 6), pa.float64()),
+        })
+
+    # distributed top-k on the ROUNDED total order (score desc, id
+    # asc) — the driver only ever sees k rows, matched-doc cardinality
+    # stays in the cluster
+    out = wtf.map_batches(term_score, batch_format="pyarrow") \
         .groupby("doc_id").aggregate(Sum("part", alias_name="score")) \
-        .to_pandas()
-    scores["score"] = np.round(scores["score"].to_numpy(), 6)
-    out = scores.sort_values(["score", "doc_id"],
-                             ascending=[False, True]).head(k)
+        .map_batches(round_score, batch_format="pyarrow") \
+        .sort(["score", "doc_id"], descending=[True, False]) \
+        .limit(k).to_pandas()
     return out.reset_index(drop=True)
 
 
@@ -13597,16 +13606,24 @@ def q_bigram_xent(sf_dir: str):
             "nbi": pa.array(c, pa.float64()),
         })
 
-    folded = joined.map_batches(nll_rows, batch_format="pyarrow") \
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "xent": pa.array(np.round(
+                batch["wnll"].to_numpy() / batch["nbi"].to_numpy(), 6),
+                pa.float64()),
+        })
+
+    # distributed top-k on the ROUNDED total order — the per-doc fold
+    # never reaches the driver
+    out = joined.map_batches(nll_rows, batch_format="pyarrow") \
         .groupby("doc_id") \
         .aggregate(Sum("wnll", alias_name="wnll"),
-                   Sum("nbi", alias_name="nbi")).to_pandas()
-    folded["xent"] = np.round(
-        folded["wnll"].to_numpy() / folded["nbi"].to_numpy(), 6)
-    out = folded.sort_values(["xent", "doc_id"],
-                             ascending=[False, True]) \
-        .head(_XENT_TOP_N)
-    return out[["doc_id", "xent"]].reset_index(drop=True)
+                   Sum("nbi", alias_name="nbi")) \
+        .map_batches(finish, batch_format="pyarrow") \
+        .sort(["xent", "doc_id"], descending=[True, False]) \
+        .limit(_XENT_TOP_N).to_pandas()
+    return out.reset_index(drop=True)
 
 
 SQL_BIGRAM_XENT = f"""
