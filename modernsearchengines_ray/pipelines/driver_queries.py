@@ -13626,6 +13626,189 @@ def q_bigram_xent(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+_PASSAGE_LEN = 50
+_PASSAGE_TOP_N = 20
+
+
+def q_max_passage_topk(sf_dir: str):
+    """Max-passage retrieval (Callan, SIGIR 1994; the long-document
+    answer every passage-level engine serves): documents split into
+    fixed {_PASSAGE_LEN}-token windows, each passage BM25-scored as a
+    mini-document against passage-level statistics (N = passages,
+    df = passages containing the term, avgpl = mean passage length),
+    and the document's score is its BEST passage — returning the
+    winning window (`chunk`) alongside, i.e. where a snippet/reader
+    stage should look.
+
+    Scale shape: a doc is one parquet row, so passage windowing,
+    per-passage tf and lengths are all map-side; passage stats are
+    O(blocks) partials, df an O(|query|) aggregate; the per-passage
+    score is one groupby(doc, chunk) Sum; the per-doc argmax is ONE
+    keyed exchange + a vectorized first-per-run kernel (never
+    per-group Python), and the top-k a distributed sort+limit."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.windows import keyed_blocks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    query = set(BM25_QUERY_TERMS)
+    plen_n = _PASSAGE_LEN
+    out_empty = pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "chunk": pd.array([], dtype="int64"),
+        "score": pd.array([], dtype="float64")})
+
+    def passage_rows(batch: pa.Table) -> pa.Table:
+        ids, chunks, terms, tfs, plens = [], [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            toks = simple_tokens(text)
+            for c0 in range(0, len(toks), plen_n):
+                window = toks[c0:c0 + plen_n]
+                counts = Counter(window)
+                chunk = c0 // plen_n
+                for term in sorted(query & counts.keys()):
+                    ids.append(doc_id)
+                    chunks.append(chunk)
+                    terms.append(term)
+                    tfs.append(counts[term])
+                    plens.append(len(window))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk": pa.array(chunks, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "plen": pa.array(plens, pa.int64()),
+        })
+
+    def passage_stats(batch: pa.Table) -> pa.Table:
+        n, s = 0, 0
+        for text in batch["text"].to_pylist():
+            tl = len(simple_tokens(text))
+            n += -(-tl // plen_n) if tl else 0
+            s += tl
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "s": pa.array([s], pa.int64())})
+
+    stats = ds.map_batches(passage_stats,
+                           batch_format="pyarrow").to_pandas()
+    n_passages = int(stats["n"].sum())
+    if n_passages == 0:
+        return out_empty
+    avgpl = float(stats["s"].sum()) / n_passages
+
+    postings = ds.map_batches(passage_rows,
+                              batch_format="pyarrow").materialize()
+    # rows are unique per (doc, chunk, term), so passage-df is a count
+    df_rows = postings.groupby("term").count().take_all()
+    if not df_rows:
+        return out_empty
+    idf_map = {
+        r["term"]: float(np.log(
+            (n_passages - r["count()"] + 0.5)
+            / (r["count()"] + 0.5) + 1.0))
+        for r in df_rows
+    }
+    idf_ref = ray.put(idf_map)
+
+    def term_part(batch: pa.Table) -> pa.Table:
+        idfs = ray.get(idf_ref)
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        pl = batch["plen"].to_numpy().astype(np.float64)
+        idf = np.array([idfs[t] for t in batch["term"].to_pylist()])
+        part = idf * tf * (K1 + 1.0) \
+            / (tf + K1 * (1.0 - B + B * pl / avgpl))
+        return pa.table({
+            "doc_id": batch["doc_id"], "chunk": batch["chunk"],
+            "part": pa.array(part, pa.float64()),
+        })
+
+    def round_score(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"], "chunk": batch["chunk"],
+            "score": pa.array(
+                np.round(batch["score"].to_numpy(), 6), pa.float64()),
+        })
+
+    def best_per_doc(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()),
+                            ("chunk", pa.int64()),
+                            ("score", pa.float64())])
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        ids = batch["doc_id"].to_numpy()
+        chunks = batch["chunk"].to_numpy()
+        scores = batch["score"].to_numpy()
+        # argmax on the ROUNDED score, ties to the smaller chunk —
+        # lexsort then take run starts (the first-per-key kernel)
+        order = np.lexsort((chunks, -scores, ids))
+        sid = ids[order]
+        keep = order[np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])]
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "chunk": pa.array(chunks[keep], pa.int64()),
+            "score": pa.array(scores[keep], pa.float64()),
+        })
+
+    scored = postings.map_batches(term_part, batch_format="pyarrow") \
+        .groupby(["doc_id", "chunk"]) \
+        .aggregate(Sum("part", alias_name="score")) \
+        .map_batches(round_score, batch_format="pyarrow")
+    out = keyed_blocks(scored, ["doc_id"]) \
+        .map_batches(best_per_doc, batch_size=None,
+                     batch_format="pyarrow") \
+        .sort(["score", "doc_id"], descending=[True, False]) \
+        .limit(_PASSAGE_TOP_N).to_pandas()
+    return out.reset_index(drop=True)
+
+
+def _max_passage_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+), pos AS (
+  SELECT doc_id, (i - 1) // {_PASSAGE_LEN} AS chunk, arr[i] AS term
+  FROM tok, unnest(range(1, len(arr) + 1)) AS t(i)
+), plen AS (
+  SELECT doc_id, chunk, count(*)::DOUBLE AS plen
+  FROM pos GROUP BY doc_id, chunk
+), np AS (SELECT count(*)::DOUBLE AS c FROM plen),
+avgpl AS (SELECT avg(plen) AS a FROM plen),
+tf AS (
+  SELECT doc_id, chunk, term, count(*)::DOUBLE AS tf FROM pos
+  WHERE term IN ({terms}) GROUP BY doc_id, chunk, term
+), dfp AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), ps AS (
+  SELECT t.doc_id, t.chunk,
+         round(sum(ln(((SELECT c FROM np) - d.df + 0.5)
+                      / (d.df + 0.5) + 1)
+                   * t.tf * {K1 + 1.0}
+                   / (t.tf + {K1} * (1 - {B} + {B} * l.plen
+                                     / (SELECT a FROM avgpl)))), 6)
+           AS score
+  FROM tf t JOIN plen l USING (doc_id, chunk) JOIN dfp d USING (term)
+  GROUP BY t.doc_id, t.chunk
+), best AS (
+  SELECT doc_id, chunk, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, chunk) AS rn
+  FROM ps
+)
+SELECT doc_id, chunk::BIGINT AS chunk, score FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id
+LIMIT {_PASSAGE_TOP_N}
+"""
+
+
+SQL_MAX_PASSAGE_TOPK = _max_passage_sql()
+
+
 SQL_BIGRAM_XENT = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -13899,6 +14082,7 @@ QUERY_FUNCS = {
     "bm25f_topk": q_bm25f_topk,
     "dup_cluster_hist": q_dup_cluster_hist,
     "bigram_xent": q_bigram_xent,
+    "max_passage_topk": q_max_passage_topk,
 }
 
 ORACLE_SQL = {
@@ -14123,6 +14307,7 @@ ORACLE_SQL = {
     "bm25f_topk": SQL_BM25F_TOPK,
     "dup_cluster_hist": SQL_DUP_CLUSTER_HIST,
     "bigram_xent": SQL_BIGRAM_XENT,
+    "max_passage_topk": SQL_MAX_PASSAGE_TOPK,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its

@@ -15,10 +15,13 @@ from modernsearchengines_ray.pipelines.driver_queries import (
     _BM25F_B,
     _BM25F_HEAD_CHARS,
     _BM25F_WEIGHT,
+    _PASSAGE_LEN,
+    B,
     K1,
     q_bigram_xent,
     q_bm25f_topk,
     q_dup_cluster_hist,
+    q_max_passage_topk,
 )
 
 
@@ -120,3 +123,37 @@ class TestBigramXent:
         out = q_bigram_xent(sf)
         assert len(out) == 0
         assert list(out.columns) == ["doc_id", "xent"]
+
+
+class TestMaxPassage:
+    def test_best_passage_wins_and_is_reported(self, ray_session,
+                                               tmp_sf):
+        # doc1: chunk0 = 'data' + 49 fillers (tf=1, plen=50);
+        # chunk1 = 'data data' (tf=2, plen=2) — denser, must win.
+        sf = _docs(tmp_sf, [
+            "data " + "x " * 49 + "data data", "y z"])
+        out = q_max_passage_topk(sf)
+        n_p, avgpl = 3.0, (50 + 2 + 2) / 3.0
+        idf = math.log((n_p - 2 + 0.5) / (2 + 0.5) + 1.0)
+        s0 = round(idf * 1 * (K1 + 1)
+                   / (1 + K1 * (1 - B + B * 50 / avgpl)), 6)
+        s1 = round(idf * 2 * (K1 + 1)
+                   / (2 + K1 * (1 - B + B * 2 / avgpl)), 6)
+        assert s1 > s0
+        assert out["doc_id"].tolist() == [1]
+        assert out["chunk"].tolist() == [1]
+        assert out["score"].tolist() == [s1]
+
+    def test_passage_tie_picks_smaller_chunk(self, ray_session,
+                                             tmp_sf):
+        one = "data " + "x " * (_PASSAGE_LEN - 2) + "y "
+        sf = _docs(tmp_sf, [one + one])  # two identical passages
+        out = q_max_passage_topk(sf)
+        assert out["doc_id"].tolist() == [1]
+        assert out["chunk"].tolist() == [0]
+
+    def test_no_matches_is_typed_empty(self, ray_session, tmp_sf):
+        sf = _docs(tmp_sf, ["x y", "z"])
+        out = q_max_passage_topk(sf)
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "chunk", "score"]
