@@ -158,20 +158,11 @@ FROM d, n
 """
 
 
-def q_bm25_topk(sf_dir: str, lang: str | None = None,
-                offset: int = 0, k: int = 20):
-    """Standard BM25 top-20 for the fixed query (K2 family, SQL-checkable).
-
-    doc_len = token count, avgdl = mean token count over docs with >=1
-    token — the *standard* formulation (the reference's chars/tokens
-    quirk lives in the rank-identity pytest path, not here, because SQL
-    should stay readable).
-
-    ``lang`` restricts the corpus (filtered search): every statistic —
-    N, avgdl, df — is computed over the filtered subset, i.e. the
-    filter defines the collection, the scale-correct semantics (filter
-    pushed to the read, no post-hoc rescore).
-    """
+def _bm25_scores(sf_dir: str, lang: str | None = None):
+    """Shared BM25 scorer: the rounded per-doc score Dataset every
+    BM25-family entry finishes from (`q_bm25_topk` driver-slices it,
+    `q_bm25_search_after` filters it by cursor IN the cluster).
+    Returns ``None`` for an empty (or fully filtered) corpus."""
     import ray
 
     if lang is None:
@@ -191,9 +182,7 @@ def q_bm25_topk(sf_dir: str, lang: str | None = None,
         # SQL mirror: empty (or fully filtered) corpus -> zero rows;
         # without this the empty postings pull loses its columns and
         # avgdl divides 0/0
-        return pd.DataFrame({
-            "doc_id": pd.array([], dtype="int64"),
-            "score": pd.array([], dtype="float64")})
+        return None
     query = set(BM25_QUERY_TERMS)
 
     def posting_rows(batch: pa.Table) -> pa.Table:
@@ -261,10 +250,70 @@ def q_bm25_topk(sf_dir: str, lang: str | None = None,
             ),
         })
 
-    out = scores.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return scores.map_batches(finish, batch_format="pyarrow")
+
+
+def q_bm25_topk(sf_dir: str, lang: str | None = None,
+                offset: int = 0, k: int = 20):
+    """Standard BM25 top-20 for the fixed query (K2 family, SQL-checkable).
+
+    doc_len = token count, avgdl = mean token count over docs with >=1
+    token — the *standard* formulation (the reference's chars/tokens
+    quirk lives in the rank-identity pytest path, not here, because SQL
+    should stay readable).
+
+    ``lang`` restricts the corpus (filtered search): every statistic —
+    N, avgdl, df — is computed over the filtered subset, i.e. the
+    filter defines the collection, the scale-correct semantics (filter
+    pushed to the read, no post-hoc rescore).
+    """
+    scores = _bm25_scores(sf_dir, lang)
+    if scores is None:
+        return pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "score": pd.array([], dtype="float64")})
+    out = scores.to_pandas()
     out = out.sort_values(["score", "doc_id"],
                           ascending=[False, True]) \
         .iloc[offset:offset + k]
+    return out.reset_index(drop=True)
+
+
+def q_bm25_search_after(sf_dir: str, page: int = 10):
+    """Cursor ("search_after") pagination — the deep-paging idiom
+    offset pagination cannot scale to (an offset-N page ships N rows
+    to a single merger; a cursor page is a FILTER).  Page 1's last row
+    (score, doc_id) becomes the cursor; page 2 keeps rows strictly
+    after it in the (score DESC, doc_id ASC) total order, filtered
+    INSIDE the cluster before the distributed sort+limit, so page
+    depth never changes the driver's k-row footprint.  Must equal the
+    offset formulation row-for-row (the oracle checks exactly that)."""
+    scores = _bm25_scores(sf_dir)
+    if scores is None:
+        return pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "score": pd.array([], dtype="float64")})
+    first = scores.sort(["score", "doc_id"],
+                        descending=[True, False]).limit(page) \
+        .to_pandas()
+    if len(first) < page:
+        # fewer matches than one page: page 2 is empty
+        return pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "score": pd.array([], dtype="float64")})
+    cs = float(first["score"].iloc[-1])
+    cid = int(first["doc_id"].iloc[-1])
+
+    def after_cursor(batch: pa.Table) -> pa.Table:
+        s = batch["score"]
+        d = batch["doc_id"]
+        keep = pc.or_(pc.less(s, cs),
+                      pc.and_(pc.equal(s, cs), pc.greater(d, cid)))
+        return batch.filter(keep)
+
+    out = scores.map_batches(after_cursor, batch_format="pyarrow") \
+        .sort(["score", "doc_id"], descending=[True, False]) \
+        .limit(page).to_pandas()
     return out.reset_index(drop=True)
 
 
@@ -295,6 +344,24 @@ LIMIT 20
 
 SQL_BM25_TOPK_EN = SQL_BM25_TOPK.replace(
     "FROM documents", "FROM documents WHERE lang = 'en'")
+
+# cursor-pagination oracle: written in the search_after formulation
+# (cursor = row 10's (score, doc_id); page 2 = rows strictly after it
+# in the total order) so the gate proves cursor == offset semantics
+SQL_BM25_SEARCH_AFTER = (
+    "WITH ranked AS (\n"
+    + SQL_BM25_TOPK.replace(
+        "ORDER BY score DESC, doc_id\nLIMIT 20", "")
+    + """),
+cur AS (SELECT score, doc_id FROM ranked
+        ORDER BY score DESC, doc_id LIMIT 1 OFFSET 9)
+SELECT r.doc_id AS doc_id, r.score AS score
+FROM ranked r, cur
+WHERE r.score < cur.score
+   OR (r.score = cur.score AND r.doc_id > cur.doc_id)
+ORDER BY r.score DESC, r.doc_id
+LIMIT 10
+""")
 
 
 
@@ -13626,6 +13693,67 @@ def q_bigram_xent(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_embedding_covariance(sf_dir: str):
+    """Full covariance matrix of the embedding columns in ONE corpus
+    pass — the distributed-linear-algebra building block behind PCA /
+    whitening / Mahalanobis outlier scoring on embedding tables:
+    per-block partials (n, Σx, ΣxxT as one matmul) reduce on the
+    driver in O(blocks · d²), then cov = Σxy/n − mean·meanT.  Output
+    is long-format (i, j, cov) with 1-based dims, the SQL-comparable
+    shape.  At larger d the partial rows grow d² — tree-reduce the
+    partials instead of a driver fold; the corpus-pass shape is
+    unchanged."""
+    from ..functions.arrowlist import list_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = list_matrix(batch["embedding"].combine_chunks(),
+                        batch.num_rows).astype(np.float64)
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "sx": pa.array([m.sum(axis=0).tolist()],
+                           pa.list_(pa.float64())),
+            "sxy": pa.array([(m.T @ m).ravel().tolist()],
+                            pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum()) if len(parts) else 0
+    if n == 0:
+        return pd.DataFrame({
+            "i": pd.array([], dtype="int64"),
+            "j": pd.array([], dtype="int64"),
+            "cov": pd.array([], dtype="float64")})
+    sx = np.sum(np.stack(parts["sx"].to_numpy()), axis=0)
+    d = len(sx)
+    sxy = np.sum(np.stack(parts["sxy"].to_numpy()), axis=0) \
+        .reshape(d, d)
+    mean = sx / n
+    cov = np.round(sxy / n - np.outer(mean, mean), 6)
+    ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
+                         indexing="ij")
+    return pd.DataFrame({
+        "i": ii.ravel().astype("int64"),
+        "j": jj.ravel().astype("int64"),
+        "cov": cov.ravel(),
+    })
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+x AS (
+  SELECT vec_id, i, v[i]::DOUBLE AS xi
+  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+)
+SELECT a.i::BIGINT AS i, b.i::BIGINT AS j,
+       round(covar_pop(a.xi, b.xi), 6) AS cov
+FROM x a JOIN x b USING (vec_id)
+GROUP BY a.i, b.i
+ORDER BY i, j
+"""
+
+
 _PASSAGE_LEN = 50
 _PASSAGE_TOP_N = 20
 
@@ -14083,6 +14211,8 @@ QUERY_FUNCS = {
     "dup_cluster_hist": q_dup_cluster_hist,
     "bigram_xent": q_bigram_xent,
     "max_passage_topk": q_max_passage_topk,
+    "bm25_search_after": q_bm25_search_after,
+    "embedding_covariance": q_embedding_covariance,
 }
 
 ORACLE_SQL = {
@@ -14308,6 +14438,8 @@ ORACLE_SQL = {
     "dup_cluster_hist": SQL_DUP_CLUSTER_HIST,
     "bigram_xent": SQL_BIGRAM_XENT,
     "max_passage_topk": SQL_MAX_PASSAGE_TOPK,
+    "bm25_search_after": SQL_BM25_SEARCH_AFTER,
+    "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
