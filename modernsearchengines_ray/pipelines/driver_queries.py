@@ -13893,10 +13893,17 @@ def q_max_passage_topk(sf_dir: str):
         "score": pd.array([], dtype="float64")})
 
     def passage_rows(batch: pa.Table) -> pa.Table:
+        # ONE tokenize pass feeds both families: posting rows for the
+        # query terms PLUS one per-block stats row (term='', tf=total
+        # passages, plen=total tokens) — the scan_a side-marker idiom,
+        # halving the corpus tokenize cost
         ids, chunks, terms, tfs, plens = [], [], [], [], []
+        stat_n, stat_s = 0, 0
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch["text"].to_pylist()):
             toks = simple_tokens(text)
+            stat_n += -(-len(toks) // plen_n) if toks else 0
+            stat_s += len(toks)
             for c0 in range(0, len(toks), plen_n):
                 window = toks[c0:c0 + plen_n]
                 counts = Counter(window)
@@ -13907,6 +13914,11 @@ def q_max_passage_topk(sf_dir: str):
                     terms.append(term)
                     tfs.append(counts[term])
                     plens.append(len(window))
+        ids.append(-1)
+        chunks.append(-1)
+        terms.append("")  # outside simple_tokens' [a-z0-9]+ domain
+        tfs.append(stat_n)
+        plens.append(stat_s)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "chunk": pa.array(chunks, pa.int64()),
@@ -13915,24 +13927,19 @@ def q_max_passage_topk(sf_dir: str):
             "plen": pa.array(plens, pa.int64()),
         })
 
-    def passage_stats(batch: pa.Table) -> pa.Table:
-        n, s = 0, 0
-        for text in batch["text"].to_pylist():
-            tl = len(simple_tokens(text))
-            n += -(-tl // plen_n) if tl else 0
-            s += tl
-        return pa.table({"n": pa.array([n], pa.int64()),
-                         "s": pa.array([s], pa.int64())})
-
-    stats = ds.map_batches(passage_stats,
-                           batch_format="pyarrow").to_pandas()
-    n_passages = int(stats["n"].sum())
+    both = ds.map_batches(passage_rows,
+                          batch_format="pyarrow").materialize()
+    stats = both.map_batches(
+        lambda t: t.filter(pc.equal(t["term"], "")),
+        batch_format="pyarrow").to_pandas()
+    n_passages = int(stats["tf"].sum()) if len(stats) else 0
     if n_passages == 0:
         return out_empty
-    avgpl = float(stats["s"].sum()) / n_passages
+    avgpl = float(stats["plen"].sum()) / n_passages
 
-    postings = ds.map_batches(passage_rows,
-                              batch_format="pyarrow").materialize()
+    postings = both.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["term"], ""))),
+        batch_format="pyarrow")
     # rows are unique per (doc, chunk, term), so passage-df is a count
     df_rows = postings.groupby("term").count().take_all()
     if not df_rows:
