@@ -22,6 +22,8 @@ from modernsearchengines_ray.pipelines.driver_queries import (
     q_bm25f_topk,
     q_dup_cluster_hist,
     q_max_passage_topk,
+    q_sample_exact_n_per_group,
+    q_snippet_window,
 )
 
 
@@ -157,3 +159,46 @@ class TestMaxPassage:
         out = q_max_passage_topk(sf)
         assert len(out) == 0
         assert list(out.columns) == ["doc_id", "chunk", "score"]
+
+
+class TestSnippetWindow:
+    def test_densest_window_wins(self, ray_session, tmp_sf):
+        # positions (1-based): data@1, join@12 stream@13 data@14 —
+        # window [12, 22) holds 3 hits; [1, 11) holds only 1
+        sf = _docs(tmp_sf, [
+            "data " + "x " * 10 + "join stream data",
+            "y z"])
+        out = q_snippet_window(sf)
+        assert out["doc_id"].tolist() == [1]
+        assert out["win_start"].tolist() == [12]
+        assert out["n_hits"].tolist() == [3]
+
+    def test_tie_prefers_earlier_start(self, ray_session, tmp_sf):
+        # two isolated single hits: both windows hold 1 hit; the
+        # earlier start must win
+        sf = _docs(tmp_sf, ["data " + "x " * 20 + "join y"])
+        out = q_snippet_window(sf)
+        assert out["win_start"].tolist() == [1]
+        assert out["n_hits"].tolist() == [1]
+
+    def test_no_hits_is_typed_empty(self, ray_session, tmp_sf):
+        sf = _docs(tmp_sf, ["x y"])
+        out = q_snippet_window(sf)
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "win_start", "n_hits"]
+
+
+class TestSamplePerGroup:
+    def test_quota_and_determinism(self, ray_session, tmp_sf):
+        import pyarrow as pa
+        sf = tmp_sf("documents", pa.table({
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "text": pa.array(["t"] * 40, pa.string()),
+            "source": pa.array(
+                [f"s{i % 2}" for i in range(40)], pa.string()),
+        }))
+        out1 = q_sample_exact_n_per_group(sf)
+        out2 = q_sample_exact_n_per_group(sf)
+        assert out1.equals(out2)  # deterministic re-run
+        counts = out1.groupby("source")["doc_id"].count()
+        assert counts.to_dict() == {"s0": 5, "s1": 5}
