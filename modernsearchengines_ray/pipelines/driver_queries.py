@@ -272,9 +272,11 @@ def q_bm25_topk(sf_dir: str, lang: str | None = None,
         return pd.DataFrame({
             "doc_id": pd.array([], dtype="int64"),
             "score": pd.array([], dtype="float64")})
-    out = scores.to_pandas()
-    out = out.sort_values(["score", "doc_id"],
-                          ascending=[False, True]) \
+    # distributed sort+limit on the rounded (score DESC, id ASC)
+    # total order: the driver sees offset+k rows, never the full
+    # matched-doc set
+    out = scores.sort(["score", "doc_id"], descending=[True, False]) \
+        .limit(offset + k).to_pandas() \
         .iloc[offset:offset + k]
     return out.reset_index(drop=True)
 
