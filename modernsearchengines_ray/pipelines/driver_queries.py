@@ -12105,9 +12105,10 @@ def q_lm_dirichlet_topk(sf_dir: str):
     Scale shape: one streaming pass folds the collection model —
     per-batch (term, ctf) partials for the 3 query terms plus a total
     token count, O(|q|) rows per batch — and a second pruned pass
-    emits candidate postings (doc_id, term, tf, doc_len); scoring is
-    a vectorized pivot over the candidate set (|q| x matched docs,
-    the same driver-side footprint as `bm25_topk`)."""
+    emits candidate postings (doc_id, term, tf, doc_len); each row's
+    contribution is row-local, so scoring is a distributed
+    groupby(doc_id) Sum + sort/limit — the driver sees k rows, never
+    the candidate set."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     query = set(BM25_QUERY_TERMS)
 
@@ -12160,21 +12161,39 @@ def q_lm_dirichlet_topk(sf_dir: str):
             "doc_len": pa.array(dls, pa.int64()),
         })
 
-    cand = ds.map_batches(posting_rows, batch_format="pyarrow").to_pandas()
-    if cand.empty:
+    from ray.data.aggregate import Sum
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        bg = np.array([p_coll[t] for t in batch["term"].to_pylist()])
+        part = np.log(
+            (batch["tf"].to_numpy().astype(np.float64) + LM_MU * bg)
+            / (batch["doc_len"].to_numpy().astype(np.float64) + LM_MU))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "part": pa.array(part, pa.float64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "score": pa.array(
+                np.round(batch["score"].to_numpy(), 6), pa.float64()),
+        })
+
+    # the per-row contribution is row-local (tf=0 rows are emitted
+    # explicitly), so scoring is a distributed groupby Sum + the
+    # sort+limit total order — the driver sees k rows, never the
+    # matched-doc candidate set
+    cand = ds.map_batches(posting_rows, batch_format="pyarrow")
+    out = cand.map_batches(part_rows, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("part", alias_name="score")) \
+        .map_batches(finish, batch_format="pyarrow") \
+        .sort(["score", "doc_id"], descending=[True, False]) \
+        .limit(20).to_pandas()
+    if len(out) == 0:
         return pd.DataFrame({
             "doc_id": pd.array([], dtype="int64"),
             "score": pd.array([], dtype="float64")})
-    bg = cand["term"].map(p_coll).to_numpy(dtype=np.float64)
-    part = np.log(
-        (cand["tf"].to_numpy(dtype=np.float64) + LM_MU * bg)
-        / (cand["doc_len"].to_numpy(dtype=np.float64) + LM_MU))
-    scores = pd.DataFrame({"doc_id": cand["doc_id"], "part": part}) \
-        .groupby("doc_id", as_index=False)["part"].sum()
-    out = pd.DataFrame({
-        "doc_id": scores["doc_id"].astype("int64"),
-        "score": np.round(scores["part"].to_numpy(), 6),
-    }).sort_values(["score", "doc_id"], ascending=[False, True]).head(20)
     return out.reset_index(drop=True)
 
 
@@ -12248,23 +12267,46 @@ def q_tfidf_cosine_topk(sf_dir: str):
             "norm": pa.array(norms, pa.float64()),
         })
 
+    from ray.data.aggregate import Sum
+
+    out_empty = pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "score": pd.array([], dtype="float64")})
     cand = ds.map_batches(candidate_rows,
-                          batch_format="pyarrow").to_pandas()
-    if cand.empty:
-        return pd.DataFrame({
-            "doc_id": pd.array([], dtype="int64"),
-            "score": pd.array([], dtype="float64")})
-    df_map = cand.groupby("term")["doc_id"].size()
-    idf = cand["term"].map(
-        np.log(float(n_docs) / df_map.astype(np.float64))).to_numpy()
-    part = ((1.0 + np.log(cand["tf"].to_numpy(dtype=np.float64)))
-            * idf / cand["norm"].to_numpy())
-    scores = pd.DataFrame({"doc_id": cand["doc_id"], "part": part}) \
-        .groupby("doc_id", as_index=False)["part"].sum()
-    out = pd.DataFrame({
-        "doc_id": scores["doc_id"].astype("int64"),
-        "score": np.round(scores["part"].to_numpy(), 6),
-    }).sort_values(["score", "doc_id"], ascending=[False, True]).head(20)
+                          batch_format="pyarrow").materialize()
+    # df of a query term == candidate rows carrying it: O(|q|) rows
+    df_rows = cand.groupby("term").count().take_all()
+    if not df_rows:
+        return out_empty
+    idf_map = {r["term"]: float(np.log(float(n_docs) / r["count()"]))
+               for r in df_rows}
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        idf = np.array([idf_map[t] for t in batch["term"].to_pylist()])
+        part = ((1.0 + np.log(batch["tf"].to_numpy()
+                              .astype(np.float64)))
+                * idf / batch["norm"].to_numpy())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "part": pa.array(part, pa.float64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "score": pa.array(
+                np.round(batch["score"].to_numpy(), 6), pa.float64()),
+        })
+
+    # row-local contributions → distributed groupby Sum + sort/limit;
+    # driver sees k rows, never the candidate set
+    out = cand.map_batches(part_rows, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("part", alias_name="score")) \
+        .map_batches(finish, batch_format="pyarrow") \
+        .sort(["score", "doc_id"], descending=[True, False]) \
+        .limit(20).to_pandas()
+    if len(out) == 0:
+        return out_empty
     return out.reset_index(drop=True)
 
 
@@ -12894,20 +12936,37 @@ def q_lm_jm_topk(sf_dir: str):
             "doc_len": pa.array(dls, pa.int64()),
         })
 
-    cand = ds.map_batches(posting_rows, batch_format="pyarrow").to_pandas()
-    if cand.empty:
+    from ray.data.aggregate import Sum
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        bg = np.array([p_coll[t] for t in batch["term"].to_pylist()])
+        part = np.log(
+            (1.0 - LM_LAMBDA) * batch["tf"].to_numpy()
+            .astype(np.float64)
+            / batch["doc_len"].to_numpy().astype(np.float64)
+            + LM_LAMBDA * bg)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "part": pa.array(part, pa.float64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "score": pa.array(
+                np.round(batch["score"].to_numpy(), 6), pa.float64()),
+        })
+
+    # row-local contributions (tf=0 rows emitted explicitly) →
+    # distributed groupby Sum + sort/limit; driver sees k rows
+    out = ds.map_batches(posting_rows, batch_format="pyarrow") \
+        .map_batches(part_rows, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("part", alias_name="score")) \
+        .map_batches(finish, batch_format="pyarrow") \
+        .sort(["score", "doc_id"], descending=[True, False]) \
+        .limit(20).to_pandas()
+    if len(out) == 0:
         return empty
-    bg = cand["term"].map(p_coll).to_numpy(dtype=np.float64)
-    part = np.log(
-        (1.0 - LM_LAMBDA) * cand["tf"].to_numpy(dtype=np.float64)
-        / cand["doc_len"].to_numpy(dtype=np.float64)
-        + LM_LAMBDA * bg)
-    scores = pd.DataFrame({"doc_id": cand["doc_id"], "part": part}) \
-        .groupby("doc_id", as_index=False)["part"].sum()
-    out = pd.DataFrame({
-        "doc_id": scores["doc_id"].astype("int64"),
-        "score": np.round(scores["part"].to_numpy(), 6),
-    }).sort_values(["score", "doc_id"], ascending=[False, True]).head(20)
     return out.reset_index(drop=True)
 
 
@@ -13011,22 +13070,38 @@ def q_pl2_topk(sf_dir: str):
             "doc_len": pa.array(dls, pa.int64()),
         })
 
-    cand = ds.map_batches(posting_rows, batch_format="pyarrow").to_pandas()
-    if cand.empty:
+    from ray.data.aggregate import Sum
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        dl = batch["doc_len"].to_numpy().astype(np.float64)
+        lam_v = np.array([lam[t] for t in batch["term"].to_pylist()])
+        tfn = tf * np.log2(1.0 + PL2_C * avgdl / dl)
+        part = (tfn * np.log2(tfn / lam_v)
+                + (lam_v - tfn) * np.log2(np.e)
+                + 0.5 * np.log2(2.0 * np.pi * tfn)) / (tfn + 1.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "part": pa.array(part, pa.float64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "score": pa.array(
+                np.round(batch["score"].to_numpy(), 6), pa.float64()),
+        })
+
+    # row-local DFR contributions → distributed groupby Sum +
+    # sort/limit; driver sees k rows, never the candidate set
+    out = ds.map_batches(posting_rows, batch_format="pyarrow") \
+        .map_batches(part_rows, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("part", alias_name="score")) \
+        .map_batches(finish, batch_format="pyarrow") \
+        .sort(["score", "doc_id"], descending=[True, False]) \
+        .limit(20).to_pandas()
+    if len(out) == 0:
         return empty
-    tf = cand["tf"].to_numpy(dtype=np.float64)
-    dl = cand["doc_len"].to_numpy(dtype=np.float64)
-    lam_v = cand["term"].map(lam).to_numpy(dtype=np.float64)
-    tfn = tf * np.log2(1.0 + PL2_C * avgdl / dl)
-    part = (tfn * np.log2(tfn / lam_v)
-            + (lam_v - tfn) * np.log2(np.e)
-            + 0.5 * np.log2(2.0 * np.pi * tfn)) / (tfn + 1.0)
-    scores = pd.DataFrame({"doc_id": cand["doc_id"], "part": part}) \
-        .groupby("doc_id", as_index=False)["part"].sum()
-    out = pd.DataFrame({
-        "doc_id": scores["doc_id"].astype("int64"),
-        "score": np.round(scores["part"].to_numpy(), 6),
-    }).sort_values(["score", "doc_id"], ascending=[False, True]).head(20)
     return out.reset_index(drop=True)
 
 
@@ -13442,33 +13517,61 @@ def q_prox_boosted_topk(sf_dir: str):
             "win": pa.array(wins, pa.int64()),
         })
 
-    rows = ds.map_batches(match_rows, batch_format="pyarrow").to_pandas()
-    if rows.empty:
+    rows = ds.map_batches(match_rows,
+                          batch_format="pyarrow").materialize()
+    # full per-term df (docs containing the term, not both-only) and
+    # the BM25 min/max over windowed candidates: O(1)-row aggregates,
+    # never a candidate pull
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "df_a": pa.array(
+                [int((batch["tf_a"].to_numpy() > 0).sum())], pa.int64()),
+            "df_b": pa.array(
+                [int((batch["tf_b"].to_numpy() > 0).sum())], pa.int64()),
+        })
+
+    dfs = rows.map_batches(df_partials, batch_format="pyarrow") \
+        .to_pandas()
+    if len(dfs) == 0 or (dfs["df_a"].sum() + dfs["df_b"].sum()) == 0:
         return empty
-    # full per-term df (docs containing the term), not both-only
-    df_a = float((rows["tf_a"] > 0).sum())
-    df_b = float((rows["tf_b"] > 0).sum())
-    cand = rows[rows["win"] >= 0]
-    if cand.empty:
-        return empty
+    df_a, df_b = float(dfs["df_a"].sum()), float(dfs["df_b"].sum())
 
     def sat(tf: np.ndarray, dl: np.ndarray, df: float) -> np.ndarray:
         idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
         return idf * tf * (K1 + 1.0) / (
             tf + K1 * (1.0 - B + B * dl / avgdl))
 
-    dl = cand["dl"].to_numpy(dtype=np.float64)
-    s = sat(cand["tf_a"].to_numpy(dtype=np.float64), dl, df_a) \
-        + sat(cand["tf_b"].to_numpy(dtype=np.float64), dl, df_b)
-    mn, mx = float(s.min()), float(s.max())
-    norm = (s - mn) / (mx - mn) if mx > mn else np.zeros_like(s)
-    win = cand["win"].to_numpy(dtype=np.float64)
-    score = PROX_ALPHA * norm + PROX_BETA * (1.0 / (1.0 + win))
-    out = pd.DataFrame({
-        "doc_id": cand["doc_id"].astype("int64"),
-        "min_window": cand["win"].astype("int64"),
-        "score": np.round(score, 6),
-    }).sort_values(["score", "doc_id"], ascending=[False, True]).head(20)
+    def bm25_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater_equal(batch["win"], 0))
+        dl = batch["dl"].to_numpy().astype(np.float64)
+        s = sat(batch["tf_a"].to_numpy().astype(np.float64), dl, df_a) \
+            + sat(batch["tf_b"].to_numpy().astype(np.float64), dl, df_b)
+        return pa.table({
+            "doc_id": batch["doc_id"], "win": batch["win"],
+            "s": pa.array(s, pa.float64()),
+        })
+
+    cand = rows.map_batches(bm25_rows,
+                            batch_format="pyarrow").materialize()
+    if cand.count() == 0:
+        return empty
+    mn, mx = float(cand.min("s")), float(cand.max("s"))
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy()
+        norm = (s - mn) / (mx - mn) if mx > mn else np.zeros_like(s)
+        win = batch["win"].to_numpy().astype(np.float64)
+        score = PROX_ALPHA * norm + PROX_BETA * (1.0 / (1.0 + win))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "min_window": batch["win"],
+            "score": pa.array(np.round(score, 6), pa.float64()),
+        })
+
+    out = cand.map_batches(score_rows, batch_format="pyarrow") \
+        .sort(["score", "doc_id"], descending=[True, False]) \
+        .limit(20).to_pandas()
     return out.reset_index(drop=True)
 
 
