@@ -1489,9 +1489,11 @@ def q_top_customers(sf_dir: str):
             ),
         })
 
-    out = agg.map_batches(finish, batch_format="pyarrow").to_pandas()
-    out = out.sort_values(["total_spent", "c_custkey"],
-                          ascending=[False, True]).head(10)
+    # distributed sort+limit on the rounded total order — the driver
+    # sees 10 rows, never the full customer aggregate
+    out = agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["total_spent", "c_custkey"], descending=[True, False]) \
+        .limit(10).to_pandas()
     return out.reset_index(drop=True)
 
 
@@ -2445,10 +2447,12 @@ def q_heavy_hitters_cms_check(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
+    # distributed sort+limit: the driver sees the top-10, never the
+    # full vocabulary aggregate
     exact = ds.map_batches(counts, batch_format="pyarrow") \
-        .groupby("word").aggregate(Sum("c", alias_name="n")).to_pandas()
-    exact = exact.sort_values(["n", "word"],
-                              ascending=[False, True]).head(10)
+        .groupby("word").aggregate(Sum("c", alias_name="n")) \
+        .sort(["n", "word"], descending=[True, False]) \
+        .limit(10).to_pandas()
     eps_bound = np.e / WIDTH * merged.total
     lower_ok, eps_ok = True, True
     for word, n in zip(exact["word"], exact["n"]):
@@ -2545,9 +2549,11 @@ def q_ann_topk(sf_dir: str):
             "cos_sim": pa.array(np.round(sims[keep], 6), pa.float64()),
         })
 
-    out = ds.map_batches(cosine, batch_format="pyarrow").to_pandas()
-    out = out.sort_values(["cos_sim", "vec_id"],
-                          ascending=[False, True]).head(10)
+    # distributed sort+limit on the rounded total order — the driver
+    # sees 10 rows, never the full corpus similarity column
+    out = ds.map_batches(cosine, batch_format="pyarrow") \
+        .sort(["cos_sim", "vec_id"], descending=[True, False]) \
+        .limit(10).to_pandas()
     return out.reset_index(drop=True)
 
 
@@ -2750,9 +2756,11 @@ def q_hybrid_rrf(sf_dir: str):
             "cos_sim": pa.array(np.round(sims[keep], 6), pa.float64()),
         })
 
-    cos = ds.map_batches(cosine, batch_format="pyarrow").to_pandas() \
-        .sort_values(["cos_sim", "vec_id"], ascending=[False, True]) \
-        .head(RRF_DEPTH)
+    # distributed sort+limit on the rounded total order — the driver
+    # sees depth rows, never the full corpus similarity column
+    cos = ds.map_batches(cosine, batch_format="pyarrow") \
+        .sort(["cos_sim", "vec_id"], descending=[True, False]) \
+        .limit(RRF_DEPTH).to_pandas()
     cos_rank = {int(d): i + 1 for i, d in enumerate(cos["vec_id"])}
 
     fused = []
@@ -11162,14 +11170,20 @@ def q_more_like_this(sf_dir: str):
             "part": pa.array(part, pa.float64()),
         })
 
-    scores = postings.map_batches(score_rows, batch_format="pyarrow") \
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "score": pa.array(
+                np.round(batch["score"].to_numpy(), 6), pa.float64()),
+        })
+
+    # distributed sort+limit on the rounded total order — the driver
+    # sees 10 rows, never the scored candidate set
+    return postings.map_batches(score_rows, batch_format="pyarrow") \
         .groupby("doc_id").aggregate(Sum("part", alias_name="score")) \
-        .to_pandas()
-    scores["score"] = scores["score"].round(6)
-    return scores.sort_values(["score", "doc_id"],
-                              ascending=[False, True],
-                              kind="mergesort").iloc[:10] \
-        .reset_index(drop=True)
+        .map_batches(finish, batch_format="pyarrow") \
+        .sort(["score", "doc_id"], descending=[True, False]) \
+        .limit(10).to_pandas().reset_index(drop=True)
 
 
 SQL_MORE_LIKE_THIS = f"""
