@@ -14273,6 +14273,88 @@ LIMIT {_XENT_TOP_N}
 """
 
 
+_KMEANS_K = 8
+_KMEANS_ROUNDS = 3
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding table — the
+    semantic-sharding / data-mixing / IVF-coarse-quantizer primitive
+    (stages/kmeans.py).  Per assignment round: ONE streaming corpus
+    pass emits O(blocks × k) partial-sum rows (points never leave the
+    cluster), the driver reduce is O(k × dim), and the k × dim
+    centroid matrix ships in the batch-fn closure.  Deterministic on
+    any cluster size / block split: init = the k smallest vec_ids
+    (distributed sort+limit head), argmin ties break to the smallest
+    cluster index, and each centroid update is rounded
+    half-away-from-zero to 6 decimals — exactly the decisions the
+    unrolled-CTE SQL oracle (:func:`_sql_kmeans`) replays, so the
+    integer (vec_id, cluster) output hash-matches without any FP in
+    the gate itself.  Empty-cluster rounds keep the previous centroid
+    (the SQL COALESCE)."""
+    from ..stages.kmeans import kmeans_assign, kmeans_fit
+
+    out_schema = pa.schema([("vec_id", pa.int64()),
+                            ("cluster", pa.int64())])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, _KMEANS_K, _KMEANS_ROUNDS)
+    if cent is None:
+        # SQL mirror: no points -> no assignment rows
+        import ray.data
+        return ray.data.from_arrow(out_schema.empty_table())
+    return kmeans_assign(ds, cent).sort("vec_id")
+
+
+def _sql_kmeans(k: int = _KMEANS_K, rounds: int = _KMEANS_ROUNDS) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs (one dist/assign
+    pair per round, a centroid-update CTE between rounds), mirroring
+    stages/kmeans.py decision-for-decision: raw DOUBLE points, rounded
+    centroids, SUM((x-cx)*(x-cx)) distances, row_number ties to the
+    smaller cluster, COALESCE for empty clusters."""
+    parts = [f"""
+WITH pts AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), pts_long AS (
+  SELECT vec_id, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim
+  FROM pts
+), init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         vec_id AS cvid
+  FROM (SELECT vec_id FROM pts ORDER BY vec_id LIMIT {k})
+), cent0 AS (
+  SELECT i.cluster, l.dim, round(l.x, 6) AS cx
+  FROM init i JOIN pts_long l ON l.vec_id = i.cvid
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", dist{r} AS (
+  SELECT l.vec_id, c.cluster,
+         SUM((l.x - c.cx) * (l.x - c.cx)) AS d2
+  FROM pts_long l JOIN cent{r - 1} c ON c.dim = l.dim
+  GROUP BY l.vec_id, c.cluster
+), assign{r} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rn
+    FROM dist{r}) WHERE rn = 1
+)""")
+        if r < rounds:
+            parts.append(f""", cent{r} AS (
+  SELECT c.cluster, c.dim, round(COALESCE(m.ax, c.cx), 6) AS cx
+  FROM cent{r - 1} c LEFT JOIN (
+    SELECT a.cluster, l.dim, AVG(l.x) AS ax
+    FROM assign{r} a JOIN pts_long l ON l.vec_id = a.vec_id
+    GROUP BY a.cluster, l.dim) m
+  ON m.cluster = c.cluster AND m.dim = c.dim
+)""")
+    parts.append(f"""
+SELECT vec_id, cluster FROM assign{rounds} ORDER BY vec_id""")
+    return "".join(parts)
+
+
+SQL_KMEANS_EMBEDDINGS = _sql_kmeans()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14529,6 +14611,7 @@ QUERY_FUNCS = {
     "embedding_covariance": q_embedding_covariance,
     "sample_exact_n_per_group": q_sample_exact_n_per_group,
     "snippet_window": q_snippet_window,
+    "kmeans_embeddings": q_kmeans_embeddings,
 }
 
 ORACLE_SQL = {
@@ -14758,6 +14841,7 @@ ORACLE_SQL = {
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
     "sample_exact_n_per_group": SQL_SAMPLE_EXACT_N_PER_GROUP,
     "snippet_window": SQL_SNIPPET_WINDOW,
+    "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
