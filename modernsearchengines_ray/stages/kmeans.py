@@ -114,6 +114,109 @@ def _update_centroids(ds, cent: np.ndarray, emb_col: str) -> np.ndarray:
     return out
 
 
+def pq_fit(ds, m: int, k: int, assign_rounds: int,
+           id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Product-quantization codebooks (Jégou et al. 2011): the vector
+    is split into ``m`` contiguous subspaces and each trains an
+    INDEPENDENT k-means codebook — but all ``m`` trainings share every
+    corpus pass (one partials map emits (sub, cluster, n, vsum) rows
+    for all subspaces at once, O(blocks × m × k) rows total), so the
+    cost over ``assign_rounds`` is identical to one full-dim k-means,
+    not m of them.  Init for every subspace = the k smallest ids'
+    sub-vectors (one shared sort+limit head); the same rounding /
+    tie / empty-cluster contract as :func:`kmeans_fit` keeps the SQL
+    oracle in lockstep.
+
+    Returns the (m, k', d_sub) float64 codebook tensor or ``None`` for
+    an empty input.
+    """
+    head = ds.sort(id_col).limit(k).take_all()
+    if not head:
+        return None
+    init = np.asarray([row[emb_col] for row in head], dtype=np.float64)
+    dim = init.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cents = round_half_away(
+        init.reshape(len(head), m, dsub).transpose(1, 0, 2)).copy()
+    for _ in range(assign_rounds - 1):
+        cents = _pq_update(ds, cents, emb_col=emb_col)
+    return cents
+
+
+def _pq_update(ds, cents: np.ndarray, emb_col: str) -> np.ndarray:
+    m, kk, dsub = cents.shape
+
+    def partials(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        schema = pa.schema([("sub", pa.int64()), ("cluster", pa.int64()),
+                            ("n", pa.int64()),
+                            ("vsum", pa.list_(pa.float64()))])
+        if n == 0:
+            return schema.empty_table()
+        mat = list_matrix(batch[emb_col].combine_chunks(), n)
+        subs, clusters, counts, sums = [], [], [], []
+        for s in range(m):
+            X = mat[:, s * dsub:(s + 1) * dsub]
+            a = _assign(X, cents[s])
+            c = np.bincount(a, minlength=kk).astype(np.int64)
+            sm = np.zeros((kk, dsub), dtype=np.float64)
+            np.add.at(sm, a, X)
+            subs.append(np.full(kk, s, dtype=np.int64))
+            clusters.append(np.arange(kk, dtype=np.int64))
+            counts.append(c)
+            sums.append(sm)
+        return pa.table({
+            "sub": pa.array(np.concatenate(subs)),
+            "cluster": pa.array(np.concatenate(clusters)),
+            "n": pa.array(np.concatenate(counts)),
+            "vsum": pa.array(list(np.vstack(sums)),
+                             pa.list_(pa.float64())),
+        })
+
+    rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    counts = np.zeros((m, kk), dtype=np.int64)
+    sums = np.zeros((m, kk, dsub), dtype=np.float64)
+    for r in rows:
+        counts[r["sub"], r["cluster"]] += r["n"]
+        sums[r["sub"], r["cluster"]] += np.asarray(r["vsum"],
+                                                   dtype=np.float64)
+    out = cents.copy()
+    nz = counts > 0
+    out[nz] = round_half_away(sums[nz] / counts[nz][:, None])
+    return out
+
+
+def pq_assign(ds, cents: np.ndarray,
+              id_col: str = "vec_id", emb_col: str = "embedding"):
+    """One streaming pass: long-format (id, sub, code) PQ codes —
+    the m × ceil(log2 k)-bit compressed representation an IVF-PQ
+    index stores per vector."""
+    m, kk, dsub = cents.shape
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        schema = pa.schema([(id_col, pa.int64()), ("sub", pa.int64()),
+                            ("code", pa.int64())])
+        if n == 0:
+            return schema.empty_table()
+        mat = list_matrix(batch[emb_col].combine_chunks(), n)
+        ids = batch[id_col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            codes[:, s] = _assign(mat[:, s * dsub:(s + 1) * dsub],
+                                  cents[s])
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, m), pa.int64()),
+            "sub": pa.array(np.tile(np.arange(m, dtype=np.int64), n)),
+            "code": pa.array(codes.reshape(-1), pa.int64()),
+        })
+
+    return ds.map_batches(assign_batch, batch_format="pyarrow")
+
+
 def kmeans_assign(ds, cent: np.ndarray,
                   id_col: str = "vec_id", emb_col: str = "embedding"):
     """One streaming pass: (id, cluster) for every row."""

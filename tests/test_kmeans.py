@@ -85,6 +85,53 @@ class TestKMeans:
                           assign_rounds=2) is None
 
 
+class TestPQ:
+    def test_block_split_invariance_and_argmin(self, ray_session):
+        from modernsearchengines_ray.stages.kmeans import (
+            _assign,
+            pq_assign,
+            pq_fit,
+        )
+        mat = _planted(n=120, dim=8, seed=3)
+        ref = None
+        for blocks in (1, 5):
+            cents = pq_fit(_ds(mat, blocks), m=2, k=4, assign_rounds=2)
+            out = pq_assign(_ds(mat, blocks), cents) \
+                .sort(["vec_id", "sub"]).to_pandas()
+            if ref is None:
+                ref = out
+                assert cents.shape == (2, 4, 4)
+                # each code is the argmin codeword of its subvector
+                codes = out["code"].to_numpy().reshape(-1, 2)
+                for s in range(2):
+                    want = _assign(mat[:, s * 4:(s + 1) * 4], cents[s])
+                    assert np.array_equal(codes[:, s], want)
+            else:
+                assert out.equals(ref)
+
+    def test_indivisible_dim_raises(self, ray_session):
+        from modernsearchengines_ray.stages.kmeans import pq_fit
+        with pytest.raises(ValueError):
+            pq_fit(_ds(_planted(n=30, dim=8)), m=3, k=2,
+                   assign_rounds=2)
+
+    def test_quantization_reduces_with_more_codes(self, ray_session):
+        # reconstruction MSE with k=8 codewords must beat k=1 (the
+        # mean) -- a basic sanity bound on the trained codebooks
+        from modernsearchengines_ray.stages.kmeans import pq_assign, pq_fit
+        mat = _planted(n=120, dim=8, seed=5)
+
+        def mse(k):
+            cents = pq_fit(_ds(mat), m=2, k=k, assign_rounds=3)
+            codes = pq_assign(_ds(mat), cents).sort(["vec_id", "sub"]) \
+                .to_pandas()["code"].to_numpy().reshape(-1, 2)
+            rec = np.concatenate(
+                [cents[s][codes[:, s]] for s in range(2)], axis=1)
+            return ((mat - rec) ** 2).mean()
+
+        assert mse(8) < mse(1)
+
+
 def test_round_half_away_matches_sql_round():
     # numpy half-even would give 0.123456 for the first case; DuckDB
     # ROUND (half away from zero) gives 0.123457 -- the engine must
