@@ -14447,6 +14447,85 @@ SELECT vec_id, sub, code FROM ({unions}) ORDER BY vec_id, sub""")
 SQL_PQ_CODEBOOK = _sql_pq()
 
 
+_TEXTRANK_TOP_N = 25
+
+
+def q_textrank_keywords(sf_dir: str):
+    """TextRank corpus keywords (Mihalcea & Tarau 2004): PageRank
+    over the undirected word-adjacency graph (distinct token bigrams,
+    both directions, self-loops dropped), top-``_TEXTRANK_TOP_N``
+    terms by rank.  Edge mining is map-side (per-batch set-dedup
+    shrinks the exchange), the distinct groupby is the ONE edge
+    shuffle, and the power iterations reuse stages/graph.py::pagerank
+    (broadcast rank vector; symmetric edges mean no dangling mass) —
+    the same machinery and 8-decimal final rounding the gated
+    ``pagerank`` entry pins, with the unrolled-CTE oracle replaying
+    all three iterations.  Distributed sort+limit final: the driver
+    sees ``_TEXTRANK_TOP_N`` rows, never the vocabulary."""
+    from ray.data.aggregate import Count
+
+    from ..stages.graph import pagerank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_adj(batch: pa.Table) -> pa.Table:
+        pairs: set[tuple[str, str]] = set()
+        for text in batch["text"].to_pylist():
+            toks = simple_tokens(text)
+            for a, b in zip(toks, toks[1:]):
+                if a != b:
+                    pairs.add((a, b))
+                    pairs.add((b, a))
+        srcs, dsts = zip(*sorted(pairs)) if pairs else ((), ())
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string())})
+
+    edges = ds.map_batches(to_adj, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+
+    scored = pagerank(edges, iters=PAGERANK_ITERS,
+                      damping=PAGERANK_DAMPING)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": batch["node"],
+            "rank": pa.array(
+                [_round_half_away(v, 8) for v in
+                 batch["rank"].to_numpy(zero_copy_only=False)],
+                pa.float64()),
+        })
+
+    return scored.map_batches(finish, batch_format="pyarrow") \
+        .sort(["rank", "term"], descending=[True, False]) \
+        .limit(_TEXTRANK_TOP_N)
+
+
+SQL_TEXTRANK_KEYWORDS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+), adj AS (
+  SELECT arr[i] AS a, arr[i + 1] AS b
+  FROM toks, unnest(range(1, len(arr))) AS t(i)
+  WHERE arr[i] <> arr[i + 1]
+), edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM adj
+    UNION ALL SELECT b, a FROM adj)
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), n AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src AS node, 1.0 / n.n AS rank FROM deg, n),
+{_sql_pagerank_iter('r0', 'r1')},
+{_sql_pagerank_iter('r1', 'r2')},
+{_sql_pagerank_iter('r2', 'r3')}
+SELECT node AS term, round(rank, 8) AS rank FROM r3
+ORDER BY rank DESC, term
+LIMIT {_TEXTRANK_TOP_N}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14705,6 +14784,7 @@ QUERY_FUNCS = {
     "snippet_window": q_snippet_window,
     "kmeans_embeddings": q_kmeans_embeddings,
     "pq_codebook": q_pq_codebook,
+    "textrank_keywords": q_textrank_keywords,
 }
 
 ORACLE_SQL = {
@@ -14936,6 +15016,7 @@ ORACLE_SQL = {
     "snippet_window": SQL_SNIPPET_WINDOW,
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
     "pq_codebook": SQL_PQ_CODEBOOK,
+    "textrank_keywords": SQL_TEXTRANK_KEYWORDS,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
