@@ -14526,6 +14526,105 @@ LIMIT {_TEXTRANK_TOP_N}
 """
 
 
+def q_postings_varint_check(sf_dir: str):
+    """The index's delta+varint position codec (functions/varint.py —
+    the SAME ``encode_grouped_deltas_np`` / ``decode_grouped_deltas_np``
+    pair stages/postings.py writes and pipelines/query.py serves from
+    disk), gated as a SQL ROUNDTRIP: every (term, doc) position list
+    in a batch encodes through ONE vectorized codec call, decodes
+    back, and tf / pos_sum / first / last come FROM THE DECODED
+    array, while ``pos_bytes`` is the exact per-list encoded length
+    (``varint_lengths_np`` over the gaps, reduceat per list).  The
+    oracle recomputes everything from raw text — the byte length via
+    the closed-form ``1 + [gap≥2^7] + [gap≥2^14] + [gap≥2^21]``,
+    exact for gaps < 2^28 (positions are bounded by the 800k-char
+    chunk quirk, far below) — so ANY flipped bit in encode or decode
+    breaks the hash.  Entirely map-side: (term, doc) grouping is
+    within-doc, no shuffle."""
+    from ..functions.varint import (
+        decode_grouped_deltas_np,
+        encode_grouped_deltas_np,
+        varint_lengths_np,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema([
+        ("term", pa.string()), ("doc_id", pa.int64()),
+        ("tf", pa.int64()), ("pos_sum", pa.int64()),
+        ("first_pos", pa.int64()), ("last_pos", pa.int64()),
+        ("pos_bytes", pa.int64()),
+    ])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        docs: list[int] = []
+        counts_l: list[int] = []
+        flat_l: list[int] = []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            per_term: dict[str, list[int]] = {}
+            for i, t in enumerate(simple_tokens(text)):
+                per_term.setdefault(t, []).append(i)
+            for t in sorted(per_term):
+                pos = per_term[t]
+                terms.append(t)
+                docs.append(did)
+                counts_l.append(len(pos))
+                flat_l.extend(pos)
+        if not terms:
+            return out_schema.empty_table()
+        flat = np.asarray(flat_l, np.int64)
+        counts = np.asarray(counts_l, np.int64)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        buf = encode_grouped_deltas_np(flat, starts)
+        dec_flat = decode_grouped_deltas_np(buf, counts)
+        # per-list encoded size: varint length of each stored gap,
+        # summed per list (gap at a list head = the raw position)
+        gaps = np.empty_like(flat)
+        gaps[0] = flat[0]
+        np.subtract(flat[1:], flat[:-1], out=gaps[1:])
+        gaps[starts] = flat[starts]
+        nbytes = np.add.reduceat(varint_lengths_np(gaps), starts)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "tf": pa.array(counts, pa.int64()),
+            "pos_sum": pa.array(np.add.reduceat(dec_flat, starts),
+                                pa.int64()),
+            "first_pos": pa.array(dec_flat[starts], pa.int64()),
+            "last_pos": pa.array(
+                dec_flat[starts + counts - 1], pa.int64()),
+            "pos_bytes": pa.array(nbytes, pa.int64()),
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+SQL_POSTINGS_VARINT_CHECK = """
+WITH w AS (
+  SELECT doc_id, arr[i] AS term, (i - 1)::BIGINT AS pos
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+        FROM documents),
+       unnest(range(1, len(arr) + 1)) AS t(i)
+), g AS (
+  SELECT term, doc_id, pos,
+         COALESCE(pos - lag(pos) OVER (PARTITION BY term, doc_id
+                                       ORDER BY pos), pos) AS delta
+  FROM w
+)
+SELECT term, doc_id, count(*)::BIGINT AS tf,
+       sum(pos)::BIGINT AS pos_sum,
+       min(pos)::BIGINT AS first_pos,
+       max(pos)::BIGINT AS last_pos,
+       sum(1 + (delta >= 128)::INT + (delta >= 16384)::INT
+             + (delta >= 2097152)::INT)::BIGINT AS pos_bytes
+FROM g GROUP BY term, doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14785,6 +14884,7 @@ QUERY_FUNCS = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "pq_codebook": q_pq_codebook,
     "textrank_keywords": q_textrank_keywords,
+    "postings_varint_check": q_postings_varint_check,
 }
 
 ORACLE_SQL = {
@@ -15017,6 +15117,7 @@ ORACLE_SQL = {
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
     "pq_codebook": SQL_PQ_CODEBOOK,
     "textrank_keywords": SQL_TEXTRANK_KEYWORDS,
+    "postings_varint_check": SQL_POSTINGS_VARINT_CHECK,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
