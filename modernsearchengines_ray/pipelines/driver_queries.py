@@ -14461,12 +14461,20 @@ def q_textrank_keywords(sf_dir: str):
     the same machinery and 8-decimal final rounding the gated
     ``pagerank`` entry pins, with the unrolled-CTE oracle replaying
     all three iterations.  Distributed sort+limit final: the driver
-    sees ``_TEXTRANK_TOP_N`` rows, never the vocabulary."""
+    sees ``_TEXTRANK_TOP_N`` rows, never the vocabulary.  The
+    pagerank-internal joins are sized with ``join_partitions_for``
+    (edges ≈ docs × tokens): a synthetic corpus has a tiny
+    vocabulary, and default-width hash exchanges over so few keys
+    deliver empty right-side partitions (the documented Acero
+    no-match failure) — while a real 10⁶-word vocabulary still fans
+    out to the cluster cap."""
     from ray.data.aggregate import Count
 
+    from ..stages.dedup import join_partitions_for
     from ..stages.graph import pagerank
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
 
     def to_adj(batch: pa.Table) -> pa.Table:
         pairs: set[tuple[str, str]] = set()
@@ -14485,7 +14493,8 @@ def q_textrank_keywords(sf_dir: str):
         .drop_columns(["_n"])
 
     scored = pagerank(edges, iters=PAGERANK_ITERS,
-                      damping=PAGERANK_DAMPING)
+                      damping=PAGERANK_DAMPING,
+                      num_partitions=join_partitions_for(n_docs * 64))
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
