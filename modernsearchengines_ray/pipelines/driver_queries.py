@@ -14611,6 +14611,77 @@ def q_postings_varint_check(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow")
 
 
+_WILDCARD_SUFFIX = "er"
+_WILDCARD_INFIX = "ar"
+
+
+def q_wildcard_search(sf_dir: str):
+    """Wildcard term queries over the corpus dictionary — the ES
+    ``wildcard``/Lucene ``*er`` / ``*ar*`` query class the prefix /
+    fuzzy family doesn't cover: every matching vocabulary term with
+    its document frequency, per probe.  Plan: per-batch per-doc
+    DISTINCT terms (map-side df partials) → ONE (term) groupby Sum →
+    a vectorized ``pc.ends_with`` / ``pc.match_substring`` filter per
+    probe — O(vocab) rows through the exchange, never postings.  A
+    leading-wildcard probe at a 10⁶-term dictionary would serve off
+    the REVERSED sorted term array as a range probe (the classic
+    reversed-field trick; functions/termdict.py holds the sorted
+    array) — the corpus-level fold here is the SQL-gateable
+    semantics those serving paths must reproduce."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        for text in batch["text"].to_pylist():
+            terms.extend(set(simple_tokens(text)))
+        return pa.table({"term": pa.array(terms, pa.string())})
+
+    df_tab = ds.map_batches(doc_terms, batch_format="pyarrow") \
+        .add_column("one", lambda b: pa.array(np.ones(len(b), np.int64))) \
+        .groupby("term").aggregate(Sum("one", alias_name="df"))
+
+    def match(batch: pa.Table) -> pa.Table:
+        t = batch["term"]
+        d = batch["df"]
+        out = []
+        for label, keep in (
+                (f"*{_WILDCARD_SUFFIX}",
+                 pc.ends_with(t, pattern=_WILDCARD_SUFFIX)),
+                (f"*{_WILDCARD_INFIX}*",
+                 pc.match_substring(t, pattern=_WILDCARD_INFIX))):
+            sel = pa.table({"term": t, "df": d}).filter(keep)
+            out.append(pa.table({
+                "pattern": pa.array([label] * sel.num_rows, pa.string()),
+                "term": sel["term"],
+                "df": sel["df"].cast(pa.int64()),
+            }))
+        return pa.concat_tables(out)
+
+    return df_tab.map_batches(match, batch_format="pyarrow") \
+        .sort(["pattern", "df", "term"], descending=[False, True, False])
+
+
+SQL_WILDCARD_SEARCH = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents)
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM w GROUP BY term
+)
+SELECT pattern, term, df FROM (
+  SELECT '*{_WILDCARD_SUFFIX}' AS pattern, term, df FROM df
+  WHERE term LIKE '%{_WILDCARD_SUFFIX}'
+  UNION ALL
+  SELECT '*{_WILDCARD_INFIX}*' AS pattern, term, df FROM df
+  WHERE term LIKE '%{_WILDCARD_INFIX}%'
+) ORDER BY pattern, df DESC, term
+"""
+
+
 SQL_POSTINGS_VARINT_CHECK = """
 WITH w AS (
   SELECT doc_id, arr[i] AS term, (i - 1)::BIGINT AS pos
@@ -14894,6 +14965,7 @@ QUERY_FUNCS = {
     "pq_codebook": q_pq_codebook,
     "textrank_keywords": q_textrank_keywords,
     "postings_varint_check": q_postings_varint_check,
+    "wildcard_search": q_wildcard_search,
 }
 
 ORACLE_SQL = {
@@ -15127,6 +15199,7 @@ ORACLE_SQL = {
     "pq_codebook": SQL_PQ_CODEBOOK,
     "textrank_keywords": SQL_TEXTRANK_KEYWORDS,
     "postings_varint_check": SQL_POSTINGS_VARINT_CHECK,
+    "wildcard_search": SQL_WILDCARD_SEARCH,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
