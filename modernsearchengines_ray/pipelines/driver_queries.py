@@ -14682,6 +14682,119 @@ SELECT pattern, term, df FROM (
 """
 
 
+_SPELL_PROBES = ("jion", "qurey", "stram", "tabel", "zzzzzz")
+_SPELL_MAX_EDITS = 2
+
+
+def q_spell_correct(sf_dir: str):
+    """Corpus-driven "did you mean" (the Norvig election behind the
+    M17 spellcheck family, reference retrieval.py:334-338, made
+    distributed and SQL-gated): for each probe, the dictionary term
+    within ``_SPELL_MAX_EDITS`` Levenshtein edits with the smallest
+    distance, then the highest document frequency, then
+    lexicographically first.  Plan: map-side per-doc distinct terms →
+    ONE (term) groupby Sum builds the df dictionary; candidate
+    scoring is a vectorized-per-block scan using the CAPPED DP
+    (functions/editdist.py, O(cap·len) per rejected term — at a
+    10⁶-term dictionary the serving path additionally prunes to the
+    ±cap length band via the sorted TermDict, same as fuzzy
+    expansion); the winner election is ONE probe-keyed exchange +
+    a first-per-run kernel, never a driver fold.  Probes with no
+    candidate yield no row (SQL mirror: the join simply finds
+    nothing).  DuckDB's ``levenshtein`` is the oracle metric and
+    functions/editdist.py is pinned to it."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.editdist import levenshtein
+    from ..stages.windows import keyed_blocks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        for text in batch["text"].to_pylist():
+            terms.extend(set(simple_tokens(text)))
+        return pa.table({"term": pa.array(terms, pa.string())})
+
+    df_tab = ds.map_batches(doc_terms, batch_format="pyarrow") \
+        .add_column("one", lambda b: pa.array(np.ones(len(b), np.int64))) \
+        .groupby("term").aggregate(Sum("one", alias_name="df"))
+
+    cand_schema = pa.schema([
+        ("probe", pa.string()), ("term", pa.string()),
+        ("dist", pa.int64()), ("df", pa.int64()),
+    ])
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        dfs = batch["df"].to_numpy(zero_copy_only=False)
+        probes_out, terms_out, dists, dfs_out = [], [], [], []
+        for probe in _SPELL_PROBES:
+            for t, d in zip(terms, dfs):
+                dist = levenshtein(probe, t, cap=_SPELL_MAX_EDITS)
+                if dist <= _SPELL_MAX_EDITS:
+                    probes_out.append(probe)
+                    terms_out.append(t)
+                    dists.append(dist)
+                    dfs_out.append(int(d))
+        if not probes_out:
+            return cand_schema.empty_table()
+        return pa.table({
+            "probe": pa.array(probes_out, pa.string()),
+            "term": pa.array(terms_out, pa.string()),
+            "dist": pa.array(dists, pa.int64()),
+            "df": pa.array(dfs_out, pa.int64()),
+        })
+
+    cand = df_tab.map_batches(candidates, batch_format="pyarrow")
+
+    def best_per_probe(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return cand_schema.empty_table()
+        probe = batch["probe"].to_numpy(zero_copy_only=False)
+        term = batch["term"].to_numpy(zero_copy_only=False)
+        dist = batch["dist"].to_numpy(zero_copy_only=False)
+        df = batch["df"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((term, -df, dist, probe))
+        sp = probe[order]
+        heads = order[np.flatnonzero(
+            np.r_[True, sp[1:] != sp[:-1]])]
+        return batch.take(pa.array(np.sort(heads)))
+
+    return keyed_blocks(cand, ["probe"]) \
+        .map_batches(best_per_probe, batch_size=None,
+                     batch_format="pyarrow") \
+        .sort("probe")
+
+
+def _sql_spell_correct() -> str:
+    probes = ", ".join(f"('{p}')" for p in _SPELL_PROBES)
+    return f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents)
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM w GROUP BY term
+), probes(probe) AS (VALUES {probes}),
+cand AS (
+  SELECT p.probe, d.term,
+         levenshtein(p.probe, d.term)::BIGINT AS dist, d.df
+  FROM probes p, df d
+  WHERE levenshtein(p.probe, d.term) <= {_SPELL_MAX_EDITS}
+)
+SELECT probe, term, dist, df FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe
+                               ORDER BY dist, df DESC, term) AS rn
+  FROM cand) WHERE rn = 1
+ORDER BY probe
+"""
+
+
+SQL_SPELL_CORRECT = _sql_spell_correct()
+
+
 SQL_POSTINGS_VARINT_CHECK = """
 WITH w AS (
   SELECT doc_id, arr[i] AS term, (i - 1)::BIGINT AS pos
@@ -14966,6 +15079,7 @@ QUERY_FUNCS = {
     "textrank_keywords": q_textrank_keywords,
     "postings_varint_check": q_postings_varint_check,
     "wildcard_search": q_wildcard_search,
+    "spell_correct": q_spell_correct,
 }
 
 ORACLE_SQL = {
@@ -15200,6 +15314,7 @@ ORACLE_SQL = {
     "textrank_keywords": SQL_TEXTRANK_KEYWORDS,
     "postings_varint_check": SQL_POSTINGS_VARINT_CHECK,
     "wildcard_search": SQL_WILDCARD_SEARCH,
+    "spell_correct": SQL_SPELL_CORRECT,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
