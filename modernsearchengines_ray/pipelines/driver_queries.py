@@ -14901,6 +14901,88 @@ FROM paa ORDER BY event_type, segment
 """
 
 
+_RP_OUT_DIM = 16
+_RP_M1 = 2654435761  # Knuth multiplicative constant
+_RP_M2 = 2246822519  # xxhash32 prime 2
+
+
+def _rp_signs(dim: int, out_dim: int) -> np.ndarray:
+    """The deterministic ±1 projection matrix, derived per cell from
+    the engine's multiplicative-hash rule — reproducible on any
+    worker with no RNG state or broadcast (the same
+    hash-instead-of-RNG contract the sampling family uses), and
+    expressible verbatim in SQL (HUGEINT arithmetic)."""
+    i = np.arange(1, dim + 1, dtype=np.uint64)[:, None]
+    j = np.arange(out_dim, dtype=np.uint64)[None, :]
+    h = (i * np.uint64(_RP_M1) + j * np.uint64(_RP_M2)) \
+        % np.uint64(1 << 32)
+    return np.where(h < np.uint64(1 << 31), 1.0, -1.0)
+
+
+def q_rp_embed(sf_dir: str):
+    """Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1
+    variant) of the embedding column down to ``_RP_OUT_DIM`` dims —
+    the sketching step in front of LSH / clustering when d is large.
+    The sign matrix is HASH-DERIVED per cell (no RNG, no broadcast:
+    every map task rebuilds the d × k matrix from two multiplicative
+    constants), the projection is one matmul per batch, and the
+    output is long-format ``(vec_id, j, val)`` with values rounded
+    half-away to 6 decimals — the SQL oracle regenerates the same
+    matrix cell-for-cell with HUGEINT arithmetic and folds the same
+    sum.  ONE streaming pass, no shuffle (the final sort is the
+    gate's presentation order)."""
+    from ..functions.arrowlist import list_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    scale = float(np.sqrt(_RP_OUT_DIM))
+
+    def project(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        schema = pa.schema([("vec_id", pa.int64()), ("j", pa.int64()),
+                            ("val", pa.float64())])
+        if n == 0:
+            return schema.empty_table()
+        mat = list_matrix(batch["embedding"].combine_chunks(), n)
+        signs = _rp_signs(mat.shape[1], _RP_OUT_DIM)
+        red = (mat @ signs) / scale
+        f = 1e6
+        red = np.copysign(np.floor(np.abs(red) * f + 0.5), red) / f
+        ids = batch["vec_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, _RP_OUT_DIM), pa.int64()),
+            "j": pa.array(np.tile(np.arange(_RP_OUT_DIM, dtype=np.int64),
+                                  n)),
+            "val": pa.array(red.reshape(-1), pa.float64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow") \
+        .sort(["vec_id", "j"])
+
+
+SQL_RP_EMBED = f"""
+WITH pts_long AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), dims AS (SELECT DISTINCT dim FROM pts_long),
+js AS (SELECT unnest(range(0, {_RP_OUT_DIM})) AS j),
+proj AS (
+  SELECT d.dim, js.j,
+         CASE WHEN CAST((d.dim::HUGEINT * {_RP_M1}
+                         + js.j::HUGEINT * {_RP_M2}) % 4294967296
+                    AS BIGINT) < 2147483648
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM dims d, js
+)
+SELECT p.vec_id, pr.j::BIGINT AS j,
+       round(SUM(p.x * pr.s) / sqrt({_RP_OUT_DIM}.0), 6) AS val
+FROM pts_long p JOIN proj pr ON pr.dim = p.dim
+GROUP BY p.vec_id, pr.j
+ORDER BY vec_id, j
+"""
+
+
 SQL_POSTINGS_VARINT_CHECK = """
 WITH w AS (
   SELECT doc_id, arr[i] AS term, (i - 1)::BIGINT AS pos
@@ -15187,6 +15269,7 @@ QUERY_FUNCS = {
     "wildcard_search": q_wildcard_search,
     "spell_correct": q_spell_correct,
     "sax_events": q_sax_events,
+    "rp_embed": q_rp_embed,
 }
 
 ORACLE_SQL = {
@@ -15423,6 +15506,7 @@ ORACLE_SQL = {
     "wildcard_search": SQL_WILDCARD_SEARCH,
     "spell_correct": SQL_SPELL_CORRECT,
     "sax_events": SQL_SAX_EVENTS,
+    "rp_embed": SQL_RP_EMBED,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its
