@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     # doc_similarity (118 s at sf0.1) stays OUT per the ~8 s/entry
     # tail budget; its tiers are timed by tests/gate instead.
     "shuffle_export", "mutual_nn_partitioned", "bpe_vocab",
+    # round-5 second wave: iterative closure-broadcast centroid
+    # rounds (multi-pass Lloyd's) — a shape no other benched entry has
+    "kmeans_embeddings",
 ]
 
 SEARCH_QUERIES = [
