@@ -14285,7 +14285,7 @@ def q_kmeans_embeddings(sf_dir: str):
     cluster), the driver reduce is O(k × dim), and the k × dim
     centroid matrix ships in the batch-fn closure.  Deterministic on
     any cluster size / block split: init = the k smallest vec_ids
-    (distributed sort+limit head), argmin ties break to the smallest
+    (per-block partial heads, no global sort), argmin ties break to the smallest
     cluster index, and each centroid update is rounded
     half-away-from-zero to 6 decimals — exactly the decisions the
     unrolled-CTE SQL oracle (:func:`_sql_kmeans`) replays, so the
@@ -14371,7 +14371,7 @@ def q_pq_codebook(sf_dir: str):
     subspace's partials from ONE partials map), so training costs the
     same passes as one full-dim k-means; the codebook tensor is
     O(m·k·d/m) = O(k·d) and ships in the closure.  Same determinism
-    contract as ``kmeans_embeddings`` (shared sort+limit init,
+    contract as ``kmeans_embeddings`` (shared partial-head init,
     half-away 6-decimal centroid rounding, argmin ties to the smaller
     code, COALESCE on empty codewords), replayed per subspace by the
     unrolled SQL oracle — the (vec_id, sub, code) output is

@@ -15,7 +15,7 @@ multi-pass variant).  Plan shape per assignment round:
 Nothing materializes the corpus: each round re-reads the (lazy) input
 dataset, which at 100 TB is the spill-safe choice vs pinning a
 materialized copy in the object store.  Determinism: init = the k
-smallest ids' vectors (a distributed sort+limit head), argmin ties
+smallest ids' vectors (per-block partial heads, O(blocks*k) merge), argmin ties
 break to the smallest cluster index, and every centroid update is
 rounded half-away-from-zero to 6 decimals -- the same contract DuckDB's
 ``ROUND`` applies -- so the driver entry's unrolled-CTE SQL oracle
@@ -60,6 +60,32 @@ def _assign(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
+def _k_smallest(ds, k: int, id_col: str, emb_col: str) -> list[dict]:
+    """The k smallest-id rows WITHOUT a global sort: each block emits
+    its local k-head (one argsort partition per block), the driver
+    merges O(blocks × k) rows — versus ``sort().limit(k)``'s
+    all-to-all exchange of the whole corpus for a k-row head.  At
+    10^5 blocks × k=16 the driver holds ~10^6 id+vector rows, still
+    far below one exchange partition."""
+
+    def local_head(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([(id_col, pa.int64()),
+                            (emb_col, pa.list_(pa.float64()))])
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:k]
+        sel = batch.take(pa.array(take))
+        return pa.table({
+            id_col: sel[id_col].cast(pa.int64()),
+            emb_col: sel[emb_col].cast(pa.list_(pa.float64())),
+        })
+
+    rows = ds.map_batches(local_head, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return rows[:k]
+
+
 def kmeans_fit(ds, k: int, assign_rounds: int,
                id_col: str = "vec_id", emb_col: str = "embedding"):
     """Fit centroids with ``assign_rounds`` assignment passes and
@@ -70,7 +96,7 @@ def kmeans_fit(ds, k: int, assign_rounds: int,
     Returns the (k', dim) float64 centroid matrix (k' = min(k, n),
     rounded to 6 decimals), or ``None`` for an empty input.
     """
-    head = ds.sort(id_col).limit(k).take_all()
+    head = _k_smallest(ds, k, id_col, emb_col)
     if not head:
         return None
     init = np.asarray([row[emb_col] for row in head], dtype=np.float64)
@@ -123,14 +149,14 @@ def pq_fit(ds, m: int, k: int, assign_rounds: int,
     for all subspaces at once, O(blocks × m × k) rows total), so the
     cost over ``assign_rounds`` is identical to one full-dim k-means,
     not m of them.  Init for every subspace = the k smallest ids'
-    sub-vectors (one shared sort+limit head); the same rounding /
+    sub-vectors (one shared partial-head election); the same rounding /
     tie / empty-cluster contract as :func:`kmeans_fit` keeps the SQL
     oracle in lockstep.
 
     Returns the (m, k', d_sub) float64 codebook tensor or ``None`` for
     an empty input.
     """
-    head = ds.sort(id_col).limit(k).take_all()
+    head = _k_smallest(ds, k, id_col, emb_col)
     if not head:
         return None
     init = np.asarray([row[emb_col] for row in head], dtype=np.float64)
