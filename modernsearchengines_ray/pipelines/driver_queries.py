@@ -14475,6 +14475,14 @@ def q_textrank_keywords(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = ds.count()
+    if n_docs == 0:
+        # SQL mirror: no docs -> no word graph -> no keyword rows
+        # (and a schema-less empty edge dataset must not reach the
+        # pagerank joins)
+        import ray.data
+        return ray.data.from_arrow(pa.schema(
+            [("term", pa.string()),
+             ("rank", pa.float64())]).empty_table())
 
     def to_adj(batch: pa.Table) -> pa.Table:
         pairs: set[tuple[str, str]] = set()
@@ -15140,6 +15148,14 @@ def q_dup_rate_by_source(sf_dir: str):
     nparts = default_join_partitions()
     ds = _read(sf_dir, "documents",
                columns=["doc_id", "source", "text"])
+    if ds.count() == 0:
+        # SQL mirror: empty corpus -> no per-source rows (and a
+        # schema-less empty LEFT side must not reach the hash join)
+        import ray.data
+        return ray.data.from_arrow(pa.schema(
+            [("source", pa.string()), ("docs", pa.int64()),
+             ("dups", pa.int64()),
+             ("dup_rate", pa.float64())]).empty_table())
 
     def hash_rows(batch: pa.Table) -> pa.Table:
         import hashlib

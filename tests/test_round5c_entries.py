@@ -190,6 +190,15 @@ class TestDupRate:
         assert out.loc["s2", "dup_rate"] == 0.5
 
 
+class TestEmptyCorpus:
+    def test_textrank_and_dup_rate_empty(self, ray_session, tmp_sf):
+        # both entries feed hash joins whose inputs would otherwise be
+        # schema-less empties (the documented Acero failure)
+        sf = _docs(tmp_sf, [], sources=[])
+        assert q_textrank_keywords(sf).count() == 0
+        assert q_dup_rate_by_source(sf).count() == 0
+
+
 class TestTextrank:
     def test_hub_word_ranks_first(self, ray_session, tmp_sf):
         sf = _docs(tmp_sf, ["alpha beta", "beta gamma",
