@@ -1,0 +1,130 @@
+"""Known-value edge tests for the round-5d additions (Welch t-test,
+Mann-Whitney U, clustering coefficient, k-core decomposition).  The
+SQL-parity gate runs in test_driver_queries; these pin the math and
+the empty/degenerate behavior on hand-built inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from modernsearchengines_ray.pipelines.driver_queries import (
+    q_clustering_coefficient,
+    q_kcore,
+    q_mann_whitney,
+    q_welch_ttest,
+)
+
+
+@pytest.fixture()
+def tmp_sf(tmp_path):
+    def write(table: str, tab: pa.Table):
+        pq.write_table(tab, tmp_path / f"{table}.parquet")
+        return str(tmp_path)
+    return write
+
+
+def _lineitem(tmp_sf, prices, flags):
+    return tmp_sf("lineitem", pa.table({
+        "l_extendedprice": pa.array(prices, pa.float64()),
+        "l_returnflag": pa.array(flags, pa.string()),
+    }))
+
+
+def _events(tmp_sf, user_ids):
+    n = len(user_ids)
+    return tmp_sf("events", pa.table({
+        "event_id": pa.array(list(range(n)), pa.int64()),
+        "user_id": pa.array(user_ids, pa.int64()),
+    }))
+
+
+class TestWelchTTest:
+    def test_known_value(self, ray_session, tmp_sf):
+        # A: [1, 2, 3] (mean 2, var 1); R: [2, 4, 6, 8] (mean 5, var 20/3)
+        sf = _lineitem(tmp_sf, [1, 2, 3, 2, 4, 6, 8],
+                       ["A", "A", "A", "R", "R", "R", "R"])
+        out = q_welch_ttest(sf)
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["n_a"], r["n_r"]) == (3, 4)
+        assert r["mean_a"] == 2.0 and r["mean_r"] == 5.0
+        se = 1 / 3 + (20 / 3) / 4
+        t = (2.0 - 5.0) / np.sqrt(se)
+        dof = se ** 2 / ((1 / 3) ** 2 / 2 + ((20 / 3) / 4) ** 2 / 3)
+        assert r["t_stat"] == round(t, 6)
+        assert r["dof"] == round(dof, 4)
+
+    def test_one_sided_and_empty(self, ray_session, tmp_sf):
+        # SQL mirror: a side with n < 2 has no var_samp row -> empty
+        sf = _lineitem(tmp_sf, [1.0, 2.0, 3.0], ["A", "A", "R"])
+        assert len(q_welch_ttest(sf)) == 0
+        sf = _lineitem(tmp_sf, [], [])
+        assert len(q_welch_ttest(sf)) == 0
+
+
+class TestMannWhitney:
+    def test_known_value_with_ties(self, ray_session, tmp_sf):
+        # A: [1, 2, 2]; R: [2, 3]  -> midranks: 1->1, 2->3 (ties 2,3,4), 3->5
+        # R_a = 1 + 3 + 3 = 7; U1 = 7 - 3*4/2 = 1
+        sf = _lineitem(tmp_sf, [1, 2, 2, 2, 3],
+                       ["A", "A", "A", "R", "R"])
+        out = q_mann_whitney(sf)
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["n_a"], r["n_r"]) == (3, 2)
+        assert r["u_stat"] == 1.0
+        # tie correction: one tie group of 3 -> sum(t^3 - t) = 24
+        sigma2 = 3 * 2 / 12 * ((5 + 1) - 24 / (5 * 4))
+        z = (1.0 - 3 * 2 / 2) / np.sqrt(sigma2)
+        assert r["z_stat"] == round(z, 6)
+
+    def test_one_sided_and_empty(self, ray_session, tmp_sf):
+        sf = _lineitem(tmp_sf, [1.0, 2.0], ["A", "A"])
+        assert len(q_mann_whitney(sf)) == 0
+        sf = _lineitem(tmp_sf, [], [])
+        assert len(q_mann_whitney(sf)) == 0
+
+
+class TestClusteringCoefficient:
+    def test_known_graph(self, ray_session, tmp_sf):
+        # users {0,1,2} -> edges 0-1,0-2,1-2,1-3,2-3,2-4; adjacency:
+        # cc(0)=1, cc(1)=2/3, cc(2)=2/6, cc(3)=1, cc(4)=0 -> avg 3/5
+        sf = _events(tmp_sf, [0, 1, 2, 1, 0])
+        out = q_clustering_coefficient(sf)
+        assert len(out) == 1
+        assert out.iloc[0]["n_nodes"] == 5
+        assert out.iloc[0]["avg_cc"] == 0.6
+
+    def test_triangle_free(self, ray_session, tmp_sf):
+        # a single u%10==8 user -> one edge 8-9, no wedges -> avg 0
+        sf = _events(tmp_sf, [8])
+        out = q_clustering_coefficient(sf)
+        assert out.iloc[0]["n_nodes"] == 2
+        assert out.iloc[0]["avg_cc"] == 0.0
+
+    def test_empty(self, ray_session, tmp_sf):
+        assert len(q_clustering_coefficient(_events(tmp_sf, []))) == 0
+
+
+class TestKCore:
+    def test_parity_decades(self, ray_session, tmp_sf):
+        # even decade 0..9 -> squared path P10^2 (every node core 2);
+        # odd decade 10..19 -> plain path P10 (every node core 1)
+        sf = _events(tmp_sf, list(range(20)))
+        out = q_kcore(sf).set_index("core")
+        assert sorted(out.index) == [1, 2]
+        assert out.loc[1, "n_nodes"] == 10
+        assert out.loc[2, "n_nodes"] == 10
+
+    def test_single_edge(self, ray_session, tmp_sf):
+        # one user u%10==8 in an even decade -> edge 8-9 only -> core 1
+        sf = _events(tmp_sf, [8])
+        out = q_kcore(sf)
+        assert len(out) == 1
+        assert out.iloc[0]["core"] == 1 and out.iloc[0]["n_nodes"] == 2
+
+    def test_empty(self, ray_session, tmp_sf):
+        assert len(q_kcore(_events(tmp_sf, []))) == 0
