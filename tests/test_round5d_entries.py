@@ -11,6 +11,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from modernsearchengines_ray.pipelines.driver_queries import (
+    q_champion_topk,
     q_clustering_coefficient,
     q_kcore,
     q_mann_whitney,
@@ -107,6 +108,32 @@ class TestClusteringCoefficient:
 
     def test_empty(self, ray_session, tmp_sf):
         assert len(q_clustering_coefficient(_events(tmp_sf, []))) == 0
+
+
+class TestChampionTopK:
+    def _docs(self, tmp_sf, texts):
+        return tmp_sf("documents", pa.table({
+            "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+
+    def test_pruning_semantics(self, ray_session, tmp_sf):
+        # m=1: champions(data)={1} (tf 2), champions(join)={3} (tf 3);
+        # doc 2 holds BOTH terms but makes neither champion list ->
+        # excluded from the candidate set (the inexact-top-k point)
+        sf = self._docs(tmp_sf, ["data data", "data join",
+                                 "join join join"])
+        out = q_champion_topk(sf, m=1)
+        assert sorted(out["doc_id"]) == [1, 3]
+
+    def test_tie_breaks_on_doc_id(self, ray_session, tmp_sf):
+        # equal tf -> champion is the LOWER doc_id (rn orders doc_id asc)
+        sf = self._docs(tmp_sf, ["x data y", "data z"])
+        out = q_champion_topk(sf, m=1)
+        assert sorted(out["doc_id"]) == [1]
+
+    def test_empty(self, ray_session, tmp_sf):
+        assert len(q_champion_topk(self._docs(tmp_sf, []))) == 0
 
 
 class TestKCore:
