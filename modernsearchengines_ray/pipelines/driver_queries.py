@@ -2243,6 +2243,118 @@ SELECT node, round(rank, 8) AS rank FROM r3
 """
 
 
+def _ppr_seed_pred(nodes_arr) -> np.ndarray:
+    """Seed predicate for personalized_pagerank: customer nodes whose
+    key ends in 0 ('c<custkey>' with custkey % 10 == 0) — decidable
+    from the node key alone, so the stage stays broadcast-free."""
+    s = pd.Series(np.asarray(nodes_arr, dtype=object)).astype(str)
+    nums = pd.to_numeric(s.str[1:], errors="coerce")
+    return (s.str.startswith("c")
+            & (nums % 10 == 0)).to_numpy(dtype=bool)
+
+
+def q_personalized_pagerank(sf_dir: str, reduce: str = "broadcast"):
+    """Personalized PageRank / random walk with restart (Haveliwala
+    2002) over the symmetrized customer–part purchase graph: restart
+    set = customers with custkey % 10 == 0, personalization uniform
+    over seeds, 3 power iterations from p — the recommendation /
+    related-items primitive (scores concentrate around the seed
+    neighborhoods instead of global centrality).
+
+    Scale shape = the pagerank entry's (stages/graph.py), with
+    teleport and dangling mass following p: the seed set is a
+    VECTORIZED node-key predicate, so no seed list is broadcast or
+    shuffled at any seed-set size.  SQL oracle = the restart
+    recurrence unrolled 3 CTE levels, shared by both reduce tiers."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import default_join_partitions
+    from ..stages.graph import pagerank
+
+    nparts = default_join_partitions()
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"])
+    joined = li.rename_columns({"l_orderkey": "o_orderkey"}) \
+        .join(orders, "inner", num_partitions=nparts,
+              on=("o_orderkey",))
+
+    def to_pair(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.array([f"c{c}" for c in
+                           batch["o_custkey"].to_pylist()], pa.string()),
+            "b": pa.array([f"p{p}" for p in
+                           batch["l_partkey"].to_pylist()], pa.string()),
+        })
+
+    pairs = joined.map_batches(to_pair, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count(alias_name="n")) \
+        .drop_columns(["n"])
+    fwd = pairs.rename_columns({"a": "src", "b": "dst"})
+    rev = pairs.rename_columns({"a": "dst", "b": "src"}) \
+        .select_columns(["src", "dst"])
+    edges = fwd.union(rev)
+
+    ranks = pagerank(edges, iters=PAGERANK_ITERS,
+                     damping=PAGERANK_DAMPING, reduce=reduce,
+                     seed_pred=_ppr_seed_pred)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "rank": pa.array(
+                [_round_half_away(r, 8) for r in
+                 batch["rank"].to_numpy(zero_copy_only=False)],
+                pa.float64()),
+        })
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_ppr_iter(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT nd.node,
+         {1 - PAGERANK_DAMPING} * (CASE WHEN s.node IS NOT NULL
+                                        THEN 1.0 / ns.k ELSE 0.0 END)
+           + {PAGERANK_DAMPING} * coalesce(c.contrib, 0) AS rank
+  FROM nodesall nd
+  LEFT JOIN seeds s USING (node)
+  LEFT JOIN (
+    SELECT e.dst AS node, sum({prev}.rank / d2.outdeg) AS contrib
+    FROM edges e
+    JOIN {prev} ON e.src = {prev}.node
+    JOIN deg d2 ON e.src = d2.src
+    GROUP BY e.dst
+  ) c USING (node), ns
+)"""
+
+
+SQL_PERSONALIZED_PAGERANK = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS a, 'p' || l_partkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), nodesall AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (
+  SELECT node FROM nodesall
+  WHERE node LIKE 'c%' AND (substr(node, 2)::BIGINT) % 10 = 0
+), ns AS (SELECT count(*)::DOUBLE AS k FROM seeds),
+r0 AS (
+  SELECT nd.node, CASE WHEN s.node IS NOT NULL
+                       THEN 1.0 / ns.k ELSE 0.0 END AS rank
+  FROM nodesall nd LEFT JOIN seeds s USING (node), ns
+),
+{_sql_ppr_iter('r0', 'r1')},
+{_sql_ppr_iter('r1', 'r2')},
+{_sql_ppr_iter('r2', 'r3')}
+SELECT node, round(rank, 8) AS rank FROM r3
+"""
+
+
 HITS_ITERS = 2
 
 
@@ -16083,6 +16195,10 @@ QUERY_FUNCS = {
     "connected_components": q_connected_components,
     "pagerank_partitioned":
         lambda sf_dir: q_pagerank(sf_dir, reduce="partitioned"),
+    "personalized_pagerank": q_personalized_pagerank,
+    "personalized_pagerank_partitioned":
+        lambda sf_dir: q_personalized_pagerank(sf_dir,
+                                               reduce="partitioned"),
     "hits": q_hits,
     "hits_partitioned":
         lambda sf_dir: q_hits(sf_dir, reduce="partitioned"),
@@ -16325,6 +16441,8 @@ ORACLE_SQL = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "pagerank": SQL_PAGERANK,
     "pagerank_partitioned": SQL_PAGERANK,
+    "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
+    "personalized_pagerank_partitioned": SQL_PERSONALIZED_PAGERANK,
     "hits": SQL_HITS,
     "hits_partitioned": SQL_HITS,
     "triangle_count": SQL_TRIANGLE_COUNT,

@@ -40,8 +40,20 @@ def _col_np(col) -> np.ndarray:
 
 def pagerank(edges, iters: int = 3, damping: float = 0.85,
              num_partitions: int | None = None,
-             reduce: str = "broadcast"):
+             reduce: str = "broadcast", seed_pred=None):
     """Ranks after ``iters`` power iterations from the uniform vector.
+
+    ``seed_pred`` switches to PERSONALIZED PageRank (random walk with
+    restart, Haveliwala 2002): a VECTORIZED predicate
+    ``node_array -> bool mask`` naming the restart (seed) set.  The
+    personalization vector p is uniform over seeds and zero elsewhere;
+    start vector, teleport AND dangling mass all follow p instead of
+    the uniform 1/n.  A predicate (not a seed list) keeps the stage
+    shuffle- and broadcast-free at any seed-set size — membership is
+    recomputed per node batch from the key itself; callers with an
+    explicit id list wrap a broadcast sorted-array probe in the
+    predicate.  An empty seed set yields the all-zero vector (the
+    p = 0 fixpoint), mirroring the SQL oracle.
 
     ``edges``: Dataset with string/int columns (src, dst), assumed
     deduplicated.  Dangling nodes (appearing only as ``dst``) are
@@ -102,6 +114,24 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85,
         weigh, batch_format="pyarrow").materialize()
     teleport = (1.0 - damping) / n_nodes
 
+    inv_seeds = 0.0
+    if seed_pred is not None:
+        # |seeds| via one O(blocks) partial pass over the node set
+        def seed_partials(batch: pa.Table) -> pa.Table:
+            mask = seed_pred(_col_np(batch["node"]))
+            return pa.table({"k": pa.array([int(np.asarray(mask).sum())],
+                                           pa.int64())})
+
+        n_seeds = int(sum(
+            r["k"] for r in nodes.map_batches(
+                seed_partials, batch_format="pyarrow").take_all()))
+        inv_seeds = 1.0 / n_seeds if n_seeds else 0.0
+
+    def p_vec(node_col) -> np.ndarray:
+        """Personalization value per node of a batch (seeded mode)."""
+        mask = np.asarray(seed_pred(_col_np(node_col)), dtype=bool)
+        return mask.astype(np.float64) * inv_seeds
+
     # dangling flag per node (outdeg missing) — one left_outer join at
     # setup; the flag rides the rank state as a 0/1 float so each
     # iteration's mass sum is a plain streaming aggregate
@@ -111,7 +141,10 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85,
     def init(batch: pa.Table) -> pa.Table:
         out_col = batch["outdeg"].to_numpy(zero_copy_only=False)
         dang = np.isnan(out_col.astype(np.float64)).astype(np.float64)
-        r = pa.nulls(len(batch), pa.float64()).fill_null(1.0 / n_nodes)
+        if seed_pred is None:
+            r = pa.nulls(len(batch), pa.float64()).fill_null(1.0 / n_nodes)
+        else:
+            r = pa.array(p_vec(batch["node"]), pa.float64())
         return pa.table({"node": batch["node"], "rank": r,
                          "dang": pa.array(dang, pa.float64())})
 
@@ -201,10 +234,17 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85,
 
         def fold(batch: pa.Table, dm=dm_over_n) -> pa.Table:
             acc = batch["acc"].to_numpy(zero_copy_only=False)
+            if seed_pred is None:
+                r = teleport + damping * (acc + dm)
+            else:
+                # teleport AND dangling mass follow the
+                # personalization vector, not the uniform 1/n
+                p = p_vec(batch["node"])
+                r = (1.0 - damping) * p \
+                    + damping * (acc + dm * n_nodes * p)
             return pa.table({
                 "node": batch["node"],
-                "rank": pa.array(teleport + damping * (acc + dm),
-                                 pa.float64()),
+                "rank": pa.array(r, pa.float64()),
             })
 
         folded = summed.map_batches(fold, batch_format="pyarrow")

@@ -136,6 +136,43 @@ class TestChampionTopK:
         assert len(q_champion_topk(self._docs(tmp_sf, []))) == 0
 
 
+class TestPersonalizedPagerank:
+    def _edges(self, rows):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "src": pa.array([r[0] for r in rows], pa.string()),
+            "dst": pa.array([r[1] for r in rows], pa.string()),
+        }))
+
+    def test_restart_recurrence(self, ray_session):
+        from modernsearchengines_ray.stages.graph import pagerank
+
+        # two disjoint symmetric pairs; seed = {a}: the c-d component
+        # must stay at 0 (no seed, no path from one), and a/b follow
+        # the closed-form restart recurrence
+        edges = self._edges([("a", "b"), ("b", "a"),
+                             ("c", "d"), ("d", "c")])
+        out = pagerank(edges, iters=3, damping=0.85, num_partitions=2,
+                       seed_pred=lambda ns: np.asarray(
+                           [n == "a" for n in ns])) \
+            .to_pandas().set_index("node")["rank"]
+        # r1: a=.15, b=.85; r2: a=.15+.85*.85, b=.85*.15;
+        # r3: a=.15+.85*.1275, b=.85*.8725
+        assert abs(out["a"] - 0.258375) < 1e-12
+        assert abs(out["b"] - 0.741625) < 1e-12
+        assert out["c"] == 0.0 and out["d"] == 0.0
+
+    def test_empty_seed_set_is_zero_vector(self, ray_session):
+        from modernsearchengines_ray.stages.graph import pagerank
+
+        edges = self._edges([("a", "b"), ("b", "a")])
+        out = pagerank(edges, iters=2, damping=0.85, num_partitions=2,
+                       seed_pred=lambda ns: np.zeros(len(ns),
+                                                     dtype=bool)) \
+            .to_pandas()
+        assert (out["rank"] == 0.0).all()
+
+
 class TestKCore:
     def test_parity_decades(self, ray_session, tmp_sf):
         # even decade 0..9 -> squared path P10^2 (every node core 2);
