@@ -216,6 +216,10 @@ def _bm25_scores(sf_dir: str, lang: str | None = None):
 
     postings = ds.map_batches(posting_rows, batch_format="pyarrow")
     postings_df = postings.to_pandas()  # |query| x matched docs — small
+    if len(postings_df) == 0:
+        # SQL mirror: corpus matches NO query term -> zero rows (and
+        # the empty to_pandas is schema-less, so don't touch columns)
+        return None
     df_map = postings_df.groupby("term")["doc_id"].nunique().to_dict()
     idf_map = {
         t: float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
@@ -12465,6 +12469,162 @@ LIMIT 20
 """
 
 
+def q_borda_fusion(sf_dir: str, k: int = 10):
+    """Borda-count rank fusion (de Borda 1781; Aslam & Montague 2001)
+    of the BM25 and SMART-cosine top-20 lists — the positional
+    companion to [hybrid_rrf]'s reciprocal-rank fusion: a doc at rank
+    r in a 20-deep list earns ``21 - r`` points, unranked lists
+    contribute 0, ties broken by doc_id.
+
+    Scale shape: each leg is its own fully distributed ranking
+    pipeline ending in a sort+limit (the driver sees 20 rows per leg);
+    the fusion itself is an O(legs × 20) driver fold — fusing k-row
+    lists is driver-sized BY CONSTRUCTION, whatever the corpus."""
+    legs = [q_bm25_topk(sf_dir, k=20), q_tfidf_cosine_topk(sf_dir)]
+    points: Counter = Counter()
+    for leg in legs:
+        for rank, doc_id in enumerate(leg["doc_id"], start=1):
+            points[int(doc_id)] += 21 - rank
+    if not points:
+        return pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "points": pd.array([], dtype="int64")})
+    rows = sorted(points.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame({
+        "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
+        "points": pd.array([p for _, p in rows], dtype="int64"),
+    })
+
+
+SQL_BORDA_FUSION = f"""
+WITH bm AS ({SQL_BM25_TOPK}),
+sm AS ({SQL_TFIDF_COSINE_TOPK}),
+r1 AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+       FROM bm),
+r2 AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+       FROM sm),
+u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT doc_id, sum(21 - rn)::BIGINT AS points
+FROM u GROUP BY doc_id
+ORDER BY points DESC, doc_id
+LIMIT 10
+"""
+
+
+def q_clarity_score(sf_dir: str):
+    """Simplified query-clarity score (Cronen-Townsend, Zhou & Croft
+    2002) — the query-performance predictor: KL divergence (base 2)
+    between the max-likelihood language model of the BM25 top-10
+    feedback set and the corpus language model,
+    ``sum_t P(t|F) * log2(P(t|F) / P(t|C))`` over the feedback
+    vocabulary.  High clarity = focused result set; near-zero =
+    the query ranks like random text.
+
+    Scale shape (the prf_expand bound): feedback is a constant-budget
+    |F| = 10 point-read; its term counts fold per block; the corpus
+    pass folds (term, cf) partials ONLY for the broadcast feedback
+    vocabulary plus a scalar total-token count — O(|vocab_F|) driver
+    state, postings never reach the driver."""
+    import ray
+
+    fb = q_bm25_topk(sf_dir, k=10)
+    fb_ids = set(int(d) for d in fb["doc_id"])
+    empty = pd.DataFrame({
+        "n_terms": pd.array([], dtype="int64"),
+        "clarity": pd.array([], dtype="float64")})
+    if not fb_ids:
+        return empty
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    fb_ref = ray.put(fb_ids)
+
+    def fb_counts(batch: pa.Table) -> pa.Table:
+        ids = ray.get(fb_ref)
+        counter: Counter = Counter()
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            if int(doc_id) in ids:
+                counter.update(simple_tokens(text))
+        terms = sorted(counter)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array([counter[t] for t in terms], pa.int64()),
+        })
+
+    fbc = ds.map_batches(fb_counts, batch_format="pyarrow") \
+        .to_pandas().groupby("term")["tf"].sum()
+    if len(fbc) == 0:
+        return empty
+    vocab = np.sort(fbc.index.to_numpy(dtype=object))
+    vocab_ref = ray.put(vocab)
+
+    def cf_partials(batch: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        counter: Counter = Counter()
+        total = 0
+        for text in batch["text"].to_pylist():
+            tokens = simple_tokens(text)
+            total += len(tokens)
+            counter.update(tokens)
+        idx = np.searchsorted(v, np.asarray(list(counter.keys()),
+                                            dtype=object))
+        terms, cfs = [], []
+        for (t, c), i in zip(counter.items(), idx):
+            if i < len(v) and v[i] == t:
+                terms.append(t)
+                cfs.append(c)
+        terms.append("")  # scalar total rides an impossible term key
+        cfs.append(total)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "cf": pa.array(cfs, pa.int64()),
+        })
+
+    cfp = ds.map_batches(cf_partials, batch_format="pyarrow") \
+        .to_pandas().groupby("term")["cf"].sum()
+    total_tokens = int(cfp.get("", 0))
+    cfp = cfp.drop(index="", errors="ignore")
+    merged = pd.DataFrame({"tf": fbc}).join(
+        pd.DataFrame({"cf": cfp}), how="left")
+    fb_len = float(merged["tf"].sum())
+    p_f = merged["tf"].to_numpy(dtype=np.float64) / fb_len
+    p_c = merged["cf"].to_numpy(dtype=np.float64) / float(total_tokens)
+    clarity = float(np.sum(p_f * np.log2(p_f / p_c)))
+    return pd.DataFrame({
+        "n_terms": pd.array([len(merged)], dtype="int64"),
+        "clarity": pd.array([round(clarity, 6)], dtype="float64"),
+    })
+
+
+SQL_CLARITY_SCORE = f"""
+WITH bm AS ({SQL_BM25_TOPK}),
+fb AS (SELECT doc_id FROM bm ORDER BY score DESC, doc_id LIMIT 10),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+tot AS (SELECT count(*)::DOUBLE AS t FROM tok2),
+fbt AS (
+  SELECT term, count(*)::DOUBLE AS tf FROM tok2
+  JOIN fb USING (doc_id) GROUP BY term
+),
+fblen AS (SELECT sum(tf) AS l FROM fbt),
+cf AS (
+  SELECT term, count(*)::DOUBLE AS cf FROM tok2
+  WHERE term IN (SELECT term FROM fbt) GROUP BY term
+)
+SELECT count(*)::BIGINT AS n_terms,
+       round(sum((fbt.tf / fblen.l)
+                 * log2((fbt.tf / fblen.l) / (cf.cf / tot.t))), 6)
+         AS clarity
+FROM fbt JOIN cf USING (term), fblen, tot
+HAVING count(*) > 0
+"""
+
+
 PRF_FB_DOCS = 10
 PRF_EXPANSION_TERMS = 10
 
@@ -16347,6 +16507,8 @@ QUERY_FUNCS = {
     "clustering_coefficient": q_clustering_coefficient,
     "kcore": q_kcore,
     "champion_topk": q_champion_topk,
+    "borda_fusion": q_borda_fusion,
+    "clarity_score": q_clarity_score,
 }
 
 ORACLE_SQL = {
@@ -16594,6 +16756,8 @@ ORACLE_SQL = {
     "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
     "kcore": SQL_KCORE,
     "champion_topk": SQL_CHAMPION_TOPK,
+    "borda_fusion": SQL_BORDA_FUSION,
+    "clarity_score": SQL_CLARITY_SCORE,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its

@@ -11,7 +11,9 @@ import pyarrow.parquet as pq
 import pytest
 
 from modernsearchengines_ray.pipelines.driver_queries import (
+    q_borda_fusion,
     q_champion_topk,
+    q_clarity_score,
     q_clustering_coefficient,
     q_kcore,
     q_mann_whitney,
@@ -134,6 +136,41 @@ class TestChampionTopK:
 
     def test_empty(self, ray_session, tmp_sf):
         assert len(q_champion_topk(self._docs(tmp_sf, []))) == 0
+
+
+class TestBordaAndClarity:
+    def _docs(self, tmp_sf, texts):
+        return tmp_sf("documents", pa.table({
+            "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+
+    def test_borda_single_doc_both_legs(self, ray_session, tmp_sf):
+        # one matching doc ranks #1 in BOTH legs -> 20 + 20 points
+        sf = self._docs(tmp_sf, ["data join stream"])
+        out = q_borda_fusion(sf)
+        assert list(out["doc_id"]) == [1]
+        assert list(out["points"]) == [40]
+
+    def test_borda_empty(self, ray_session, tmp_sf):
+        assert len(q_borda_fusion(self._docs(tmp_sf, ["zebra"]))) == 0
+
+    def test_clarity_identical_models_is_zero(self, ray_session, tmp_sf):
+        # F = whole corpus -> feedback LM == corpus LM -> KL = 0
+        sf = self._docs(tmp_sf, ["data data join"])
+        out = q_clarity_score(sf)
+        assert out.iloc[0]["n_terms"] == 2
+        assert out.iloc[0]["clarity"] == 0.0
+
+    def test_clarity_known_value(self, ray_session, tmp_sf):
+        # F = {d1} only; p_F(data) = 1, p_C(data) = 2/4 -> KL = log2(2)
+        sf = self._docs(tmp_sf, ["data data", "zebra zebra"])
+        out = q_clarity_score(sf)
+        assert out.iloc[0]["n_terms"] == 1
+        assert out.iloc[0]["clarity"] == 1.0
+
+    def test_clarity_no_match_empty(self, ray_session, tmp_sf):
+        assert len(q_clarity_score(self._docs(tmp_sf, ["zebra"]))) == 0
 
 
 class TestPersonalizedPagerank:
