@@ -12513,6 +12513,190 @@ LIMIT 10
 """
 
 
+def q_js_divergence_by_source(sf_dir: str):
+    """Jensen–Shannon divergence (base 2) between each source's
+    unigram language model and the whole-corpus model — the
+    value-weighted corpus-drift dashboard ([vocab_overlap] counts
+    shared types; this weighs them): ``JSD(P_s ‖ P_c) = ½KL(P_s‖M) +
+    ½KL(P_c‖M)``, M the mixture.  Bounded [0, 1]; a templated or
+    off-topic source stands out immediately.
+
+    Scale shape: one ``groupby(term, source)`` of per-block count
+    partials, one ``groupby(term)`` for corpus counts, ONE hash join
+    on term between them (vocab-sized, never the corpus), then a
+    per-source O(sources) fold.  Terms ABSENT from a source
+    contribute ½·p_c·log2(2) = ½·p_c to KL(P_c‖M); their total folds
+    closed-form from the PRESENT rows (½·(1 − Σ_present p_c)), so
+    only (term, source) rows that exist are ever materialized."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import ensure_schema, join_partitions_for
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+    empty = pd.DataFrame({
+        "source": pd.array([], dtype="string"),
+        "n_terms": pd.array([], dtype="int64"),
+        "jsd": pd.array([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for text, src in zip(batch["text"].to_pylist(),
+                             batch["source"].to_pylist()):
+            for t in simple_tokens(text):
+                counter[(t, src)] += 1
+        keys = sorted(counter)
+        return pa.table({
+            "term": pa.array([k[0] for k in keys], pa.string()),
+            "source": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([counter[k] for k in keys], pa.int64()),
+        })
+
+    per_src = ds.map_batches(count_partials, batch_format="pyarrow") \
+        .groupby(["term", "source"]).aggregate(Sum("n", alias_name="n")) \
+        .materialize()
+    corpus = per_src.groupby("term").aggregate(Sum("n", alias_name="cn")) \
+        .materialize()
+    nparts = join_partitions_for(corpus.count())
+    corpus_g = ensure_schema(
+        corpus, pa.schema([("term", pa.string()), ("cn", pa.int64())]),
+        num_blocks=nparts)
+    joined = per_src.join(corpus_g, "inner", num_partitions=nparts,
+                          on=("term",))
+
+    # per-source and corpus token totals: O(sources) driver state
+    totals = per_src.map_batches(
+        lambda b: pa.table({
+            "source": b["source"],
+            "n": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow").to_pandas() \
+        .groupby("source")["n"].sum()
+    grand = float(totals.sum())
+    tot_map = totals.astype(float).to_dict()
+
+    def jsd_partials(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        n = batch["n"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cn = batch["cn"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        st = np.array([tot_map[s] for s in src], dtype=np.float64)
+        ps = n / st
+        c = cn / grand
+        m = (ps + c) / 2.0
+        part = 0.5 * ps * np.log2(ps / m) + 0.5 * c * np.log2(c / m)
+        out = pd.DataFrame({"source": src, "part": part, "pc": c,
+                            "k": 1})
+        agg = out.groupby("source", as_index=False).sum()
+        return pa.table({
+            "source": pa.array(agg["source"], pa.string()),
+            "part": pa.array(agg["part"].to_numpy(), pa.float64()),
+            "pc": pa.array(agg["pc"].to_numpy(), pa.float64()),
+            "k": pa.array(agg["k"].to_numpy(dtype=np.int64),
+                          pa.int64()),
+        })
+
+    m = joined.map_batches(jsd_partials, batch_format="pyarrow") \
+        .to_pandas().groupby("source").sum()
+    rows = []
+    for src in sorted(m.index):
+        # absent-term closed form: each term with p_s = 0 adds
+        # 0.5 * p_c * log2(p_c / (p_c / 2)) = 0.5 * p_c
+        absent = 0.5 * (1.0 - float(m.loc[src, "pc"]))
+        rows.append((src, int(m.loc[src, "k"]),
+                     round(float(m.loc[src, "part"]) + absent, 6)))
+    return pd.DataFrame({
+        "source": pd.array([r[0] for r in rows], dtype="string"),
+        "n_terms": pd.array([r[1] for r in rows], dtype="int64"),
+        "jsd": pd.array([r[2] for r in rows], dtype="float64"),
+    })
+
+
+SQL_JS_DIVERGENCE_BY_SOURCE = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x <> '')) AS term
+  FROM documents
+), sc AS (
+  SELECT term, source, count(*)::DOUBLE AS n FROM tok
+  GROUP BY term, source
+), cc AS (SELECT term, sum(n) AS cn FROM sc GROUP BY term),
+st AS (SELECT source, sum(n) AS t FROM sc GROUP BY source),
+g AS (SELECT sum(n) AS t FROM sc),
+parts AS (
+  SELECT sc.source,
+         sc.n / st.t AS ps,
+         cc.cn / g.t AS pc
+  FROM sc JOIN cc USING (term) JOIN st USING (source), g
+)
+SELECT source, count(*)::BIGINT AS n_terms,
+       round(sum(0.5 * ps * log2(ps / ((ps + pc) / 2))
+                 + 0.5 * pc * log2(pc / ((ps + pc) / 2)))
+             + 0.5 * (1 - sum(pc)), 6) AS jsd
+FROM parts GROUP BY source
+"""
+
+
+_RBO_P = 0.9
+_RBO_DEPTH = 20
+
+
+def q_rbo_rankers(sf_dir: str):
+    """Truncated rank-biased overlap (Webber, Moffat & Zobel 2010)
+    between the BM25 and SMART-cosine top-20 lists — the ranker-drift
+    monitor: ``(1-p) · Σ_{d=1..k} p^{d-1} · |A_d ∩ B_d| / d`` at
+    p = 0.9, depth 20 (the truncated lower bound; the residual is
+    deliberately not extrapolated so the metric is exact and
+    SQL-mirrorable).  1.0 = identical prefixes, 0 = disjoint.
+
+    Scale shape: each leg is its own fully distributed ranking ending
+    in sort+limit; the overlap fold is O(k²) on two k-row lists —
+    driver-sized by construction, whatever the corpus."""
+    a = q_bm25_topk(sf_dir, k=_RBO_DEPTH)["doc_id"].to_numpy()
+    b = q_tfidf_cosine_topk(sf_dir)["doc_id"].to_numpy()
+    if len(a) == 0 or len(b) == 0:
+        return pd.DataFrame({
+            "depth": pd.array([], dtype="int64"),
+            "rbo": pd.array([], dtype="float64")})
+    acc = 0.0
+    for d in range(1, _RBO_DEPTH + 1):
+        overlap = len(set(a[:d]) & set(b[:d]))
+        acc += _RBO_P ** (d - 1) * overlap / d
+    return pd.DataFrame({
+        "depth": pd.array([_RBO_DEPTH], dtype="int64"),
+        "rbo": pd.array([round((1.0 - _RBO_P) * acc, 6)],
+                        dtype="float64"),
+    })
+
+
+SQL_RBO_RANKERS = f"""
+WITH bm AS ({SQL_BM25_TOPK}),
+sm AS ({SQL_TFIDF_COSINE_TOPK}),
+r1 AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+       FROM bm),
+r2 AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+       FROM sm),
+m AS (SELECT greatest(r1.rn, r2.rn) AS g
+      FROM r1 JOIN r2 USING (doc_id)),
+d AS (SELECT unnest(range(1, {_RBO_DEPTH + 1})) AS d),
+terms AS (
+  SELECT d.d,
+         pow({_RBO_P}, d.d - 1)
+           * (SELECT count(*) FROM m WHERE m.g <= d.d) / d.d AS term
+  FROM d
+)
+SELECT {_RBO_DEPTH}::BIGINT AS depth,
+       round({1.0 - _RBO_P} * sum(term), 6) AS rbo
+FROM terms
+HAVING (SELECT count(*) FROM r1) > 0 AND (SELECT count(*) FROM r2) > 0
+"""
+
+
 def q_clarity_score(sf_dir: str):
     """Simplified query-clarity score (Cronen-Townsend, Zhou & Croft
     2002) — the query-performance predictor: KL divergence (base 2)
@@ -16509,6 +16693,8 @@ QUERY_FUNCS = {
     "champion_topk": q_champion_topk,
     "borda_fusion": q_borda_fusion,
     "clarity_score": q_clarity_score,
+    "rbo_rankers": q_rbo_rankers,
+    "js_divergence_by_source": q_js_divergence_by_source,
 }
 
 ORACLE_SQL = {
@@ -16758,6 +16944,8 @@ ORACLE_SQL = {
     "champion_topk": SQL_CHAMPION_TOPK,
     "borda_fusion": SQL_BORDA_FUSION,
     "clarity_score": SQL_CLARITY_SCORE,
+    "rbo_rankers": SQL_RBO_RANKERS,
+    "js_divergence_by_source": SQL_JS_DIVERGENCE_BY_SOURCE,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its

@@ -14,6 +14,8 @@ from modernsearchengines_ray.pipelines.driver_queries import (
     q_borda_fusion,
     q_champion_topk,
     q_clarity_score,
+    q_js_divergence_by_source,
+    q_rbo_rankers,
     q_clustering_coefficient,
     q_kcore,
     q_mann_whitney,
@@ -171,6 +173,66 @@ class TestBordaAndClarity:
 
     def test_clarity_no_match_empty(self, ray_session, tmp_sf):
         assert len(q_clarity_score(self._docs(tmp_sf, ["zebra"]))) == 0
+
+
+class TestRboAndJsd:
+    def test_rbo_identical_lists(self, ray_session, tmp_sf):
+        # one matching doc -> both legs return [1] -> overlap@d = 1
+        sf = tmp_sf("documents", pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["data join stream"], pa.string())}))
+        out = q_rbo_rankers(sf)
+        expect = 0.1 * sum(0.9 ** (d - 1) / d for d in range(1, 21))
+        assert out.iloc[0]["depth"] == 20
+        assert out.iloc[0]["rbo"] == round(expect, 6)
+
+    def test_rbo_empty(self, ray_session, tmp_sf):
+        sf = tmp_sf("documents", pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["zebra"], pa.string())}))
+        assert len(q_rbo_rankers(sf)) == 0
+
+    def test_jsd_single_source_is_zero(self, ray_session, tmp_sf):
+        sf = tmp_sf("documents", pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["aa bb", "bb cc"], pa.string()),
+            "source": pa.array(["s1", "s1"], pa.string())}))
+        out = q_js_divergence_by_source(sf)
+        assert list(out["source"]) == ["s1"]
+        assert out.iloc[0]["jsd"] == 0.0
+        assert out.iloc[0]["n_terms"] == 3
+
+    def test_jsd_known_value(self, ray_session, tmp_sf):
+        # s1 = {aa: 1.0}; s2 = {bb: 1.0}; corpus = {aa: .5, bb: .5};
+        # independent dense recompute of 0.5*KL(Ps||M) + 0.5*KL(Pc||M)
+        sf = tmp_sf("documents", pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["aa aa", "bb bb"], pa.string()),
+            "source": pa.array(["s1", "s2"], pa.string())}))
+        out = q_js_divergence_by_source(sf).set_index("source")
+
+        def jsd(ps, pc):
+            acc = 0.0
+            for t in set(ps) | set(pc):
+                a, b = ps.get(t, 0.0), pc.get(t, 0.0)
+                m = (a + b) / 2
+                if a:
+                    acc += 0.5 * a * np.log2(a / m)
+                if b:
+                    acc += 0.5 * b * np.log2(b / m)
+            return round(acc, 6)
+
+        corpus = {"aa": 0.5, "bb": 0.5}
+        assert out.loc["s1", "jsd"] == jsd({"aa": 1.0}, corpus)
+        assert out.loc["s2", "jsd"] == jsd({"bb": 1.0}, corpus)
+        assert out.loc["s1", "n_terms"] == 1  # only PRESENT rows
+
+    def test_jsd_empty(self, ray_session, tmp_sf):
+        sf = tmp_sf("documents", pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "source": pa.array([], pa.string())}))
+        assert len(q_js_divergence_by_source(sf)) == 0
 
 
 class TestPersonalizedPagerank:
