@@ -16206,6 +16206,150 @@ SQL_KCORE = _sql_kcore()
 
 
 # ---------------------------------------------------------------------------
+# multi-source BFS distance labeling (round 5d)
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_ROUNDS = 12
+
+
+def q_bfs_distance(sf_dir: str):
+    """Multi-source BFS distance labeling over the near-chain
+    event-user graph: distance from every reachable node to its
+    NEAREST seed (seeds = nodes ≡ 0 mod 100), the building block of
+    landmark distance sketches and influence-radius reports; output is
+    the distance histogram (unreached nodes are absent, the SQL
+    mirror).
+
+    Scale shape per round: frontier ⋈ edges ships the wave one hop,
+    a hash ``left_anti`` against the settled set keeps FIRST visits
+    only (BFS order == min distance, so no min-groupby is needed);
+    both exchanges sentinel-guarded and materialized (the
+    kcore/clustering actor-starvation note).  Rounds ≤ graph
+    eccentricity (components are single decades with +2 chords:
+    ≤ 5 hops; the loop asserts the documented cap)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import (drop_sentinels, ensure_schema,
+                                join_partitions_for)
+
+    users = _read(sf_dir, "events", columns=["user_id"]) \
+        .groupby("user_id").aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+    nparts = join_partitions_for(users.count())
+    empty = pd.DataFrame({
+        "dist": pd.array([], dtype="int64"),
+        "n_nodes": pd.array([], dtype="int64")})
+
+    with _hash_shuffle_context():
+        edges = users.map_batches(
+            _near_chain_edges, batch_format="pyarrow").materialize()
+        if edges.count() == 0:
+            return empty
+
+        def symmetrize(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": pa.concat_arrays([t["a"].combine_chunks(),
+                                          t["b"].combine_chunks()]),
+                "nbr": pa.concat_arrays([t["b"].combine_chunks(),
+                                         t["a"].combine_chunks()]),
+            })
+
+        sym = edges.map_batches(symmetrize,
+                                batch_format="pyarrow").materialize()
+        nodes = sym.groupby("node").aggregate(Count(alias_name="_d")) \
+            .drop_columns(["_d"])
+        def pick_seeds(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            s = n[n % 100 == 0]
+            return pa.table({
+                "node": pa.array(s, pa.int64()),
+                "dist": pa.array(np.zeros(len(s), np.int64)),
+            })
+
+        seeds = nodes.map_batches(pick_seeds,
+                                  batch_format="pyarrow").materialize()
+        if seeds.count() == 0:
+            return empty
+        settled = seeds
+        frontier = seeds
+        dist_schema = pa.schema([("node", pa.int64()),
+                                 ("dist", pa.int64())])
+        sym_schema = pa.schema([("node", pa.int64()),
+                                ("nbr", pa.int64())])
+        for _ in range(_BFS_MAX_ROUNDS):
+            fr_g = ensure_schema(frontier, dist_schema,
+                                 num_blocks=nparts)
+            sym_g = ensure_schema(sym, sym_schema, num_blocks=nparts)
+            wave = sym_g.join(fr_g, "inner", num_partitions=nparts,
+                              on=("node",))
+            wave = drop_sentinels(wave.map_batches(
+                lambda t: pa.table({
+                    "node": t["nbr"],
+                    "dist": pc.add(t["dist"], 1).cast(pa.int64())}),
+                batch_format="pyarrow"), "node")
+            # per-partition min first (a node reached twice this wave
+            # keeps one row), then drop already-settled nodes
+            from ray.data.aggregate import Min
+
+            wave = wave.groupby("node") \
+                .aggregate(Min("dist", alias_name="dist")) \
+                .materialize()
+            settled_g = ensure_schema(settled, dist_schema,
+                                      num_blocks=nparts)
+            wave_g = ensure_schema(wave, dist_schema, num_blocks=nparts)
+            new = wave_g.join(
+                settled_g.select_columns(["node"]), "left_anti",
+                num_partitions=nparts, on=("node",))
+            new = drop_sentinels(new, "node").materialize()
+            if new.count() == 0:
+                break
+            settled = settled.union(new).materialize()
+            frontier = new
+        else:
+            raise RuntimeError(
+                f"bfs_distance: frontier alive after {_BFS_MAX_ROUNDS} "
+                "rounds — component eccentricity exceeds the decade bound")
+
+        def dist_partials(batch: pa.Table) -> pa.Table:
+            u, n = np.unique(
+                batch["dist"].to_numpy(zero_copy_only=False),
+                return_counts=True)
+            return pa.table({"dist": pa.array(u, pa.int64()),
+                             "n_nodes": pa.array(n, pa.int64())})
+
+        hist = settled.map_batches(dist_partials,
+                                   batch_format="pyarrow").to_pandas()
+    hist = hist.groupby("dist", as_index=False)["n_nodes"].sum() \
+        .sort_values("dist").reset_index(drop=True)
+    return pd.DataFrame({
+        "dist": hist["dist"].astype("int64"),
+        "n_nodes": hist["n_nodes"].astype("int64"),
+    })
+
+
+SQL_BFS_DISTANCE = f"""
+WITH RECURSIVE
+users AS (SELECT DISTINCT user_id AS u FROM events),
+ed AS (
+  SELECT u AS a, u + 1 AS b FROM users WHERE u % 10 < 9
+  UNION ALL
+  SELECT u AS a, u + 2 AS b FROM users WHERE u % 10 < 8
+),
+sym AS (SELECT a AS node, b AS nbr FROM ed UNION ALL SELECT b, a FROM ed),
+walk(node, dist) AS (
+  SELECT DISTINCT node, 0 FROM sym WHERE node % 100 = 0
+  UNION
+  SELECT sym.nbr, walk.dist + 1
+  FROM walk JOIN sym ON sym.node = walk.node
+  WHERE walk.dist < {_BFS_MAX_ROUNDS}
+),
+best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_nodes
+FROM best GROUP BY dist ORDER BY dist
+"""
+
+
+# ---------------------------------------------------------------------------
 # distributed two-sample statistical tests (round 5d)
 # ---------------------------------------------------------------------------
 
@@ -16384,6 +16528,98 @@ def q_mann_whitney(sf_dir: str):
         "u_stat": pd.array([round(u1, 4)], dtype="float64"),
         "z_stat": pd.array([round(float(z), 6)], dtype="float64"),
     })
+
+
+def q_ab_conversion_ztest(sf_dir: str):
+    """Two-proportion z-test on A/B conversion (pooled variance): the
+    experiment readout — variant A = even user_id, B = odd; a user
+    converts if they have ≥ 1 'purchase' event.  Output: per-variant
+    user and converted counts, rates, and the pooled z statistic.
+
+    Scale shape: one ``groupby(user_id)`` folding per-block
+    (purchased-indicator max) partials — the only exchange — then
+    O(blocks × 2) count partials; no row-level sort, no join."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def user_partials(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        conv = pc.equal(batch["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(u, return_inverse=True)
+        got = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(got, inv, conv)
+        return pa.table({
+            "user_id": pa.array(uniq, pa.int64()),
+            "conv": pa.array(got, pa.int64()),
+        })
+
+    per_user = ds.map_batches(user_partials, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("conv", alias_name="conv"))
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        c = batch["conv"].to_numpy(zero_copy_only=False)
+        a = u % 2 == 0
+        return pa.table({
+            "n_a": pa.array([int(a.sum())], pa.int64()),
+            "n_b": pa.array([int((~a).sum())], pa.int64()),
+            "c_a": pa.array([int(c[a].sum())], pa.int64()),
+            "c_b": pa.array([int(c[~a].sum())], pa.int64()),
+        })
+
+    m = per_user.map_batches(count_partials,
+                             batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({
+        "n_a": pd.array([], dtype="int64"),
+        "n_b": pd.array([], dtype="int64"),
+        "rate_a": pd.array([], dtype="float64"),
+        "rate_b": pd.array([], dtype="float64"),
+        "z_stat": pd.array([], dtype="float64")})
+    if len(m) == 0:
+        return empty
+    n_a, n_b = int(m["n_a"].sum()), int(m["n_b"].sum())
+    c_a, c_b = int(m["c_a"].sum()), int(m["c_b"].sum())
+    if n_a == 0 or n_b == 0:
+        # SQL mirror: a one-variant experiment has no z row
+        return empty
+    p_a, p_b = c_a / n_a, c_b / n_b
+    pool = (c_a + c_b) / (n_a + n_b)
+    denom = np.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    z = (p_a - p_b) / denom if denom > 0 else 0.0
+    return pd.DataFrame({
+        "n_a": pd.array([n_a], dtype="int64"),
+        "n_b": pd.array([n_b], dtype="int64"),
+        "rate_a": pd.array([round(p_a, 6)], dtype="float64"),
+        "rate_b": pd.array([round(p_b, 6)], dtype="float64"),
+        "z_stat": pd.array([round(float(z), 6)], dtype="float64"),
+    })
+
+
+SQL_AB_CONVERSION_ZTEST = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT count(*) FILTER (user_id % 2 = 0)::BIGINT AS n_a,
+         count(*) FILTER (user_id % 2 <> 0)::BIGINT AS n_b,
+         sum(conv) FILTER (user_id % 2 = 0)::BIGINT AS c_a,
+         sum(conv) FILTER (user_id % 2 <> 0)::BIGINT AS c_b
+  FROM per_user
+)
+SELECT n_a, n_b,
+       round(c_a / n_a::DOUBLE, 6) AS rate_a,
+       round(c_b / n_b::DOUBLE, 6) AS rate_b,
+       round(CASE WHEN (c_a + c_b) IN (0, n_a + n_b) THEN 0.0
+                  ELSE (c_a / n_a::DOUBLE - c_b / n_b::DOUBLE)
+                       / sqrt(((c_a + c_b) / (n_a + n_b)::DOUBLE)
+                              * (1 - (c_a + c_b) / (n_a + n_b)::DOUBLE)
+                              * (1.0 / n_a + 1.0 / n_b))
+             END, 6) AS z_stat
+FROM g WHERE n_a > 0 AND n_b > 0
+"""
 
 
 SQL_MANN_WHITNEY = """
@@ -16695,6 +16931,8 @@ QUERY_FUNCS = {
     "clarity_score": q_clarity_score,
     "rbo_rankers": q_rbo_rankers,
     "js_divergence_by_source": q_js_divergence_by_source,
+    "bfs_distance": q_bfs_distance,
+    "ab_conversion_ztest": q_ab_conversion_ztest,
 }
 
 ORACLE_SQL = {
@@ -16946,6 +17184,8 @@ ORACLE_SQL = {
     "clarity_score": SQL_CLARITY_SCORE,
     "rbo_rankers": SQL_RBO_RANKERS,
     "js_divergence_by_source": SQL_JS_DIVERGENCE_BY_SOURCE,
+    "bfs_distance": SQL_BFS_DISTANCE,
+    "ab_conversion_ztest": SQL_AB_CONVERSION_ZTEST,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its

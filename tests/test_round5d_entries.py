@@ -11,6 +11,8 @@ import pyarrow.parquet as pq
 import pytest
 
 from modernsearchengines_ray.pipelines.driver_queries import (
+    q_ab_conversion_ztest,
+    q_bfs_distance,
     q_borda_fusion,
     q_champion_topk,
     q_clarity_score,
@@ -173,6 +175,49 @@ class TestBordaAndClarity:
 
     def test_clarity_no_match_empty(self, ray_session, tmp_sf):
         assert len(q_clarity_score(self._docs(tmp_sf, ["zebra"]))) == 0
+
+
+class TestBfsDistance:
+    def test_chorded_decade_distances(self, ray_session, tmp_sf):
+        # users 0..9: seed {0}; +1/+2 chords give dists
+        # 0,1,1,2,2,3,3,4,4,5; users 10..19 have no seed -> absent
+        sf = _events(tmp_sf, list(range(20)))
+        out = q_bfs_distance(sf).set_index("dist")["n_nodes"]
+        assert out.to_dict() == {0: 1, 1: 2, 2: 2, 3: 2, 4: 2, 5: 1}
+
+    def test_no_seeds_and_empty(self, ray_session, tmp_sf):
+        assert len(q_bfs_distance(_events(tmp_sf, [42]))) == 0
+        assert len(q_bfs_distance(_events(tmp_sf, []))) == 0
+
+
+class TestAbConversionZtest:
+    def test_known_value(self, ray_session, tmp_sf):
+        # A (even): users 2 (converts), 4 (not); B (odd): 1 (converts),
+        # 3, 5 (not) -> rates 1/2 vs 1/3, pooled 2/5
+        rows = [(2, "purchase"), (2, "view"), (4, "view"),
+                (1, "purchase"), (3, "click"), (5, "view")]
+        sf = tmp_sf("events", pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string())}))
+        out = q_ab_conversion_ztest(sf)
+        r = out.iloc[0]
+        assert (r["n_a"], r["n_b"]) == (2, 3)
+        assert r["rate_a"] == 0.5 and r["rate_b"] == round(1 / 3, 6)
+        z = (0.5 - 1 / 3) / np.sqrt(0.4 * 0.6 * (1 / 2 + 1 / 3))
+        assert r["z_stat"] == round(z, 6)
+
+    def test_one_variant_and_empty(self, ray_session, tmp_sf):
+        sf = tmp_sf("events", pa.table({
+            "event_id": pa.array([0], pa.int64()),
+            "user_id": pa.array([2], pa.int64()),
+            "event_type": pa.array(["purchase"], pa.string())}))
+        assert len(q_ab_conversion_ztest(sf)) == 0
+        sf = tmp_sf("events", pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string())}))
+        assert len(q_ab_conversion_ztest(sf)) == 0
 
 
 class TestRboAndJsd:
