@@ -12565,12 +12565,21 @@ def q_js_divergence_by_source(sf_dir: str):
     joined = per_src.join(corpus_g, "inner", num_partitions=nparts,
                           on=("term",))
 
-    # per-source and corpus token totals: O(sources) driver state
-    totals = per_src.map_batches(
-        lambda b: pa.table({
-            "source": b["source"],
-            "n": b["n"].cast(pa.int64())}),
-        batch_format="pyarrow").to_pandas() \
+    # per-source and corpus token totals: per-block (source, n) partial
+    # sums -> O(blocks × sources) driver fold (the vocab-sized table
+    # itself never leaves the cluster)
+    def total_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pylist(),
+            "n": batch["n"].to_numpy(zero_copy_only=False)})
+        agg = df.groupby("source", as_index=False)["n"].sum()
+        return pa.table({
+            "source": pa.array(agg["source"], pa.string()),
+            "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    totals = per_src.map_batches(total_partials,
+                                 batch_format="pyarrow").to_pandas() \
         .groupby("source")["n"].sum()
     grand = float(totals.sum())
     tot_map = totals.astype(float).to_dict()
