@@ -16128,7 +16128,14 @@ def q_kcore(sf_dir: str):
         val_schema = pa.schema([("v", pa.int64()), ("c", pa.int64())])
         from ..stages.dedup import drop_sentinels
 
+        # loop-invariant: the guarded flipped edge list is built (and
+        # materialized) ONCE, not per round
         flipped_schema = pa.schema([("w", pa.int64()), ("v", pa.int64())])
+        flipped = sym.map_batches(
+            lambda t: t.rename_columns(["w", "v"]),
+            batch_format="pyarrow")
+        flipped = ensure_schema(flipped, flipped_schema,
+                                num_blocks=nparts).materialize()
         for _ in range(_KCORE_MAX_ROUNDS):
             vals_r = ensure_schema(vals, val_schema, num_blocks=nparts)
             # ship each node's value to its neighbors: join on the
@@ -16136,11 +16143,6 @@ def q_kcore(sf_dir: str):
             # sides carry a sentinel (tiny graphs leave LEFT join
             # partitions empty too); the sentinel pair matches itself
             # and is dropped right after the join
-            flipped = sym.map_batches(
-                lambda t: t.rename_columns(["w", "v"]),
-                batch_format="pyarrow")
-            flipped = ensure_schema(flipped, flipped_schema,
-                                    num_blocks=nparts)
             nb = flipped.join(vals_r, "inner", num_partitions=nparts,
                               on=("v",), left_suffix="_l",
                               right_suffix="_r")
@@ -16285,10 +16287,13 @@ def q_bfs_distance(sf_dir: str):
                                  ("dist", pa.int64())])
         sym_schema = pa.schema([("node", pa.int64()),
                                 ("nbr", pa.int64())])
+        # loop-invariant: the guarded edge list is built (and
+        # materialized) ONCE, not per round
+        sym_g = ensure_schema(sym, sym_schema,
+                              num_blocks=nparts).materialize()
         for _ in range(_BFS_MAX_ROUNDS):
             fr_g = ensure_schema(frontier, dist_schema,
                                  num_blocks=nparts)
-            sym_g = ensure_schema(sym, sym_schema, num_blocks=nparts)
             wave = sym_g.join(fr_g, "inner", num_partitions=nparts,
                               on=("node",))
             wave = drop_sentinels(wave.map_batches(
