@@ -16217,6 +16217,138 @@ SQL_KCORE = _sql_kcore()
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling (round 5d)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_KEEP = 50
+_DSIR_TARGET_SOURCE = "src0"
+
+
+def _dsir_buckets(tokens: list) -> np.ndarray:
+    """Hashed-bigram feature buckets (the DSIR feature space):
+    bucket = int(md5('t1 t2')[:8 hex], 16) % B — md5 instead of an
+    RNG/dictionary so every worker AND the SQL oracle rebuild the
+    identical feature map with no broadcast state."""
+    return np.array([
+        int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16)
+        % _DSIR_BUCKETS
+        for a, b in zip(tokens, tokens[1:])], dtype=np.int64)
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): select raw-pool documents whose hashed-bigram feature
+    distribution looks most like the TARGET domain (source
+    'src0').  Per doc, importance log-weight
+    ``Σ_b n_b(doc) · [ln P̂_target(b) − ln P̂_raw(b)]`` under add-1
+    smoothed bucket unigram models; output the top-50 raw docs by
+    (logw DESC, doc_id) — the deterministic top-k stand-in for DSIR's
+    Gumbel resampling (the hash-instead-of-RNG contract the sampling
+    family uses).
+
+    Scale shape: pass 1 folds per-block (bucket, target/raw count)
+    partials — O(blocks × B) driver state for a B = 64 log-ratio
+    table that every scoring task rebuilds from the fold (no
+    broadcast); pass 2 is one streaming map emitting (doc_id, logw)
+    + a distributed sort/limit.  Docs with < 2 tokens emit no
+    bigrams and are absent, the SQL mirror."""
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "source"])
+    empty = pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "logw": pd.array([], dtype="float64")})
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        t_vec = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+        r_vec = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+        for text, src in zip(batch["text"].to_pylist(),
+                             batch["source"].to_pylist()):
+            b = _dsir_buckets(simple_tokens(text))
+            if len(b) == 0:
+                continue
+            vec = t_vec if src == _DSIR_TARGET_SOURCE else r_vec
+            np.add.at(vec, b, 1)
+        return pa.table({
+            "b": pa.array(np.arange(_DSIR_BUCKETS), pa.int64()),
+            "t": pa.array(t_vec, pa.int64()),
+            "r": pa.array(r_vec, pa.int64()),
+        })
+
+    m = ds.map_batches(bucket_partials, batch_format="pyarrow") \
+        .to_pandas()
+    if len(m) == 0:
+        return empty
+    g = m.groupby("b")[["t", "r"]].sum()
+    t_cnt = g["t"].to_numpy(dtype=np.float64)
+    r_cnt = g["r"].to_numpy(dtype=np.float64)
+    t_tot, r_tot = float(t_cnt.sum()), float(r_cnt.sum())
+    if t_tot == 0 or r_tot == 0:
+        # SQL mirror: an empty target or raw pool defines no model
+        return empty
+    lr = (np.log((t_cnt + 1.0) / (t_tot + _DSIR_BUCKETS))
+          - np.log((r_cnt + 1.0) / (r_tot + _DSIR_BUCKETS)))
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        ids, ws = [], []
+        for doc_id, text, src in zip(batch["doc_id"].to_pylist(),
+                                     batch["text"].to_pylist(),
+                                     batch["source"].to_pylist()):
+            if src == _DSIR_TARGET_SOURCE:
+                continue
+            b = _dsir_buckets(simple_tokens(text))
+            if len(b) == 0:
+                continue
+            ids.append(doc_id)
+            ws.append(float(lr[b].sum()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "logw": pa.array(np.round(ws, 6), pa.float64()),
+        })
+
+    out = ds.map_batches(score_rows, batch_format="pyarrow") \
+        .sort(["logw", "doc_id"], descending=[True, False]) \
+        .limit(_DSIR_KEEP).to_pandas()
+    if len(out) == 0:
+        return empty
+    return out.reset_index(drop=True)
+
+
+SQL_DSIR_SELECT = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+), bg AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(arr[i] || ' ' || arr[i + 1]), 1, 8))
+              AS UBIGINT) % {_DSIR_BUCKETS} AS b
+  FROM tok, unnest(range(1, len(arr))) AS t(i)
+),
+tt AS (SELECT b, count(*)::DOUBLE AS c FROM bg
+       WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY b),
+rr AS (SELECT b, count(*)::DOUBLE AS c FROM bg
+       WHERE source <> '{_DSIR_TARGET_SOURCE}' GROUP BY b),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tt) AS t,
+               (SELECT coalesce(sum(c), 0) FROM rr) AS r),
+buckets AS (SELECT unnest(range(0, {_DSIR_BUCKETS})) AS b),
+lr AS (
+  SELECT buckets.b,
+         ln((coalesce(tt.c, 0) + 1) / (tot.t + {_DSIR_BUCKETS}))
+           - ln((coalesce(rr.c, 0) + 1) / (tot.r + {_DSIR_BUCKETS}))
+           AS lr
+  FROM buckets LEFT JOIN tt USING (b) LEFT JOIN rr USING (b), tot
+)
+SELECT bg.doc_id AS doc_id, round(sum(lr.lr), 6) AS logw
+FROM bg JOIN lr USING (b), tot
+WHERE bg.source <> '{_DSIR_TARGET_SOURCE}' AND tot.t > 0 AND tot.r > 0
+GROUP BY bg.doc_id
+ORDER BY logw DESC, doc_id
+LIMIT {_DSIR_KEEP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # multi-source BFS distance labeling (round 5d)
 # ---------------------------------------------------------------------------
 
@@ -16947,6 +17079,7 @@ QUERY_FUNCS = {
     "js_divergence_by_source": q_js_divergence_by_source,
     "bfs_distance": q_bfs_distance,
     "ab_conversion_ztest": q_ab_conversion_ztest,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLE_SQL = {
@@ -17200,6 +17333,7 @@ ORACLE_SQL = {
     "js_divergence_by_source": SQL_JS_DIVERGENCE_BY_SOURCE,
     "bfs_distance": SQL_BFS_DISTANCE,
     "ab_conversion_ztest": SQL_AB_CONVERSION_ZTEST,
+    "dsir_select": SQL_DSIR_SELECT,
     # Remaining rows-only entries (5) — deliberately no direct SQL,
     # one-line rationale each (VERDICT r3 #8):
     # - simhash_dedup: 64-bit simhash kernel lives outside SQL; its

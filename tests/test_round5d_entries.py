@@ -16,6 +16,7 @@ from modernsearchengines_ray.pipelines.driver_queries import (
     q_borda_fusion,
     q_champion_topk,
     q_clarity_score,
+    q_dsir_select,
     q_js_divergence_by_source,
     q_rbo_rankers,
     q_clustering_coefficient,
@@ -175,6 +176,33 @@ class TestBordaAndClarity:
 
     def test_clarity_no_match_empty(self, ray_session, tmp_sf):
         assert len(q_clarity_score(self._docs(tmp_sf, ["zebra"]))) == 0
+
+
+class TestDsirSelect:
+    def _corpus(self, tmp_sf, rows):
+        return tmp_sf("documents", pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string())}))
+
+    def test_target_like_doc_ranks_first(self, ray_session, tmp_sf):
+        # raw doc 2 repeats the target's bigram; doc 3 is off-domain;
+        # doc 4 has one token -> no bigrams -> absent
+        sf = self._corpus(tmp_sf, [
+            (1, "alpha beta alpha beta", "src0"),
+            (2, "alpha beta alpha", "src5"),
+            (3, "zebra yak zebra", "src5"),
+            (4, "solo", "src5"),
+        ])
+        out = q_dsir_select(sf)
+        assert list(out["doc_id"]) == [2, 3]
+        assert out.iloc[0]["logw"] > out.iloc[1]["logw"]
+
+    def test_no_target_is_empty(self, ray_session, tmp_sf):
+        sf = self._corpus(tmp_sf, [(1, "a b c", "src5")])
+        assert len(q_dsir_select(sf)) == 0
+        sf = self._corpus(tmp_sf, [(1, "a b c", "src0")])
+        assert len(q_dsir_select(sf)) == 0  # no raw pool either
 
 
 class TestBfsDistance:
