@@ -22,6 +22,7 @@ from modernsearchengines_ray.pipelines.driver_queries import (
     q_clustering_coefficient,
     q_kcore,
     q_mann_whitney,
+    q_ooo_rate,
     q_welch_ttest,
 )
 
@@ -176,6 +177,30 @@ class TestBordaAndClarity:
 
     def test_clarity_no_match_empty(self, ray_session, tmp_sf):
         assert len(q_clarity_score(self._docs(tmp_sf, ["zebra"]))) == 0
+
+
+class TestOooRate:
+    def _ev(self, tmp_sf, rows):
+        return tmp_sf("events", pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows],
+                           pa.timestamp("us")),
+        }))
+
+    def test_known_rate(self, ray_session, tmp_sf):
+        # user 1: ts 10,5,20 in arrival order -> pairs (10,5) ooo,
+        # (5,20) ok; user 2: single event -> no pairs
+        sf = self._ev(tmp_sf, [(1, 1, 10), (1, 2, 5), (1, 3, 20),
+                               (2, 1, 7)])
+        out = q_ooo_rate(sf)
+        r = out.iloc[0]
+        assert (r["n_pairs"], r["ooo_pairs"]) == (2, 1)
+        assert r["ooo_rate"] == 0.5
+
+    def test_no_pairs_and_empty(self, ray_session, tmp_sf):
+        assert len(q_ooo_rate(self._ev(tmp_sf, [(1, 1, 3)]))) == 0
+        assert len(q_ooo_rate(self._ev(tmp_sf, []))) == 0
 
 
 class TestDsirSelect:
