@@ -158,6 +158,42 @@ FROM d, n
 """
 
 
+def _query_posting_kernel(query: set):
+    """Shared BM25-family posting extractor: per-batch
+    (doc_id, term, tf, doc_len) rows for docs matching ≥ 1 query term
+    (used by _bm25_scores and champion_topk — one definition so the
+    family's statistics can never diverge)."""
+    def posting_rows(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs, dls = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            tokens = simple_tokens(text)
+            counts = Counter(tokens)
+            for term in sorted(query & counts.keys()):
+                ids.append(doc_id)
+                terms.append(term)
+                tfs.append(counts[term])
+                dls.append(len(tokens))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "doc_len": pa.array(dls, pa.int64()),
+        })
+
+    return posting_rows
+
+
+def _doc_len_partials(batch: pa.Table) -> pa.Table:
+    """Shared avgdl partial: per-block (n docs with ≥1 token, Σ len)."""
+    lens = [len(simple_tokens(t)) for t in batch["text"].to_pylist()]
+    lens = [x for x in lens if x > 0]
+    return pa.table({
+        "n": pa.array([len(lens)], pa.int64()),
+        "token_sum": pa.array([int(sum(lens))], pa.int64()),
+    })
+
+
 def _bm25_scores(sf_dir: str, lang: str | None = None):
     """Shared BM25 scorer: the rounded per-doc score Dataset every
     BM25-family entry finishes from (`q_bm25_topk` driver-slices it,
@@ -185,36 +221,12 @@ def _bm25_scores(sf_dir: str, lang: str | None = None):
         return None
     query = set(BM25_QUERY_TERMS)
 
-    def posting_rows(batch: pa.Table) -> pa.Table:
-        ids, terms, tfs, dls = [], [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            tokens = simple_tokens(text)
-            counts = Counter(tokens)
-            for term in sorted(query & counts.keys()):
-                ids.append(doc_id)
-                terms.append(term)
-                tfs.append(counts[term])
-                dls.append(len(tokens))
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "term": pa.array(terms, pa.string()),
-            "tf": pa.array(tfs, pa.int64()),
-            "doc_len": pa.array(dls, pa.int64()),
-        })
-
-    def doc_lens(batch: pa.Table) -> pa.Table:
-        lens = [len(simple_tokens(t)) for t in batch["text"].to_pylist()]
-        lens = [x for x in lens if x > 0]
-        return pa.table({
-            "n": pa.array([len(lens)], pa.int64()),
-            "token_sum": pa.array([int(sum(lens))], pa.int64()),
-        })
-
-    len_partials = ds.map_batches(doc_lens, batch_format="pyarrow").to_pandas()
+    len_partials = ds.map_batches(_doc_len_partials,
+                                  batch_format="pyarrow").to_pandas()
     avgdl = len_partials["token_sum"].sum() / len_partials["n"].sum()
 
-    postings = ds.map_batches(posting_rows, batch_format="pyarrow")
+    postings = ds.map_batches(_query_posting_kernel(query),
+                              batch_format="pyarrow")
     postings_df = postings.to_pandas()  # |query| x matched docs — small
     if len(postings_df) == 0:
         # SQL mirror: corpus matches NO query term -> zero rows (and
@@ -2164,18 +2176,14 @@ FROM wedges JOIN edges e ON e.a = wedges.v AND e.b = wedges.w
 """
 
 
-def q_pagerank(sf_dir: str, reduce: str = "broadcast"):
-    """PageRank over the customer–part purchase graph (symmetrized
-    bipartite: c↔p edge per distinct (customer, part) purchase), 3
-    power iterations from uniform — the iterative-compute pattern
-    (stages/graph.py).  Default tier broadcasts the rank vector (nodes
-    ≪ edges); ``reduce="partitioned"`` keeps rank state as a Dataset
-    with a hash join per iteration.  SQL oracle = the same recurrence
-    unrolled as 3 CTE levels, shared by both tiers."""
+def _purchase_pair_edges(sf_dir: str, symmetrized: bool = True):
+    """Distinct customer–part purchase pairs as string-keyed
+    ``(src, dst)`` edges ('c<custkey>' → 'p<partkey>') — THE graph
+    convention shared by pagerank / personalized_pagerank (symmetrized
+    bipartite) and hits (directed)."""
     from ray.data.aggregate import Count
 
     from ..stages.dedup import default_join_partitions
-    from ..stages.graph import pagerank
 
     nparts = default_join_partitions()
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
@@ -2187,24 +2195,26 @@ def q_pagerank(sf_dir: str, reduce: str = "broadcast"):
 
     def to_pair(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "a": pa.array([f"c{c}" for c in
-                           batch["o_custkey"].to_pylist()], pa.string()),
-            "b": pa.array([f"p{p}" for p in
-                           batch["l_partkey"].to_pylist()], pa.string()),
+            "src": pa.array([f"c{c}" for c in
+                             batch["o_custkey"].to_pylist()],
+                            pa.string()),
+            "dst": pa.array([f"p{p}" for p in
+                             batch["l_partkey"].to_pylist()],
+                            pa.string()),
         })
 
     pairs = joined.map_batches(to_pair, batch_format="pyarrow") \
-        .groupby(["a", "b"]).aggregate(Count(alias_name="n")) \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="n")) \
         .drop_columns(["n"])
-
-    fwd = pairs.rename_columns({"a": "src", "b": "dst"})
-    rev = pairs.rename_columns({"a": "dst", "b": "src"}) \
+    if not symmetrized:
+        return pairs
+    rev = pairs.rename_columns({"src": "dst", "dst": "src"}) \
         .select_columns(["src", "dst"])
-    edges = fwd.union(rev)
+    return pairs.union(rev)
 
-    ranks = pagerank(edges, iters=PAGERANK_ITERS,
-                     damping=PAGERANK_DAMPING, reduce=reduce)
 
+def _finish_rank(ranks):
+    """Shared (node, rank) 8-dp rounding map for the pagerank family."""
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "node": batch["node"],
@@ -2215,6 +2225,22 @@ def q_pagerank(sf_dir: str, reduce: str = "broadcast"):
         })
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def q_pagerank(sf_dir: str, reduce: str = "broadcast"):
+    """PageRank over the customer–part purchase graph (symmetrized
+    bipartite: c↔p edge per distinct (customer, part) purchase), 3
+    power iterations from uniform — the iterative-compute pattern
+    (stages/graph.py).  Default tier broadcasts the rank vector (nodes
+    ≪ edges); ``reduce="partitioned"`` keeps rank state as a Dataset
+    with a hash join per iteration.  SQL oracle = the same recurrence
+    unrolled as 3 CTE levels, shared by both tiers."""
+    from ..stages.graph import pagerank
+
+    edges = _purchase_pair_edges(sf_dir)
+    ranks = pagerank(edges, iters=PAGERANK_ITERS,
+                     damping=PAGERANK_DAMPING, reduce=reduce)
+    return _finish_rank(ranks)
 
 
 def _sql_pagerank_iter(prev: str, out: str) -> str:
@@ -2270,49 +2296,13 @@ def q_personalized_pagerank(sf_dir: str, reduce: str = "broadcast"):
     VECTORIZED node-key predicate, so no seed list is broadcast or
     shuffled at any seed-set size.  SQL oracle = the restart
     recurrence unrolled 3 CTE levels, shared by both reduce tiers."""
-    from ray.data.aggregate import Count
-
-    from ..stages.dedup import default_join_partitions
     from ..stages.graph import pagerank
 
-    nparts = default_join_partitions()
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey"])
-    joined = li.rename_columns({"l_orderkey": "o_orderkey"}) \
-        .join(orders, "inner", num_partitions=nparts,
-              on=("o_orderkey",))
-
-    def to_pair(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "a": pa.array([f"c{c}" for c in
-                           batch["o_custkey"].to_pylist()], pa.string()),
-            "b": pa.array([f"p{p}" for p in
-                           batch["l_partkey"].to_pylist()], pa.string()),
-        })
-
-    pairs = joined.map_batches(to_pair, batch_format="pyarrow") \
-        .groupby(["a", "b"]).aggregate(Count(alias_name="n")) \
-        .drop_columns(["n"])
-    fwd = pairs.rename_columns({"a": "src", "b": "dst"})
-    rev = pairs.rename_columns({"a": "dst", "b": "src"}) \
-        .select_columns(["src", "dst"])
-    edges = fwd.union(rev)
-
+    edges = _purchase_pair_edges(sf_dir)
     ranks = pagerank(edges, iters=PAGERANK_ITERS,
                      damping=PAGERANK_DAMPING, reduce=reduce,
                      seed_pred=_ppr_seed_pred)
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "node": batch["node"],
-            "rank": pa.array(
-                [_round_half_away(r, 8) for r in
-                 batch["rank"].to_numpy(zero_copy_only=False)],
-                pa.float64()),
-        })
-
-    return ranks.map_batches(finish, batch_format="pyarrow")
+    return _finish_rank(ranks)
 
 
 def _sql_ppr_iter(prev: str, out: str) -> str:
@@ -2368,33 +2358,9 @@ def q_hits(sf_dir: str, reduce: str = "broadcast"):
     score as hubs, parts as authorities, 2 L1-normalized iterations
     (stages/graph.py:hits).  SQL oracle = the recurrence unrolled as 4
     CTE half-steps, shared by both reduce tiers."""
-    from ray.data.aggregate import Count
-
-    from ..stages.dedup import default_join_partitions
     from ..stages.graph import hits
 
-    nparts = default_join_partitions()
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey"])
-    joined = li.rename_columns({"l_orderkey": "o_orderkey"}) \
-        .join(orders, "inner", num_partitions=nparts,
-              on=("o_orderkey",))
-
-    def to_edge(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "src": pa.array([f"c{c}" for c in
-                             batch["o_custkey"].to_pylist()],
-                            pa.string()),
-            "dst": pa.array([f"p{p}" for p in
-                             batch["l_partkey"].to_pylist()],
-                            pa.string()),
-        })
-
-    edges = joined.map_batches(to_edge, batch_format="pyarrow") \
-        .groupby(["src", "dst"]).aggregate(Count(alias_name="n")) \
-        .drop_columns(["n"])
-
+    edges = _purchase_pair_edges(sf_dir, symmetrized=False)
     scored = hits(edges, iters=HITS_ITERS, reduce=reduce)
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -12590,7 +12556,8 @@ def q_js_divergence_by_source(sf_dir: str):
             .astype(np.float64)
         cn = batch["cn"].to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        st = np.array([tot_map[s] for s in src], dtype=np.float64)
+        # vectorized total lookup (no per-row Python dict probes)
+        st = pd.Series(src).map(tot_map).to_numpy(dtype=np.float64)
         ps = n / st
         c = cn / grand
         m = (ps + c) / 2.0
@@ -15737,38 +15704,12 @@ def q_champion_topk(sf_dir: str, m: int = _CHAMPION_M, k: int = 10):
             "score": pd.array([], dtype="float64")})
     query = set(BM25_QUERY_TERMS)
 
-    def posting_rows(batch: pa.Table) -> pa.Table:
-        ids, terms, tfs, dls = [], [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            tokens = simple_tokens(text)
-            counts = Counter(tokens)
-            for term in sorted(query & counts.keys()):
-                ids.append(doc_id)
-                terms.append(term)
-                tfs.append(counts[term])
-                dls.append(len(tokens))
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "term": pa.array(terms, pa.string()),
-            "tf": pa.array(tfs, pa.int64()),
-            "doc_len": pa.array(dls, pa.int64()),
-        })
-
-    def doc_lens(batch: pa.Table) -> pa.Table:
-        lens = [len(simple_tokens(t)) for t in batch["text"].to_pylist()]
-        lens = [x for x in lens if x > 0]
-        return pa.table({
-            "n": pa.array([len(lens)], pa.int64()),
-            "token_sum": pa.array([int(sum(lens))], pa.int64()),
-        })
-
-    len_partials = ds.map_batches(doc_lens, batch_format="pyarrow") \
-        .to_pandas()
+    len_partials = ds.map_batches(_doc_len_partials,
+                                  batch_format="pyarrow").to_pandas()
     avgdl = len_partials["token_sum"].sum() / len_partials["n"].sum()
     n_docs = ds.count()
 
-    postings = ds.map_batches(posting_rows,
+    postings = ds.map_batches(_query_posting_kernel(query),
                               batch_format="pyarrow").materialize()
 
     def champion_partials(batch: pa.Table) -> pa.Table:
@@ -16627,6 +16568,10 @@ def q_welch_ttest(sf_dir: str):
         stats[f] = (n, mean, var)
     (n1, m1, v1), (n2, m2, v2) = stats["A"], stats["R"]
     se1, se2 = v1 / n1, v2 / n2
+    if se1 + se2 <= 0:
+        # SQL mirror: both groups constant -> x/sqrt(0) is NULL in
+        # DuckDB -> no row (the WHERE guard in the oracle)
+        return empty
     t = (m1 - m2) / np.sqrt(se1 + se2)
     dof = (se1 + se2) ** 2 / (se1 ** 2 / (n1 - 1) + se2 ** 2 / (n2 - 1))
     return pd.DataFrame({
@@ -16653,6 +16598,7 @@ SELECT a.n AS n_a, r.n AS n_r,
              / (pow(a.v / a.n, 2) / (a.n - 1)
                 + pow(r.v / r.n, 2) / (r.n - 1)), 4) AS dof
 FROM a, r
+WHERE (a.v / a.n + r.v / r.n) > 0
 """
 
 
@@ -16736,6 +16682,10 @@ def q_mann_whitney(sf_dir: str):
     n = n1 + n2
     u1 = ra - n1 * (n1 + 1) / 2.0
     sigma2 = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1.0)))
+    if sigma2 <= 0:
+        # SQL mirror: all pooled values tie -> x/sqrt(0) is NULL in
+        # DuckDB -> no row (the WHERE guard in the oracle)
+        return empty
     z = (u1 - n1 * n2 / 2.0) / np.sqrt(sigma2)
     return pd.DataFrame({
         "n_a": pd.array([n1], dtype="int64"),
@@ -16862,7 +16812,9 @@ SELECT n1 AS n_a, n2 AS n_r,
              / sqrt(n1 * n2 / 12.0
                     * ((n1 + n2 + 1) - tie
                        / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z_stat
-FROM s WHERE n1 > 0 AND n2 > 0
+FROM s
+WHERE n1 > 0 AND n2 > 0
+  AND ((n1 + n2 + 1) - tie / ((n1 + n2) * (n1 + n2 - 1.0))) > 0
 """
 
 

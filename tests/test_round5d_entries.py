@@ -73,6 +73,11 @@ class TestWelchTTest:
         sf = _lineitem(tmp_sf, [], [])
         assert len(q_welch_ttest(sf)) == 0
 
+    def test_zero_variance_both_sides(self, ray_session, tmp_sf):
+        # SQL mirror: x / sqrt(0) is NULL in DuckDB -> no row
+        sf = _lineitem(tmp_sf, [10, 10, 20, 20], ["A", "A", "R", "R"])
+        assert len(q_welch_ttest(sf)) == 0
+
 
 class TestMannWhitney:
     def test_known_value_with_ties(self, ray_session, tmp_sf):
@@ -94,6 +99,11 @@ class TestMannWhitney:
         sf = _lineitem(tmp_sf, [1.0, 2.0], ["A", "A"])
         assert len(q_mann_whitney(sf)) == 0
         sf = _lineitem(tmp_sf, [], [])
+        assert len(q_mann_whitney(sf)) == 0
+
+    def test_all_values_tie(self, ray_session, tmp_sf):
+        # one giant tie group -> sigma2 = 0 -> NULL in SQL -> no row
+        sf = _lineitem(tmp_sf, [5, 5, 5, 5], ["A", "A", "R", "R"])
         assert len(q_mann_whitney(sf)) == 0
 
 
