@@ -2193,6 +2193,12 @@ def _purchase_pair_edges(sf_dir: str, symmetrized: bool = True):
         .join(orders, "inner", num_partitions=nparts,
               on=("o_orderkey",))
 
+    # distinct on the INT pair first (int-keyed exchange, much cheaper
+    # than string keys), stringify after
+    pairs = joined.select_columns(["o_custkey", "l_partkey"]) \
+        .groupby(["o_custkey", "l_partkey"]) \
+        .aggregate(Count(alias_name="n")).drop_columns(["n"])
+
     def to_pair(batch: pa.Table) -> pa.Table:
         return pa.table({
             "src": pa.array([f"c{c}" for c in
@@ -2203,9 +2209,7 @@ def _purchase_pair_edges(sf_dir: str, symmetrized: bool = True):
                             pa.string()),
         })
 
-    pairs = joined.map_batches(to_pair, batch_format="pyarrow") \
-        .groupby(["src", "dst"]).aggregate(Count(alias_name="n")) \
-        .drop_columns(["n"])
+    pairs = pairs.map_batches(to_pair, batch_format="pyarrow")
     if not symmetrized:
         return pairs
     rev = pairs.rename_columns({"src": "dst", "dst": "src"}) \

@@ -80,6 +80,12 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85,
         raise ValueError(f"unknown reduce tier: {reduce!r}")
     nparts = num_partitions or default_join_partitions()
 
+    # the stage reads ``edges`` several times (deg, node set, weight
+    # join); materialize ONCE so a lazy upstream build plan doesn't
+    # re-execute per consumer (measured 86 -> 38 s at sf0.1 on the
+    # purchase graph whose edge list is itself a join + distinct)
+    edges = edges.materialize()
+
     # out-degree → per-edge weight 1/outdeg(src), computed ONCE.
     # deg feeds the weight join; the node set is distinct(src ∪ dst)
     # so sinks exist in the rank vector (ADVICE r3: they used to fall
@@ -294,6 +300,10 @@ def hits(edges, iters: int = 2, num_partitions: int | None = None,
     if reduce not in ("broadcast", "partitioned"):
         raise ValueError(f"unknown reduce tier: {reduce!r}")
     nparts = num_partitions or default_join_partitions()
+
+    # multiple consumers of ``edges`` — same materialize-once note as
+    # pagerank
+    edges = edges.materialize()
 
     both = edges.select_columns(["src"]).rename_columns({"src": "node"}) \
         .union(edges.select_columns(["dst"]).rename_columns({"dst": "node"}))
