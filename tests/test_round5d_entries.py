@@ -18,6 +18,7 @@ from modernsearchengines_ray.pipelines.driver_queries import (
     q_clarity_score,
     q_dsir_select,
     q_js_divergence_by_source,
+    q_lexical_diversity,
     q_rbo_rankers,
     q_clustering_coefficient,
     q_kcore,
@@ -187,6 +188,27 @@ class TestBordaAndClarity:
 
     def test_clarity_no_match_empty(self, ray_session, tmp_sf):
         assert len(q_clarity_score(self._docs(tmp_sf, ["zebra"]))) == 0
+
+
+class TestLexicalDiversity:
+    def test_known_values(self, ray_session, tmp_sf):
+        # s1: tokens [a a b] -> 3 tokens, vocab 2 (a×2, b×1), hapax 1
+        sf = tmp_sf("documents", pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a a", "b"], pa.string()),
+            "source": pa.array(["s1", "s1"], pa.string())}))
+        out = q_lexical_diversity(sf)
+        r = out.iloc[0]
+        assert (r["tokens"], r["vocab"]) == (3, 2)
+        assert r["ttr"] == round(2 / 3, 6)
+        assert r["hapax_rate"] == 0.5
+
+    def test_empty(self, ray_session, tmp_sf):
+        sf = tmp_sf("documents", pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "source": pa.array([], pa.string())}))
+        assert len(q_lexical_diversity(sf)) == 0
 
 
 class TestOooRate:
