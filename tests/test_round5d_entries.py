@@ -12,6 +12,7 @@ import pytest
 
 from modernsearchengines_ray.pipelines.driver_queries import (
     q_ab_conversion_ztest,
+    q_basket_lift,
     q_bfs_distance,
     q_borda_fusion,
     q_champion_topk,
@@ -188,6 +189,37 @@ class TestBordaAndClarity:
 
     def test_clarity_no_match_empty(self, ray_session, tmp_sf):
         assert len(q_clarity_score(self._docs(tmp_sf, ["zebra"]))) == 0
+
+
+class TestBasketLift:
+    def _li(self, tmp_sf, rows):
+        return tmp_sf("lineitem", pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }))
+
+    def test_known_lift(self, ray_session, tmp_sf):
+        # baskets: {1,2}, {1,2}, {1,3} -> pair (1,2) support 2;
+        # (1,3) support 1 < min_support -> dropped.
+        # lift(1,2) = 3 * 2 / (3 * 2) = 1.0
+        sf = self._li(tmp_sf, [(10, 1), (10, 2), (20, 1), (20, 2),
+                               (30, 1), (30, 3)])
+        out = q_basket_lift(sf)
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["p1"], r["p2"], r["n12"]) == (1, 2, 2)
+        assert r["lift"] == 1.0
+
+    def test_duplicate_lines_collapse(self, ray_session, tmp_sf):
+        # the same part twice in one order is ONE basket item
+        sf = self._li(tmp_sf, [(10, 1), (10, 1), (10, 2),
+                               (20, 1), (20, 2)])
+        out = q_basket_lift(sf)
+        assert out.iloc[0]["n12"] == 2
+
+    def test_no_pairs_and_empty(self, ray_session, tmp_sf):
+        assert len(q_basket_lift(self._li(tmp_sf, [(10, 1)]))) == 0
+        assert len(q_basket_lift(self._li(tmp_sf, []))) == 0
 
 
 class TestLexicalDiversity:
